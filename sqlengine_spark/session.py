@@ -1,0 +1,77 @@
+"""SparkSession bootstrap and table catalog (SURVEY.md §1.3, §3).
+
+Design for scale: the session defaults below are the local[32] test
+profile; on a real cluster only ``master`` and memory sizing change.
+AQE stays on everywhere — it is the runtime answer to skew and
+partition-count tuning at 100 TB (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The ten tables the driver pre-registers as DuckDB views
+#: (__spark_entry__.py:33-35); same names used for Spark temp views.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "sqlengine_spark") -> SparkSession:
+    """Build (or reuse) the session with the engine's standard config.
+
+    Scale notes: shuffle.partitions matches local core count here; on a
+    cluster it should be ~2-3x total cores, and AQE coalescing corrects
+    overshoot at runtime either way. UTC session timezone pins timestamp
+    semantics to match the DuckDB oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Structured Streaming state store: RocksDB scales state off-heap
+        # and is the provider you'd run on a cluster (SURVEY §3.3).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Parquet footer provides the schema (SURVEY §1.3)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views so the SQL and
+    DataFrame entry points share one catalog (SURVEY §3.1-3.2)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
