@@ -1,0 +1,23 @@
+"""Cross-engine-deterministic scalar helpers (SURVEY §5.4 float policy).
+
+These are thin Column-expression builders — they stay inside Catalyst /
+whole-stage codegen (no UDFs).
+"""
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dround(col: Column, scale: int = 2) -> Column:
+    """Round a double to ``scale`` digits with DuckDB-identical semantics.
+
+    Spark's ``F.round(x, n)`` converts the double to exact BigDecimal and
+    half-up-rounds that, while DuckDB rounds ``x * 10^n`` in double
+    arithmetic. For values whose binary representation sits just below a
+    .5 boundary the two disagree (measured: 118/60 000 mismatches on
+    lineitem net-price at sf0.01). ``round(x * 10^n) / 10^n`` — scaling
+    first, rounding to integer, scaling back — reproduces DuckDB's result
+    bit-for-bit (measured: 0/60 000 mismatches).
+    """
+    factor = float(10**scale)
+    return F.round(col * factor, 0) / factor

@@ -1,0 +1,86 @@
+"""Tier A — scans / sources / sinks (SURVEY.md §2 tier A).
+
+Scan operators are pure ``spark.read.parquet`` + projection, so Catalyst
+pushes column pruning and predicates into the vectorized Parquet reader
+(plan-asserted in tests/test_plans.py). Sink round-trips write to a
+gitignored scratch dir and are rows-only checks: their self-verification
+(read-back equals source) lives in pytest.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    return path
+
+
+@query("a_scan_parquet", oracle="SELECT * FROM region")
+def a_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan, all columns/rows."""
+    return table(spark, sf_dir, "region")
+
+
+@query("a_scan_count", oracle="SELECT count(*) AS cnt FROM lineitem")
+def a_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count star — at scale this is answered from parquet footer stats
+    (Spark plans a metadata-only LocalLimit/agg over row-group counts)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "a_scan_pruned",
+    oracle="SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+)
+def a_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: 3 of 11 columns reach the reader (ReadSchema
+    plan-asserted) — at 100 TB this is the difference between reading
+    ~27% and 100% of the column chunks."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+@query("a_scan_csv_roundtrip")  # rows-only: sink side-effect, self-verified in pytest
+def a_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation to CSV with header, read back with explicit schema."""
+    path = _scratch("nation_csv")
+    nation = table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(nation.schema).option("header", True).csv(path)
+
+
+@query("a_scan_json_roundtrip")  # rows-only: sink side-effect, self-verified in pytest
+def a_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write region to JSON lines, read back with explicit schema."""
+    path = _scratch("region_json")
+    region = table(spark, sf_dir, "region")
+    region.write.mode("overwrite").json(path)
+    return spark.read.schema(region.schema).json(path)
+
+
+@query("a_sink_parquet_partitioned")  # rows-only: read-back equality checked in pytest
+def a_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders hive-partitioned by o_orderstatus; read back one
+    partition. The read-back filter is satisfied by partition pruning —
+    only the o_orderstatus=F directory is listed/scanned, the 100 TB
+    pattern for time/status-partitioned fact tables."""
+    path = _scratch("orders_part")
+    orders = table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    # restore source column order (partitionBy moves the key last)
+    return back.select(*orders.columns)

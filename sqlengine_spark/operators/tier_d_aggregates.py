@@ -16,8 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import load_tables, table
 
 
 @query(
@@ -54,13 +55,276 @@ def d_agg_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(charge), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+@query(
+    "d_agg_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 60
+    """,
+)
+def d_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) = .agg().filter() — the filter
+    runs on |groups| rows after the final agg, never on the fact table."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") > 60)
+    )
+
+
+@query(
+    "d_agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def d_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "d_agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two DISTINCT aggs in one query — Spark plans this with Expand
+    (one row per distinct-group), keeping a single shuffle pass."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query(
+    "d_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(GROUPING(r_name) AS INT) AS g_r,
+           CAST(GROUPING(n_name) AS INT) AS g_n
+    FROM region
+    JOIN nation   ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def d_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    joined = r.join(n, r.r_regionkey == n.n_regionkey).join(
+        c, n.n_nationkey == c.c_nationkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.grouping("r_name").cast("int").alias("g_r"),
+        F.grouping("n_name").cast("int").alias("g_n"),
+    )
+
+
+@query(
+    "d_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def d_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dround(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "d_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def d_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (SURVEY §3.1) —
+    same Catalyst Expand-based plan as rollup/cube."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "d_agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(stddev_samp(l_quantity), 4)            AS sd_qty,
+           ROUND(var_samp(l_quantity), 4)               AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4)  AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def d_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        dround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        dround(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        dround(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        dround(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "d_agg_minmax_by",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, c_acctbal) AS richest,
+           arg_min(c_name, c_acctbal) AS poorest
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def d_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by ↔ DuckDB arg_max/arg_min. c_acctbal is a continuous
+    double — ties are measure-zero; verified tie-free at sf0.01."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+    )
+
+
+@query(
+    "d_agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey, list(c_name ORDER BY c_name) AS names
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def d_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list agg: collect_list has no intrinsic order in a
+    distributed engine, so sort the array post-hoc (SURVEY §5.4 R2)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_list("c_name")).alias("names")
+    )
+
+
+@query(
+    "d_agg_string_agg",
+    oracle="""
+    SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def d_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names")
+    )
+
+
+@query("d_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def d_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — THE 100 TB cardinality estimator:
+    fixed-size sketch per partition, merged at the driver, no shuffle of
+    distinct values. Accuracy asserted vs exact count in pytest (±5%)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
+    )
+
+
+@query("d_agg_approx_quantile")  # rows-only: approx algorithms differ across engines
+def d_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — mergeable sketch,
+    single pass, the scale path for quantiles. Accuracy vs exact
+    percentile asserted in pytest."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.percentile_approx("o_totalprice", 0.5).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95).alias("p95"),
+    )
+
+
+@query(
+    "d_agg_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        dround(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        dround(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+    )
+
+
+@query(
+    "d_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values job —
+    at scale, always pass the list). Missing cells coalesced to 0 to
+    match SQL conditional-count semantics."""
+    ev = table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
     )

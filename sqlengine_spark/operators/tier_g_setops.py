@@ -1,0 +1,76 @@
+"""Tier G — set operations (SURVEY.md §2 tier G).
+
+UNION ALL is a zero-shuffle concatenation of partition lists; the
+distinct variants add one hash-aggregate shuffle on the full row.
+INTERSECT/EXCEPT plan as left-semi/anti hash joins in Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+
+def _cust_nk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+
+
+def _supp_nk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+
+
+@query(
+    "g_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def g_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nk(spark, sf_dir).unionByName(_supp_nk(spark, sf_dir))
+
+
+@query(
+    "g_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def g_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nk(spark, sf_dir).unionByName(_supp_nk(spark, sf_dir)).distinct()
+
+
+@query(
+    "g_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def g_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nk(spark, sf_dir).intersect(_supp_nk(spark, sf_dir))
+
+
+@query(
+    "g_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def g_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set EXCEPT (subtract), not bag exceptAll: a key present on both
+    sides must vanish entirely regardless of multiplicity."""
+    return _cust_nk(spark, sf_dir).subtract(_supp_nk(spark, sf_dir))

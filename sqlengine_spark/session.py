@@ -49,6 +49,9 @@ def get_spark(app_name: str = "sqlengine_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
+        # outright; read it as a nanos long and convert in table().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Structured Streaming state store: RocksDB scales state off-heap
         # and is the provider you'd run on a cluster (SURVEY §3.3).
         .config(
@@ -62,8 +65,21 @@ def get_spark(app_name: str = "sqlengine_spark") -> SparkSession:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. Parquet footer provides the schema (SURVEY §1.3)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one table. Parquet footer provides the schema (SURVEY §1.3).
+
+    ``events.ts`` is nanosecond-precision in parquet; Spark reads it as a
+    nanos long (see nanosAsLong config) and we convert to a microsecond
+    timestamp with integer division — the same floor-truncation DuckDB
+    applies reading ns into its µs TIMESTAMP, so oracles agree (SURVEY
+    §5.4 R3). Integer DIV, not float division: ns epoch values ~1.7e18
+    exceed double's 53-bit exact-integer range.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,42 @@
+"""Plan-assertion tests (SURVEY §4, §5.2): verify Catalyst actually
+produces the scale-critical physical plans — pushdown, pruning, top-k,
+partial aggregation. These guard the 100 TB story, not correctness.
+"""
+
+from sqlengine_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, qid):
+    df = all_queries()[qid](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushed_to_parquet(spark):
+    plan = _plan(spark, "b_filter_range")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,25" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "a_scan_pruned")
+    # ReadSchema carries exactly the 3 projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema
+    assert "l_quantity" in read_schema
+    assert "l_shipdate" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(spark, "f_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_final_agg(spark):
+    plan = _plan(spark, "d_agg_q1_pricing")
+    # map-side combine: two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan

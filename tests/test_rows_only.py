@@ -1,0 +1,72 @@
+"""Self-verification for rows-only operators (no SQL oracle): sink
+round-trips must equal their source; approx aggregates must be within
+tolerance of exact answers (SURVEY §2 tier A/D rows-only notes).
+"""
+
+from pyspark.sql import functions as F
+
+from sqlengine_spark.registry import all_queries
+from tests.conftest import SF_DIR, canon_rows
+
+
+def _rows(df):
+    return canon_rows(df.columns, [tuple(r) for r in df.collect()])[1]
+
+
+def test_csv_roundtrip_equals_source(spark):
+    q = all_queries()
+    back = q["a_scan_csv_roundtrip"](spark, SF_DIR)
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+def test_json_roundtrip_equals_source(spark):
+    q = all_queries()
+    back = q["a_scan_json_roundtrip"](spark, SF_DIR)
+    src = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    assert _rows(back) == _rows(src)
+
+
+def test_partitioned_sink_readback(spark):
+    q = all_queries()
+    back = q["a_sink_parquet_partitioned"](spark, SF_DIR)
+    src = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(*back.columns)
+    )
+    assert _rows(back) == _rows(src)
+
+
+def test_approx_distinct_within_5pct(spark):
+    q = all_queries()
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in q["d_agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_approx_quantile_within_2pct(spark):
+    q = all_queries()
+    row = q["d_agg_approx_quantile"](spark, SF_DIR).collect()[0]
+    exact = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["p50"] - exact["p50"]) / exact["p50"] < 0.02
+    assert abs(row["p95"] - exact["p95"]) / exact["p95"] < 0.02
