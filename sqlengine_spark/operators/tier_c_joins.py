@@ -1,0 +1,290 @@
+"""Tier C — joins (SURVEY.md §2 tier C).
+
+Scale notes: all equi-joins are declared, so Catalyst picks broadcast vs
+shuffle strategy by size — every dim table here (region/nation/customer/
+supplier/part) is far under autoBroadcastJoinThreshold, so fact⋈dim joins
+plan as BroadcastHashJoin with zero fact-side shuffle (plan-asserted for
+c_join_broadcast). At 100 TB the same plans hold: dims broadcast, the
+fact table never moves except for fact⋈fact shuffles on the join key,
+where AQE handles skew (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import load_tables, table
+
+
+@query(
+    "c_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "c_join_broadcast",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as c_join_inner with an explicit broadcast hint —
+    values must be identical; the plan (BroadcastHashJoin, no shuffle on
+    orders) is asserted in tests/test_plans.py."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "c_join_3way",
+    oracle="""
+    SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def c_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. The BUILDING filter reduces customer before the
+    join (pushed below by Catalyst); customer broadcasts into orders,
+    the orders⋈lineitem join co-shuffles on orderkey — the same key the
+    aggregation groups by, so agg reuses the join partitioning with no
+    extra exchange."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "c_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def c_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "c_join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def c_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "c_join_full",
+    oracle="""
+    SELECT s_suppkey, s_name, c_custkey, c_name
+    FROM supplier FULL JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    """,
+)
+def c_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with an equi prefix + non-equi residual: suppliers
+    with no poorer same-nation customer and customers with no richer
+    same-nation supplier both survive as null-padded rows."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    cond = (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal)
+    return s.join(c, cond, "full").select("s_suppkey", "s_name", "c_custkey", "c_name")
+
+
+@query(
+    "c_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    """,
+)
+def c_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS = left-semi join: probe side emits each customer at most
+    once; no row multiplication, no orders columns shuffled."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "c_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def c_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "c_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def c_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only sanctioned on provably bounded inputs
+    (5 × 25 dims here; SURVEY §4 100 TB notes)."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "c_join_theta_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+    """,
+)
+def c_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join with an equi core: Catalyst hashes on l_orderkey =
+    o_orderkey and evaluates the date-range residual post-match, so this
+    stays a hash/merge join, never a cartesian."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return li.join(o, cond).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"
+    )
+
+
+@query(
+    "c_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native batch ASOF in Spark SQL): equi-join on the
+    partition key + inequality filter + row_number()=1 over
+    (partition by event, order by o_orderdate desc).
+
+    Scale: the equi-join shuffles both sides on user_id once; the window
+    reuses that partitioning. Projects only the matched o_orderdate —
+    ties on (custkey, orderdate) would make *which* order row wins
+    engine-dependent, but the as-of timestamp itself is unambiguous.
+    """
+    ev = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    joined = ev.join(
+        o, (ev.user_id == o.o_custkey) & (ev.ts >= o.o_orderdate), "inner"
+    )
+    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", F.col("o_orderdate").alias("last_orderdate"))
+    )
+
+
+@query(
+    "c_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def c_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via the SQL entry point — Catalyst plans the
+    subquery as an independent stage and injects its result as a
+    literal into the main scan's filter."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "c_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def c_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — Catalyst rewrites to a left-semi join
+    (RewritePredicateSubquery), so it scales like c_join_semi."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )

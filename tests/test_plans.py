@@ -40,3 +40,13 @@ def test_q1_partial_final_agg(spark):
     # map-side combine: two HashAggregates around one Exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_broadcast_join(spark):
+    plan = _plan(spark, "c_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_planned(spark):
+    plan = _plan(spark, "c_subquery_in")
+    assert "LeftSemi" in plan or "SemiJoin" in plan
