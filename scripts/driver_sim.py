@@ -2,13 +2,23 @@
 """Simulate the grading driver against __spark_entry__.py (the product
 surface): t1 smoke at sf0.001, then t2 oracle compare at sf0.01.
 
-This is the repo's verification harness (.claude/skills/verify/SKILL.md)
-— run it from /root/repo before every commit.
+Faithfulness rules (round-1 lesson — the sim MUST diverge from the repo's
+own harness exactly the way the real driver does):
+
+1. The SparkSession is a PLAIN ``SparkSession.builder.getOrCreate()`` with
+   none of the engine configs from ``get_spark()`` — the driver passes its
+   own session, so any config a query needs must be set at query time.
+2. Canonicalization goes through pandas the way the driver's does
+   (``sort_values`` over all columns) — list/map cells raise
+   ``TypeError: unhashable type`` here just like they do in the driver,
+   so ArrayType/MapType leaks are caught locally before commit.
+
+Run from /root/repo before every commit: ``python scripts/driver_sim.py``
+(optionally pass query ids to restrict).
 """
 
 from __future__ import annotations
 
-import datetime
 import math
 import os
 import sys
@@ -17,34 +27,49 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
 
 import __spark_entry__ as mod
-from sqlengine_spark.session import TABLES, get_spark
 
 SF01 = "/root/testdata/sf0.01"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
 
 
-def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
-    return v
+def canon_df(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: sort columns by name, round floats,
+    stringify cells, sort rows via pandas sort_values (raises on
+    unhashable cells — deliberately)."""
+    pdf = pdf[sorted(pdf.columns)]
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "\x00null"
+        if isinstance(v, float):
+            return f"{round(v, 9):.9f}"
+        return str(v)
+
+    out = pdf.copy()
+    for c in out.columns:
+        out[c] = out[c].map(cell)
+    # sort_values on the raw frame first — this is where the real driver
+    # throws TypeError on list cells; keep that behavior.
+    pdf.sort_values(list(pdf.columns))
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
 
 
 def main() -> int:
     only = sys.argv[1:] or None
-    spark = get_spark("driver-sim")
+    # Plain session: exactly what the grading driver hands to queries().
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
     t0 = time.time()
     n = len(mod.entry(spark).collect())
@@ -58,35 +83,40 @@ def main() -> int:
         )
     qs, oracles = mod.queries(), mod.oracle_sql()
     fails = []
+    n_run = 0
     for name in sorted(qs):
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = qs[name](spark, SF01)
-            scols = sorted(sdf.columns)
-            srows = sorted(
-                (tuple(canon(r[c]) for c in scols) for r in sdf.collect()),
-                key=lambda t: tuple((x is None, str(x)) for x in t),
-            )
+            spdf = sdf.toPandas()
             if name not in oracles:
-                print(f"  {name}: rows-only rows={len(srows)} OK")
+                # rows-only: the driver still canonicalizes (so array
+                # leaks fail even here) and records the row count.
+                canon_df(spdf)
+                print(f"  {name}: rows-only rows={len(spdf)} OK")
                 continue
-            res = con.execute(oracles[name])
-            idx = [d[0] for d in res.description]
-            dcols = sorted(idx)
-            drows = sorted(
-                (tuple(canon(r[idx.index(c)]) for c in dcols) for r in res.fetchall()),
-                key=lambda t: tuple((x is None, str(x)) for x in t),
-            )
-            if scols != dcols:
-                fails.append((name, f"cols {scols} != {dcols}"))
-            elif len(srows) != len(drows):
-                fails.append((name, f"rowcount {len(srows)} != {len(drows)}"))
-            elif srows != drows:
-                bad = next(i for i, (a, b) in enumerate(zip(srows, drows)) if a != b)
-                fails.append((name, f"values differ, e.g. {srows[bad]} != {drows[bad]}"))
+            dpdf = con.execute(oracles[name]).df()
+            if sorted(spdf.columns) != sorted(dpdf.columns):
+                fails.append(
+                    (name, f"cols {sorted(spdf.columns)} != {sorted(dpdf.columns)}")
+                )
+                continue
+            if len(spdf) != len(dpdf):
+                fails.append((name, f"rowcount {len(spdf)} != {len(dpdf)}"))
+                continue
+            s_c, d_c = canon_df(spdf), canon_df(dpdf)
+            if not s_c.equals(d_c):
+                neq = (s_c != d_c).any(axis=1)
+                i = int(neq.idxmax())
+                fails.append(
+                    (name,
+                     f"values differ, e.g. row {i}: "
+                     f"{list(s_c.iloc[i])} != {list(d_c.iloc[i])}")
+                )
             else:
-                print(f"  {name}: MATCH rows={len(srows)}")
+                print(f"  {name}: MATCH rows={len(spdf)}")
         except Exception as e:  # noqa: BLE001 — report, keep going
             fails.append((name, f"EXC {type(e).__name__}: {e}"))
     if fails:
@@ -94,7 +124,7 @@ def main() -> int:
         for name, why in fails:
             print(f"  {name}: {why}")
         return 1
-    print(f"\nALL MATCH ({len([q for q in qs if not only or q in only])} queries)")
+    print(f"\nALL MATCH ({n_run} queries)")
     return 0
 
 

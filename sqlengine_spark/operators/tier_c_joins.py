@@ -221,25 +221,42 @@ def c_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (no native batch ASOF in Spark SQL): equi-join on the
-    partition key + inequality filter + row_number()=1 over
-    (partition by event, order by o_orderdate desc).
+    """As-of join (no native batch ASOF in Spark SQL) via union-merge:
+    tag both sides, union on (user_id, time), and carry the latest order
+    date forward with a running max over (partition by user_id, order by
+    time, side) — order rows sort before event rows at equal timestamps
+    so ``ts >= o_orderdate`` is inclusive, matching DuckDB ASOF.
 
-    Scale: the equi-join shuffles both sides on user_id once; the window
-    reuses that partitioning. Projects only the matched o_orderdate —
-    ties on (custkey, orderdate) would make *which* order row wins
-    engine-dependent, but the as-of timestamp itself is unambiguous.
+    Scale: ONE shuffle on user_id and no row multiplication. The naive
+    idiom (equi-join + row_number()=1) materializes |events-per-user| x
+    |orders-per-user| intermediate rows, which explodes on power-law
+    users at 100 TB (flagged perf-weak in round 1); the union-merge is
+    the standard scale-safe formulation.
     """
-    ev = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders")
-    joined = ev.join(
-        o, (ev.user_id == o.o_custkey) & (ev.ts >= o.o_orderdate), "inner"
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ord_date"),
+        F.lit(1).alias("side"),
     )
-    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc())
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("ord_date"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", F.col("o_orderdate").alias("last_orderdate"))
+        o.unionByName(ev)
+        .withColumn("last_orderdate", F.max("ord_date").over(w))
+        .filter((F.col("side") == 1) & F.col("last_orderdate").isNotNull())
+        .select("event_id", "user_id", "last_orderdate")
     )
 
 
@@ -255,7 +272,7 @@ def c_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery via the SQL entry point — Catalyst plans the
     subquery as an independent stage and injects its result as a
     literal into the main scan's filter."""
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, ("orders",))
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
@@ -278,7 +295,7 @@ def c_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery — Catalyst rewrites to a left-semi join
     (RewritePredicateSubquery), so it scales like c_join_semi."""
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, ("orders", "customer"))
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey

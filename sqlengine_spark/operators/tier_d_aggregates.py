@@ -181,7 +181,7 @@ def d_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL entry point (SURVEY §3.1) —
     same Catalyst Expand-based plan as rollup/cube."""
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -236,16 +236,22 @@ def d_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d_agg_collect_sorted",
     oracle="""
-    SELECT c_nationkey, list(c_name ORDER BY c_name) AS names
+    SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
     FROM customer GROUP BY c_nationkey
     """,
 )
 def d_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic list agg: collect_list has no intrinsic order in a
-    distributed engine, so sort the array post-hoc (SURVEY §5.4 R2)."""
+    distributed engine, so sort the array post-hoc (SURVEY §5.4 R2).
+
+    The sorted list is serialized with '|' (vs d_agg_string_agg's ','):
+    the driver's pandas canonicalizer cannot hash raw ArrayType cells
+    (round-1 failure), so oracled outputs never project bare arrays —
+    repo-wide rule, see VERDICT.md round 1 item 2.
+    """
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_list("c_name")).alias("names")
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names")
     )
 
 

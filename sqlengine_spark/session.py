@@ -74,6 +74,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     §5.4 R3). Integer DIV, not float division: ns epoch values ~1.7e18
     exceed double's 53-bit exact-integer range.
     """
+    if name == "events":
+        # The grading driver passes its own plain SparkSession, so the
+        # builder-time config in get_spark() is not guaranteed; this conf
+        # is a runtime SQL conf, so set it at read time (round-1 failure:
+        # PARQUET_TYPE_ILLEGAL on 5 queries under the driver session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -82,11 +88,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load all tables and register them as temp views so the SQL and
-    DataFrame entry points share one catalog (SURVEY §3.1-3.2)."""
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register the given tables (default: all) as temp views so the SQL
+    and DataFrame entry points share one catalog (SURVEY §3.1-3.2).
+    Queries pass only the tables they touch, so an unreadable table can
+    never take down unrelated queries (round-1 blast-radius lesson)."""
     out: dict[str, DataFrame] = {}
-    for name in TABLES:
+    for name in names:
         df = table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
