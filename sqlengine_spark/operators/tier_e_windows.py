@@ -1,0 +1,239 @@
+"""Tier E — window functions (SURVEY.md §2 tier E).
+
+Every window orders with a unique-key tiebreak (SURVEY §5.4 R2) so both
+engines see one total order per partition and rank/lag results are
+deterministic.
+
+Scale notes: a window partitioned by a key is one shuffle on that key
+followed by a per-partition sort — the same cost shape as a groupBy, and
+Spark 4's WindowGroupLimit pushes rank<=k filters below the sort (top-k
+per group never materializes full partitions). The only global windows
+here run over provably tiny inputs (1 500 customers) or are flagged in
+their docstrings with the 100 TB alternative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+
+@query(
+    "e_win_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def e_win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per nation by balance."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "e_win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def e_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (QUALIFY shape). Spark 4 plans this
+    with WindowGroupLimit: the rank filter is evaluated during the
+    per-partition sort, so only k rows per group survive — at 100 TB no
+    full partition is ever materialized."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "e_win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM orders
+    """,
+)
+def e_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer in order-date order. The ROWS frame
+    pins the accumulation order, so both engines add the same doubles in
+    the same sequence."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.sum("o_totalprice").over(w), 2).alias("running"),
+    )
+
+
+@query(
+    "e_win_sliding_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+    FROM orders
+    """,
+)
+def e_win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of order value per customer."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.avg("o_totalprice").over(w), 4).alias("mov_avg"),
+    )
+
+
+@query(
+    "e_win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+           AS sum_30d
+    FROM orders
+    """,
+)
+def e_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over time: per order, revenue of the trailing 30 days
+    (inclusive). Spark's rangeBetween needs a numeric ordering column, so
+    the window orders by epoch seconds with a +/-seconds frame — value-
+    identical to DuckDB's INTERVAL RANGE frame over the timestamp. RANGE
+    includes ties, so no orderkey tiebreak is needed for determinism."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+    )
+
+
+@query(
+    "e_win_lead_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           date_diff('second', lag(ts)  OVER w, ts) AS gap_s,
+           lead(event_type) OVER w                  AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e_win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (seconds) and next event type. The gap
+    is projected as whole seconds — never the raw ts (SURVEY §5.4 R3) —
+    via unix_timestamp floor, which equals DuckDB's date_diff('second')
+    second-boundary count for forward-ordered events."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "e_win_ntile_pct",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER w                    AS tile,
+           ROUND(percent_rank() OVER w, 6)    AS pr,
+           ROUND(cume_dist() OVER w, 6)       AS cd
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def e_win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles + distribution ranks over customer balances. This is a
+    GLOBAL window (single partition after shuffle) — acceptable on a
+    1 500-row dim; the 100 TB formulation is approx_percentile bucketing
+    or a two-pass rank join, never a global sort window over a fact
+    table."""
+    c = table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("tile"),
+        dround(F.percent_rank().over(w), 6).alias("pr"),
+        dround(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "e_win_first_last",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           first_value(c_name) OVER w AS richest,
+           last_value(c_name)  OVER w AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def e_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame —
+    the default frame stops at CURRENT ROW, which silently turns
+    last_value into 'current value'; both engines get the explicit
+    frame so semantics match."""
+    c = table(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_name").over(w).alias("richest"),
+        F.last("c_name").over(w).alias("poorest"),
+    )

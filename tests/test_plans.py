@@ -50,3 +50,17 @@ def test_broadcast_join(spark):
 def test_semi_join_planned(spark):
     plan = _plan(spark, "c_subquery_in")
     assert "LeftSemi" in plan or "SemiJoin" in plan
+
+
+def test_topk_group_window_limit(spark):
+    # Spark 4 pushes rank<=k below the sort; full partitions never materialize
+    plan = _plan(spark, "e_win_topk_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_asof_union_merge_no_join(spark):
+    # the scale-safe as-of is union+window — a join node would mean the
+    # fanout idiom crept back (round-1 perf-weak finding)
+    plan = _plan(spark, "c_join_asof")
+    assert "Union" in plan
+    assert "Join" not in plan
