@@ -1,0 +1,382 @@
+"""Tier H — scalar function families (SURVEY.md §2 tier H).
+
+One projection query per family; everything is a built-in Column
+expression, so the whole tier runs inside whole-stage codegen with zero
+Python on the executor path — these are the functions every real query
+touches, and they must be JVM-side at 100 TB.
+
+Cross-engine pins (SURVEY §5.4 R4):
+- Spark ``dayofweek`` is 1=Sunday; DuckDB's is 0=Sunday → oracle adds 1.
+- Spark ``regexp_replace`` replaces ALL matches; DuckDB needs the 'g' flag.
+- Spark ``floor``/``ceil`` on double return BIGINT; DuckDB returns double
+  → both cast to BIGINT.
+- DuckDB has no ``pmod`` → oracle spells ``((x % n) + n) % n``.
+- Derived DATE values are projected as strings in both engines (pandas
+  date-vs-datetime dtype ambiguity in the driver's canonicalizer).
+- No raw ArrayType/MapType output, ever — arrays are joined to strings,
+  maps are projected as extracted scalars (round-1 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+
+@query(
+    "h_str_basic",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                       AS up,
+           lower(p_brand)                      AS lo,
+           trim(concat('  ', p_name, ' '))    AS trimmed,
+           substring(p_name, 1, 4)             AS sub4,
+           concat(p_brand, ':', p_name)        AS cat,
+           concat_ws('-', p_brand, p_type)     AS catws,
+           length(p_name)                      AS len,
+           lpad(p_brand, 12, '*')              AS lp,
+           rpad(p_brand, 12, '*')              AS rp,
+           reverse(p_name)                     AS rev,
+           left(p_name, 3)                     AS l3,
+           right(p_name, 3)                    AS r3
+    FROM part
+    """,
+)
+def h_str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 1, 4).alias("sub4"),
+        F.concat("p_brand", F.lit(":"), "p_name").alias("cat"),
+        F.concat_ws("-", "p_brand", "p_type").alias("catws"),
+        F.length("p_name").alias("len"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_brand", 12, "*").alias("rp"),
+        F.reverse("p_name").alias("rev"),
+        F.left("p_name", F.lit(3)).alias("l3"),
+        F.right("p_name", F.lit(3)).alias("r3"),
+    )
+
+
+@query(
+    "h_str_regex",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INT) AS brand_no,
+           regexp_replace(p_name, ' ', '_', 'g')              AS snake,
+           string_split(p_name, ' ')[1]                       AS first_tok,
+           strpos(p_name, 'e')                                AS pos_e,
+           starts_with(p_name, 'red')                         AS is_red,
+           ends_with(p_name, 'bolt')                          AS is_bolt
+    FROM part
+    """,
+)
+def h_str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_no"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_tok"),
+        F.instr("p_name", "e").alias("pos_e"),
+        F.col("p_name").startswith("red").alias("is_red"),
+        F.col("p_name").endswith("bolt").alias("is_bolt"),
+    )
+
+
+@query(
+    "h_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                           AS y,
+           month(o_orderdate)                          AS m,
+           day(o_orderdate)                            AS d,
+           dayofweek(o_orderdate) + 1                  AS dow,
+           quarter(o_orderdate)                        AS q,
+           date_trunc('month', o_orderdate)            AS mon_start,
+           CAST(last_day(o_orderdate::DATE) AS VARCHAR) AS mon_end,
+           CAST(epoch(o_orderdate) AS BIGINT)          AS epoch_s
+    FROM orders
+    """,
+)
+def h_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction. Pin: Spark dayofweek is 1=Sunday, DuckDB's
+    is 0=Sunday (oracle adds 1). last_day yields a DATE → stringified
+    both sides."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("mon_start"),
+        F.last_day("o_orderdate").cast("string").alias("mon_end"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "h_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate::DATE + 30 AS VARCHAR)                    AS plus30,
+           date_diff('day', o_orderdate, TIMESTAMP '1995-06-01')      AS to_mid95,
+           CAST((o_orderdate::DATE + INTERVAL 2 MONTH)::DATE AS VARCHAR) AS plus2mo,
+           (1995 - year(o_orderdate)) * 12 + (6 - month(o_orderdate)) AS mo_diff,
+           o_orderdate - INTERVAL 1 DAY                               AS minus1d
+    FROM orders
+    """,
+)
+def h_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic. months_between has engine-specific fractional
+    semantics, so the month difference is pinned to explicit
+    year*12+month arithmetic in both engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("string")
+        .alias("plus30"),
+        F.datediff(F.lit("1995-06-01").cast("timestamp"), "o_orderdate").alias(
+            "to_mid95"
+        ),
+        F.add_months(F.col("o_orderdate").cast("date"), 2)
+        .cast("string")
+        .alias("plus2mo"),
+        (
+            (F.lit(1995) - F.year("o_orderdate")) * 12
+            + (F.lit(6) - F.month("o_orderdate"))
+        ).alias("mo_diff"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 DAY")).alias("minus1d"),
+    )
+
+
+@query(
+    "h_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25)                              AS a,
+           ROUND(l_extendedprice * 10, 0) / 10               AS r1,
+           CAST(floor(l_extendedprice) AS BIGINT)            AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT)             AS ce,
+           pow(l_quantity, 2)                                AS p2,
+           ROUND(sqrt(l_extendedprice) * 1e6, 0) / 1e6       AS sq,
+           ROUND(ln(l_extendedprice) * 1e6, 0) / 1e6         AS lnp,
+           ROUND(log10(l_extendedprice) * 1e6, 0) / 1e6      AS lg,
+           ROUND(exp(l_discount) * 1e6, 0) / 1e6             AS ex,
+           CAST(sign(l_quantity - 25) AS INT)                AS sg,
+           ((CAST(l_partkey - 1000 AS BIGINT) % 7) + 7) % 7  AS pm,
+           greatest(l_quantity, l_extendedprice / 1000)      AS gr,
+           least(l_quantity, l_extendedprice / 1000)         AS le
+    FROM lineitem
+    """,
+)
+def h_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Pins: floor/ceil cast to BIGINT (Spark returns long,
+    DuckDB double); sign cast to INT; pmod spelled out in DuckDB; libm
+    functions rounded to 6 significant decimals via the dround scheme."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("a"),
+        dround(F.col("l_extendedprice"), 1).alias("r1"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.pow("l_quantity", F.lit(2)).alias("p2"),
+        dround(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        dround(F.log("l_extendedprice"), 6).alias("lnp"),
+        dround(F.log10("l_extendedprice"), 6).alias("lg"),
+        dround(F.exp("l_discount"), 6).alias("ex"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("sg"),
+        F.pmod(F.col("l_partkey").cast("long") - 1000, F.lit(7)).alias("pm"),
+        F.greatest("l_quantity", F.col("l_extendedprice") / 1000).alias("gr"),
+        F.least("l_quantity", F.col("l_extendedprice") / 1000).alias("le"),
+    )
+
+
+@query(
+    "h_cond_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'big'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'small' END                              AS bucket,
+           CASE o_orderstatus WHEN 'F' THEN 'final'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'other' END                AS status_word,
+           coalesce(nullif(o_orderpriority, '5-LOW'), 'LOWEST') AS prio,
+           ifnull(nullif(o_orderstatus, 'P'), 'was_P')          AS not_p
+    FROM orders
+    """,
+)
+def h_cond_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "big")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_word"),
+        F.coalesce(F.nullif("o_orderpriority", F.lit("5-LOW")), F.lit("LOWEST")).alias(
+            "prio"
+        ),
+        F.ifnull(F.nullif("o_orderstatus", F.lit("P")), F.lit("was_P")).alias("not_p"),
+    )
+
+
+@query(
+    "h_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec2,
+           CAST(trunc(o_totalprice) AS INT)            AS as_int,
+           CAST(o_orderkey AS DOUBLE)                  AS as_dbl,
+           CAST(o_orderkey AS VARCHAR)                 AS as_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip,
+           CAST(o_orderdate::DATE AS VARCHAR)          AS as_date_str,
+           CAST(o_totalprice AS VARCHAR)               AS price_str
+    FROM orders
+    """,
+)
+def h_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix. Pins (both measured): Spark's double→INT truncates
+    toward zero while DuckDB's rounds → oracle wraps in trunc(); DECIMAL
+    survives the cast but is projected as VARCHAR because pandas-side
+    canonicalizers widen DECIMAL back to float."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("dec2"),
+        F.col("o_totalprice").cast("int").alias("as_int"),
+        F.col("o_orderkey").cast("double").alias("as_dbl"),
+        F.col("o_orderkey").cast("string").alias("as_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("roundtrip"),
+        F.col("o_orderdate").cast("date").cast("string").alias("as_date_str"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+    )
+
+
+@query(
+    "h_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                          AS n_tok,
+           list_contains(string_split(text, ' '), 'data')        AS has_data,
+           string_split(text, ' ')[3]                            AS tok3,
+           array_to_string(
+               list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5),
+               ',')                                              AS first5
+    FROM documents
+    """,
+)
+def h_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized text. Arrays never reach the output —
+    they are reduced to scalars or joined to strings (round-1 rule)."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(arr).alias("n_tok"),
+        F.array_contains(arr, "data").alias("has_data"),
+        F.element_at(arr, 3).alias("tok3"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(arr)), 1, 5), ",").alias(
+            "first5"
+        ),
+    )
+
+
+@query(
+    "h_explode",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def h_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view: explode tokens then count per token. explode is a
+    generator inside the scan stage — no shuffle until the groupBy, and
+    the partial agg collapses each partition to |vocab| rows first."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "h_map_funcs",
+    oracle="""
+    SELECT event_id, event_type AS mtype, CAST(user_id AS VARCHAR) AS muid
+    FROM events
+    """,
+)
+def h_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map and read scalars back out. Only the extracted scalars
+    are projected (SURVEY §2 tier-H pin: Spark MapType and DuckDB MAP
+    hash differently); the oracle states the expected values directly."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("mtype"),
+        F.element_at(m, "uid").alias("muid"),
+    )
+
+
+@query(
+    "h_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           json_extract_string(props, '$.missing')        AS missing
+    FROM events
+    """,
+)
+def h_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction: present key as INT, absent key as
+    NULL."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@query(
+    "h_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text)          AS h_md5,
+           sha256(text)       AS h_sha,
+           length(md5(text))  AS md5_len
+    FROM documents
+    """,
+)
+def h_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha"),
+        F.length(F.md5("text")).alias("md5_len"),
+    )
