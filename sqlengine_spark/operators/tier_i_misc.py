@@ -1,0 +1,51 @@
+"""Tier I — sampling and stable surrogate ids (SURVEY.md §2 tier I)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+
+@query("i_sample")  # rows-only: sampling RNG streams differ across engines
+def i_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample of lineitem, fixed seed. Per-row coin flips
+    inside the scan — embarrassingly parallel, no shuffle; the fraction
+    is asserted within tolerance in pytest."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "i_monotonic_id_rank",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS surrogate_id,
+           o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+)
+def i_monotonic_id_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable surrogate ids: row_number over a declared total order —
+    NOT monotonically_increasing_id(), whose values depend on partition
+    layout and change run-to-run.
+
+    Scale: a global row_number is a single-partition sort, so it is only
+    applied AFTER a selective filter bounds the input (here: top-price
+    orders). For full-table surrogate keys at 100 TB the formulation is
+    zipWithIndex over range-partitioned sorted data or
+    (partition_rank + per-partition offset) two-pass assignment.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    w = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        F.row_number().over(w).alias("surrogate_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )

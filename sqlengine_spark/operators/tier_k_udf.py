@@ -1,0 +1,171 @@
+"""Tier K — UDF / UDAF / UDTF surface (SURVEY.md §2 tier K).
+
+The extension surface of the engine: row UDF (slow path, deliberately
+isolated to one query), vectorized Arrow pandas UDFs (the performant
+Python path — Arrow batch transfer, 10-100x over row UDFs), grouped-agg
+and grouped-map pandas UDFs, and a Spark 4 Python UDTF with a lateral
+join.
+
+Float policy: Python-side code returns RAW doubles; all rounding happens
+afterwards in JVM expressions via dround so both engines round the same
+way (SURVEY §5.4 R1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import StringType
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import load_tables, table
+
+
+@query(
+    "k_udf_row",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 5 THEN 'low'
+                WHEN value < 15 THEN 'mid'
+                ELSE 'high' END AS bucket
+    FROM events
+    """,
+)
+def k_udf_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — THE slow path (per-row Python round
+    trip); included because it is part of the engine surface, kept off
+    every other query. The oracle is the equivalent CASE ladder."""
+
+    @udf(StringType())
+    def bucket(v: float) -> str:
+        if v is None:
+            return None
+        if v < 5:
+            return "low"
+        if v < 15:
+            return "mid"
+        return "high"
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", bucket("value").alias("bucket"))
+
+
+@query(
+    "k_udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * 100, 0) / 100 AS net
+    FROM lineitem
+    """,
+)
+def k_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Arrow pandas UDF: whole Arrow batches cross the
+    Python boundary, numpy does the arithmetic — the only acceptable
+    Python hot path at scale. The UDF returns the raw product; rounding
+    happens JVM-side via dround for cross-engine bit-identity."""
+
+    @pandas_udf("double")
+    def net(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(net("l_extendedprice", "l_discount"), 2).alias("net"),
+    )
+
+
+@query(
+    "k_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount) * 1e4, 0) / 1e4
+               AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def k_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG pandas UDF: discount-weighted
+    average price per return flag. Spark ships each group's columns as
+    Arrow arrays to one Python worker call. Result rounded to 4 dp —
+    numpy's pairwise summation and DuckDB's sequential summation differ
+    below that."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, disc: pd.Series) -> float:
+        den = disc.sum()
+        return float((price * disc).sum() / den) if den else None
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(wavg("l_extendedprice", "l_discount"), 4).alias("wavg_price")
+    )
+
+
+@query(
+    "k_udtf_split",
+    oracle="""
+    SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS token
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' '))))
+                  AS i) t
+    WHERE doc_id < 10
+    """,
+)
+def k_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one output row per token with its 1-based
+    position, applied per input row via SQL LATERAL join. Bounded to 10
+    docs — a UDTF is a per-row Python generator, the slow path; the
+    built-in equivalent is posexplode (used everywhere else)."""
+
+    @udtf(returnType="pos: int, token: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok
+
+    spark.udtf.register("split_words", SplitWords)
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token
+        FROM documents, LATERAL split_words(text) t
+        WHERE doc_id < 10
+        """
+    )
+
+
+@query(
+    "k_apply_in_pandas",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND((c_acctbal - avg(c_acctbal) OVER w)
+                 / stddev_samp(c_acctbal) OVER w * 1e4, 0) / 1e4 AS z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+)
+def k_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score normalize balances within each
+    nation. One shuffle on the group key, then each group is handed to
+    Python as a pandas frame — the canonical custom-transform escape
+    hatch when built-ins can't express per-group logic. pandas std()
+    is ddof=1 = SQL stddev_samp; singleton groups yield NULL in both."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["c_acctbal"].std(ddof=1)
+        z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / sd if sd and sd == sd else None
+        return pd.DataFrame(
+            {"c_custkey": pdf["c_custkey"], "c_nationkey": pdf["c_nationkey"], "z": z}
+        )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    out = c.groupBy("c_nationkey").applyInPandas(
+        zscore, "c_custkey long, c_nationkey int, z double"
+    )
+    return out.select("c_custkey", "c_nationkey", dround(F.col("z"), 4).alias("z"))

@@ -57,6 +57,14 @@ def test_approx_distinct_within_5pct(spark):
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
 
 
+def test_sample_fraction_close(spark):
+    q = all_queries()
+    n = q["i_sample"](spark, SF_DIR).count()
+    total = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # Bernoulli(0.1): expect ~10% +/- 5 sigma
+    assert abs(n / total - 0.1) < 0.01, (n, total)
+
+
 def test_approx_quantile_within_2pct(spark):
     q = all_queries()
     row = q["d_agg_approx_quantile"](spark, SF_DIR).collect()[0]
