@@ -21,3 +21,18 @@ def dround(col: Column, scale: int = 2) -> Column:
     """
     factor = float(10**scale)
     return F.round(col * factor, 0) / factor
+
+
+def vdot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns, computed entirely in
+    DOUBLE with a sequential left-fold.
+
+    Precision pin: the embeddings are float32; multiplying in float32
+    drifts ~1e-6 from an engine that promotes first, which is at the
+    6-dp rounding boundary. Casting each element to double BEFORE the
+    multiply and folding sequentially (Spark ``aggregate`` ≡ DuckDB
+    ``SUM`` over an ordered ``generate_series`` unnest) makes both
+    engines produce bit-identical doubles. Stays JVM-side — no UDF.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
