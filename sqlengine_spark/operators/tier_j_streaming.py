@@ -1,0 +1,233 @@
+"""Tier J — streaming over `events` (SURVEY.md §2 tier J).
+
+Two-sided strategy (SURVEY §5.2/§5.3): the AGGREGATION SEMANTICS are
+verified here as batch queries with DuckDB oracles — streaming a finite
+file and collecting the final result must equal the batch answer — while
+the STREAMING-ONLY behaviors (micro-batches, watermark late-drop,
+keyed state) run under the Structured Streaming harness in
+tests/test_streaming.py. ``j_watermark_late_drop`` is the exception: its
+queries() entry runs a REAL incremental stream (2 ordered micro-batches
+with an injected late row) so the driver exercises the streaming engine
+itself; it is rows-only by nature.
+
+Scale notes: windowed aggregation in Structured Streaming shuffles on
+(window, key) exactly like the batch form; state per window-key lives in
+the executor-local state store (RocksDB on a real cluster) and the
+watermark bounds state size — without it, 100 TB of stream history
+accumulates forever.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+
+@query(
+    "j_tumbling_1h",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value) * 100, 0) / 100 AS sum_value
+    FROM events GROUP BY h, event_type
+    """,
+)
+def j_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type. Spark hour windows are
+    epoch-aligned, so window.start ≡ date_trunc('hour'). The identical
+    expression runs over readStream in the harness and must produce the
+    same final table (asserted in tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("h"), "event_type", "cnt", "sum_value")
+    )
+
+
+@query(
+    "j_sliding_1h_15m",
+    oracle="""
+    SELECT w_start, COUNT(*) AS cnt FROM (
+        SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+               - k.k * INTERVAL 15 MINUTES AS w_start
+        FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+    ) GROUP BY w_start
+    """,
+)
+def j_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 h length, 15 min slide — each event lands in 4
+    overlapping windows. The oracle reconstructs the same windows with
+    time_bucket + 4 offsets."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "cnt")
+    )
+
+
+@query(
+    "j_session_30m",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS s_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def j_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+    Semantics pin (both engines): an event exactly 30 min after the
+    previous one starts a NEW session (Spark's session end is exclusive
+    last_ts + gap); session end = last event + gap. The oracle is the
+    classic gaps-and-islands rewrite."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "j_stream_dedup",
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+def j_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-id elimination: the batch final set (streaming
+    ``dropDuplicates`` within a watermark produces the same set for a
+    finite input — asserted with injected duplicate chunks in the
+    harness). Only the key is projected: which duplicate row survives
+    is engine-dependent, the surviving key set is not."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id").dropDuplicates(["event_id"])
+
+
+@query("j_watermark_late_drop")  # rows-only: streaming-behavioral by nature
+def j_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL incremental streaming with watermark-based late-row
+    dropping, executed as two ordered micro-batches through the file
+    source:
+
+    - batch 1: the first half of events (by time);
+    - batch 2: the second half PLUS one injected copy of the earliest
+      event — by then far older than the watermark (max ts - 10 min),
+      so the engine must drop it;
+    - append-mode windowed counts: only windows closed by the final
+      watermark emit, and the late row is not counted (asserted in
+      tests/test_streaming.py against the no-late batch answer).
+
+    State scale: watermark eviction bounds the state store to the
+    windows inside the lateness horizon — the difference between O(1)
+    and O(stream length) state at 100 TB/day ingest.
+    """
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    cut = ev.agg(
+        F.percentile_approx(F.unix_timestamp("ts"), 0.5).alias("c")
+    ).collect()[0]["c"]
+    first = ev.filter(F.unix_timestamp("ts") <= cut)
+    late = ev.orderBy("ts").limit(1)
+    second = ev.filter(F.unix_timestamp("ts") > cut).unionByName(late)
+
+    base = tempfile.mkdtemp(prefix="sqlengine_wm_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+    sink = f"wm_sink_{os.getpid()}_{int(time.time() * 1000)}"
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("h"), "cnt")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for i, chunk in enumerate((first, second)):
+                chunk.coalesce(1).write.parquet(os.path.join(base, f"stage{i}"))
+                for f in os.listdir(os.path.join(base, f"stage{i}")):
+                    if f.endswith(".parquet"):
+                        shutil.copy(
+                            os.path.join(base, f"stage{i}", f),
+                            os.path.join(src, f"chunk{i}.parquet"),
+                        )
+                q.processAllAvailable()
+            out = spark.table(sink)
+            # materialize before tearing the stream down
+            rows = out.collect()
+        finally:
+            q.stop()
+        return spark.createDataFrame(rows, schema="h timestamp, cnt long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "j_stateful_running",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def j_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the keyed running-count operator. The incremental
+    form maintains one counter per user in the state store and emits
+    updates each micro-batch (applyInPandasWithState in the harness,
+    tests/test_streaming.py::test_stateful_running_counts); its final
+    emission must equal this batch aggregate — which is what the oracle
+    checks."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "j_stream_join_static",
+    oracle="""
+    SELECT event_id, event_type, c_name, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def j_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer
+    dimension. In streaming this is a broadcast of the static side into
+    every micro-batch (no state, no shuffle of the stream); the final
+    output equals the batch join (harness-asserted)."""
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return ev.join(F.broadcast(c), ev.user_id == c.c_custkey).select(
+        "event_id", "event_type", "c_name", "c_mktsegment"
+    )
