@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY §6, BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm-up run plus
+one timed run per query (session startup and first-run JIT excluded,
+per BASELINE.md), and prints exactly ONE JSON line:
+
+    {"metric": "wall_sec_total", "value": <sum>, "unit": "sec",
+     "queries": {qid: sec, ...}, "sf": <sf>}
+
+The query set is the 5 BASELINE.md anchor queries plus the heaviest
+operator from each remaining tier, so the number tracks regressions
+across the whole engine, not just the easy scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sqlengine_spark.registry import all_queries
+from sqlengine_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: BASELINE.md anchors first, then per-tier heavies.
+HEADLINE = [
+    "d_agg_q1_pricing",      # anchor: TPC-H Q1 group-agg
+    "c_join_3way",           # anchor: 3-way join + top-10
+    "e_win_topk_group",      # anchor: window top-k per group
+    "j_tumbling_1h",         # anchor: hourly events agg
+    "l_sim_search_topk",     # anchor: cosine top-10
+    "c_join_asof",           # union-merge as-of join
+    "d_agg_multi_distinct",  # expand-based multi-distinct
+    "h_explode",             # generator + agg
+    "l_text_tfidf_top",      # two-agg + broadcast join + rank
+    "l_multimodal_enrich",   # posexplode centroid pipeline
+]
+# NOT benched: l_simjoin_jaccard / l_dedup_near_minhash at sf0.1 — the
+# synthetic corpus has a 31-token vocabulary, so EVERY token is a
+# stopword and token-postings self-joins are inherently quadratic on
+# this data (~224M intermediate rows at 5 000 docs; DuckDB's oracle is
+# identically quadratic). On natural vocabularies posting lists are
+# Zipf-bounded and both stay linear-ish; correctness is verified at
+# sf0.01 where the driver runs them.
+
+
+def main() -> int:
+    spark = get_spark("sqlengine_bench")
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        fn = qs[qid]
+        fn(spark, SF_DIR).collect()  # warm-up: JIT, code cache, file listing
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[qid] = round(time.perf_counter() - t0, 3)
+        print(f"# {qid}: {timings[qid]:.3f}s", file=sys.stderr)
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    print(
+        json.dumps(
+            {
+                "metric": "wall_sec_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from sqlengine_spark.registry import query
 from sqlengine_spark.session import table
 
-SCRATCH = "/root/repo/.scratch"
+# Sink scratch root. On a real cluster this must be a DFS path every
+# executor can reach (s3://... / hdfs://...), never a driver-local dir —
+# override via SPARK_GRAFT_SCRATCH.
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
 
 
 def _scratch(name: str) -> str:

@@ -1,0 +1,89 @@
+"""Property-based cross-engine equivalence (SURVEY §5.4 R5): random
+filter + group-by + aggregate queries over lineitem must produce
+identical results in Spark and DuckDB. Catches semantic drift the fixed
+query set can't (operator precedence, null handling, rounding policy).
+
+Runs at sf0.001 so each example is sub-second.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.session import table
+from tests.conftest import SF_DIR_SMALL, canon_rows
+
+NUM_COLS = {
+    "l_quantity": (1.0, 50.0),
+    "l_extendedprice": (900.0, 100000.0),
+    "l_discount": (0.0, 0.1),
+}
+KEY_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+OPS = ["<", ">=", "<=", ">"]
+
+
+@pytest.fixture(scope="module")
+def duck_small():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR_SMALL}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+predicates = st.lists(
+    st.tuples(
+        st.sampled_from(sorted(NUM_COLS)),
+        st.sampled_from(OPS),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=3,
+)
+group_keys = st.lists(st.sampled_from(KEY_COLS), min_size=1, max_size=3, unique=True)
+agg_col = st.sampled_from(sorted(NUM_COLS))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(preds=predicates, keys=group_keys, acol=agg_col)
+def test_random_filter_group_agg(spark, duck_small, preds, keys, acol):
+    li = table(spark, SF_DIR_SMALL, "lineitem")
+    conds_sql = []
+    for col, op, frac in preds:
+        lo, hi = NUM_COLS[col]
+        thr = lo + frac * (hi - lo)
+        expr = {"<": F.col(col) < thr, ">=": F.col(col) >= thr,
+                "<=": F.col(col) <= thr, ">": F.col(col) > thr}[op]
+        li = li.filter(expr)
+        conds_sql.append(f"{col} {op} {thr!r}")
+    sdf = li.groupBy(*keys).agg(
+        F.count("*").alias("cnt"),
+        dround(F.sum(acol), 2).alias("s"),
+        F.min(acol).alias("mn"),
+        F.max(acol).alias("mx"),
+    )
+    where = f"WHERE {' AND '.join(conds_sql)}" if conds_sql else ""
+    sql = f"""
+        SELECT {', '.join(keys)}, COUNT(*) AS cnt,
+               ROUND(SUM({acol}) * 100, 0) / 100 AS s,
+               MIN({acol}) AS mn, MAX({acol}) AS mx
+        FROM lineitem {where} GROUP BY {', '.join(keys)}
+    """
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_small.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    _, s_canon = canon_rows(list(sdf.columns), srows)
+    _, d_canon = canon_rows(dcols, drows)
+    assert s_canon == d_canon
