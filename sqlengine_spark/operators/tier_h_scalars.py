@@ -100,7 +100,7 @@ def h_str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            day(o_orderdate)                            AS d,
            dayofweek(o_orderdate) + 1                  AS dow,
            quarter(o_orderdate)                        AS q,
-           date_trunc('month', o_orderdate)            AS mon_start,
+           CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS mon_start,
            CAST(last_day(o_orderdate::DATE) AS VARCHAR) AS mon_end,
            CAST(epoch(o_orderdate) AS BIGINT)          AS epoch_s
     FROM orders
@@ -118,7 +118,11 @@ def h_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("d"),
         F.dayofweek("o_orderdate").alias("dow"),
         F.quarter("o_orderdate").alias("q"),
-        F.date_trunc("month", "o_orderdate").alias("mon_start"),
+        # DuckDB's date_trunc('month') yields DATE, Spark's a TIMESTAMP —
+        # stringify via DATE on both sides (derived-date rule)
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias(
+            "mon_start"
+        ),
         F.last_day("o_orderdate").cast("string").alias("mon_end"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     )
