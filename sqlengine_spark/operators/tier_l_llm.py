@@ -359,6 +359,27 @@ def l_multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("l_multimodal_decode")  # rows-only: decode stub is engine-specific
+def l_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-media pipeline end to end: documents re-typed as an
+    (media_id, kind, payload BINARY, meta STRUCT) relation, pushed
+    through the Arrow-batched mapInPandas feature extractor
+    (sqlengine_spark/multimodal.py — decode stubbed, plumbing real),
+    then aggregated. Exercises binary columns through shuffle + Arrow
+    and the deterministic feature path; per-row behavior is pinned in
+    tests/test_multimodal.py."""
+    from sqlengine_spark.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        dround(F.avg("feat_norm"), 4).alias("avg_feat_norm"),
+        dround(F.avg("f0"), 4).alias("avg_f0"),
+    )
+
+
 @query("l_dedup_near_minhash")  # rows-only: LSH bucketing is engine-specific
 def l_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs (5-gram shingle Jaccard ≥ 0.7) via banded
