@@ -64,3 +64,38 @@ def test_asof_union_merge_no_join(spark):
     plan = _plan(spark, "c_join_asof")
     assert "Union" in plan
     assert "Join" not in plan
+
+
+def test_sim_search_broadcasts_query_vector(spark):
+    # the 1-row query vector broadcasts; the embedding table is scanned
+    # once with NO shuffle, and top-k plans as TakeOrdered
+    plan = _plan(spark, "l_sim_search_topk")
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_simjoin_is_hash_join_not_cartesian(spark):
+    # inverted-index self-join must hash/merge on the token key — a
+    # cartesian node would mean the all-pairs shortcut crept in
+    plan = _plan(spark, "l_simjoin_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_rank_pushed_down(spark):
+    plan = _plan(spark, "l_text_tfidf_top")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan  # df + N joins broadcast
+
+
+def test_dedup_exact_partial_agg(spark):
+    # map-side combine on the hash groupBy: two HashAggregates around
+    # one exchange — the scale-invariant exact-dedup shape
+    plan = _plan(spark, "l_dedup_exact")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_tumbling_window_partial_agg(spark):
+    plan = _plan(spark, "j_tumbling_1h")
+    assert plan.count("HashAggregate") >= 2
