@@ -75,6 +75,16 @@ def a_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(region.schema).json(path)
 
 
+@query("a_scan_orc_roundtrip")  # rows-only: sink side-effect, self-verified in pytest
+def a_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write supplier to ORC, read back — the second columnar format a
+    lakehouse ingest surface must speak besides Parquet."""
+    path = _scratch("supplier_orc")
+    supplier = table(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(path)
+    return spark.read.schema(supplier.schema).orc(path)
+
+
 @query("a_sink_parquet_partitioned")  # rows-only: read-back equality checked in pytest
 def a_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders hive-partitioned by o_orderstatus; read back one

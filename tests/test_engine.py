@@ -1,0 +1,62 @@
+"""SQLEngine facade (sqlengine_spark/engine.py): the three entry points
+a reference-engine user switches to — SQL, DataFrame, streaming — plus
+the operator library."""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from sqlengine_spark.engine import SQLEngine
+from tests.conftest import SF_DIR_SMALL
+
+
+def _engine(spark):
+    return SQLEngine(sf_dir=SF_DIR_SMALL, spark=spark)
+
+
+def test_sql_entry_point(spark):
+    eng = _engine(spark)
+    n = eng.sql("SELECT count(*) AS c FROM lineitem").collect()[0]["c"]
+    assert n == spark.read.parquet(f"{SF_DIR_SMALL}/lineitem.parquet").count()
+
+
+def test_dataframe_entry_point(spark):
+    eng = _engine(spark)
+    top = (
+        eng.table("orders")
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert top["o_totalprice"] > 0
+
+
+def test_operator_library(spark):
+    eng = _engine(spark)
+    ops = eng.operators()
+    assert "d_agg_q1_pricing" in ops and len(ops) >= 92
+    assert eng.run("d_agg_q1_pricing").count() > 0
+    assert "GROUP BY" in eng.oracle("d_agg_q1_pricing")
+    assert eng.oracle("i_sample") is None  # rows-only
+
+
+def test_streaming_entry_point(spark, tmp_path):
+    eng = _engine(spark)
+    stream = eng.stream_events(watermark="10 minutes")
+    assert stream.isStreaming
+    sink = f"eng_sink_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        total = spark.sql(f"SELECT sum(cnt) AS s FROM {sink}").collect()[0]["s"]
+    finally:
+        q.stop()
+    assert total == eng.table("events").count()

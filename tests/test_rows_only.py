@@ -28,6 +28,14 @@ def test_json_roundtrip_equals_source(spark):
     assert _rows(back) == _rows(src)
 
 
+def test_orc_roundtrip_equals_source(spark):
+    q = all_queries()
+    back = q["a_scan_orc_roundtrip"](spark, SF_DIR)
+    src = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
 def test_partitioned_sink_readback(spark):
     q = all_queries()
     back = q["a_sink_parquet_partitioned"](spark, SF_DIR)
