@@ -1,0 +1,73 @@
+"""Random-hyperplane LSH similarity join (sqlengine_spark/ann.py):
+recall and pruning asserted on planted near-duplicates — the natural
+fixture embeddings have no high-cosine pairs (max 0.513 at sf0.01), so
+near-dups are constructed as unit-normalized noisy copies.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlengine_spark.ann import lsh_sim_join
+from sqlengine_spark.functions import vdot
+from tests.conftest import SF_DIR_SMALL
+
+DIM = 64
+N_BASE = 120
+N_DUP = 30
+NOISE = 0.18  # cos(v, v+noise) ~ 0.985
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = random.Random(7)
+
+    def unit(vec):
+        n = math.sqrt(sum(x * x for x in vec))
+        return [x / n for x in vec]
+
+    base = [unit([rng.gauss(0, 1) for _ in range(DIM)]) for _ in range(N_BASE)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted near-dups: ids 1000+i duplicate ids 0..N_DUP-1
+    for i in range(N_DUP):
+        noisy = unit([x + rng.gauss(0, NOISE / math.sqrt(DIM)) for x in base[i]])
+        rows.append((1000 + i, noisy))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _brute_pairs(planted, threshold):
+    a = planted.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = planted.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("sim", vdot(F.col("ea"), F.col("eb")))
+        .filter(F.col("sim") >= threshold)
+        .collect()
+    }
+
+
+def test_lsh_finds_planted_near_dups(spark, planted):
+    got = {
+        (r["va"], r["vb"])
+        for r in lsh_sim_join(planted, threshold=0.9, dim=DIM).collect()
+    }
+    truth = _brute_pairs(planted, 0.9)
+    planted_pairs = {(i, 1000 + i) for i in range(N_DUP)}
+    assert planted_pairs <= truth, "fixture construction broken"
+    missed = truth - got
+    # recall 1-(1-p^8)^16 >= 0.999 at cos 0.9; allow at most one unlucky miss
+    assert len(missed) <= 1, f"LSH missed {len(missed)}/{len(truth)} pairs"
+    assert got <= truth, "exact verify must keep output a subset of brute force"
+
+
+def test_lsh_prunes_distant_pairs(spark, planted):
+    # candidate generation must not degenerate to all-pairs: with 150
+    # vectors there are ~11k pairs; random pairs collide on an 8-bit
+    # band with prob 0.5^8, so candidates should be a small fraction.
+    out = lsh_sim_join(planted, threshold=-1.0, dim=DIM)  # keep all candidates
+    n_cands = out.count()
+    n_total = 150 * 149 // 2
+    assert n_cands < n_total * 0.25, f"{n_cands}/{n_total} pairs met — no pruning"
