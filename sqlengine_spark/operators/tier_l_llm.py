@@ -359,6 +359,90 @@ def l_multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l_text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_raw,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           ROUND(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+                 / length(text) * 1e4, 0) / 1e4 AS punct_ratio,
+           ROUND(len(list_filter(string_split(text, ' '),
+                                 t -> list_contains(['the', 'a', 'of', 'and'], t)))
+                 * 1.0 / len(string_split(text, ' ')) * 1e4, 0) / 1e4
+               AS stopword_ratio,
+           ROUND((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                 / len(string_split(text, ' ')) * 1e2, 0) / 1e2 AS avg_tok_len
+    FROM documents
+    """,
+)
+def l_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals for pipeline filtering: raw length,
+    whitespace token count, punctuation ratio, stopword ratio, average
+    token length — the standard cheap pre-filters before expensive
+    dedup/embedding stages. Pure codegen expressions, zero marginal
+    cost at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        n_tok.alias("n_ws_tokens"),
+        dround(
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", "")) * 1.0
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+        dround(stop * 1.0 / n_tok, 4).alias("stopword_ratio"),
+        dround((F.length("text") - n_tok + 1) * 1.0 / n_tok, 2).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "l_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MIN(md5(s)) AS fingerprint,
+           COUNT(DISTINCT s) AS n_shingles
+    FROM (
+        SELECT doc_id, substring(text, i.i, 8) AS s
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1,
+                          greatest(length(text) - 7, 1))) AS i) i
+    )
+    GROUP BY doc_id
+    """,
+)
+def l_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum digest over all
+    8-gram character shingles (a 1-permutation MinHash) plus the
+    distinct-shingle count — equal fingerprints flag near-identical
+    prefixes/content for cheap first-pass dedup routing. md5 is pinned
+    because both engines implement it identically; the shingle explode
+    partial-aggregates to one row per doc before the shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 7, 1)),"
+                    " i -> substr(text, i, 8))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("s")).alias("fingerprint"),
+            F.countDistinct("s").alias("n_shingles"),
+        )
+    )
+
+
 @query("l_multimodal_decode")  # rows-only: decode stub is engine-specific
 def l_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-media pipeline end to end: documents re-typed as an

@@ -87,3 +87,57 @@ def test_random_filter_group_agg(spark, duck_small, preds, keys, acol):
     _, s_canon = canon_rows(list(sdf.columns), srows)
     _, d_canon = canon_rows(dcols, drows)
     assert s_canon == d_canon
+
+
+@pytest.fixture(scope="module")
+def duck_joins():
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR_SMALL}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+JOIN_KINDS = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "full": "FULL JOIN",
+}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    kind=st.sampled_from(sorted(JOIN_KINDS)),
+    frac=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    seg=st.sampled_from(["BUILDING", "MACHINERY", "HOUSEHOLD"]),
+)
+def test_random_join_shapes(spark, duck_joins, kind, frac, seg):
+    """Random join type x random pre-join filters: Spark and DuckDB must
+    agree on matched AND null-padded rows."""
+    thr = 900.0 + frac * 99100.0
+    c = table(spark, SF_DIR_SMALL, "customer").filter(F.col("c_mktsegment") == seg)
+    o = table(spark, SF_DIR_SMALL, "orders").filter(F.col("o_totalprice") >= thr)
+    sdf = c.join(o, c.c_custkey == o.o_custkey, kind).select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    sql = f"""
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM (SELECT * FROM customer WHERE c_mktsegment = '{seg}') c
+        {JOIN_KINDS[kind]}
+             (SELECT * FROM orders WHERE o_totalprice >= {thr!r}) o
+          ON c.c_custkey = o.o_custkey
+    """
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_joins.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    _, s_canon = canon_rows(list(sdf.columns), srows)
+    _, d_canon = canon_rows(dcols, drows)
+    assert s_canon == d_canon
