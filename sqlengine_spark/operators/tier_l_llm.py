@@ -443,6 +443,82 @@ def l_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS word_tokens,
+           len(regexp_extract_all(text, '[a-z]{1,3}|[0-9]{1,3}|[^a-z0-9 ]'))
+               AS subword_tokens
+    FROM documents
+    """,
+)
+def l_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word-regex, and a
+    BPE-ish greedy subword regex (bounded-length alpha/digit chunks) —
+    the cheap token-budget estimators a training pipeline runs before
+    real tokenization. All regexes evaluate in codegen; counts only,
+    no token arrays in the output."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "word_tokens"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]{1,3}|[0-9]{1,3}|[^a-z0-9 ]"), 0)
+        ).alias("subword_tokens"),
+    )
+
+
+@query("l_text_langid")  # rows-only: float tie-breaking across engines
+def l_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-trigram profiles — the classic n-gram
+    heuristic: build per-language trigram frequency profiles from the
+    labeled corpus, score every document against every profile
+    (sparse dot over shared trigrams), take the argmax.
+
+    Scale: trigram postings explode linearly; profiles are |langs| x
+    |trigram vocab| — tiny — and broadcast into the scoring join; the
+    argmax is a WindowGroupLimit rank. On real multilingual text the
+    profiles separate scripts/orthography sharply; on this synthetic
+    same-vocabulary corpus the labels carry no signal, so the check is
+    determinism + coverage (pytest), not accuracy."""
+    d = table(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substr(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    doc_tf = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("tf"))
+    lang_totals = tri.groupBy("lang").agg(F.count("*").alias("tot"))
+    profile = (
+        tri.groupBy("lang", "tri")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(lang_totals), "lang")
+        .select("lang", "tri", (F.col("c") / F.col("tot")).alias("p"))
+    )
+    scores = (
+        doc_tf.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("p")).alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), dround(F.col("score"), 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 @query("l_multimodal_decode")  # rows-only: decode stub is engine-specific
 def l_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-media pipeline end to end: documents re-typed as an

@@ -65,6 +65,21 @@ def test_approx_distinct_within_5pct(spark):
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
 
 
+def test_langid_deterministic_and_covering(spark):
+    q = all_queries()
+    r1 = q["l_text_langid"](spark, SF_DIR).collect()
+    r2 = q["l_text_langid"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(r1) == n_docs  # every doc gets exactly one prediction
+    langs = {
+        r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("lang").distinct().collect()
+    }
+    assert all(r["pred_lang"] in langs for r in r1)
+
+
 def test_sample_fraction_close(spark):
     q = all_queries()
     n = q["i_sample"](spark, SF_DIR).count()
