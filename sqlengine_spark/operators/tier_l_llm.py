@@ -519,6 +519,126 @@ def l_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l_dedup_embedding",
+    oracle="""
+    SELECT e.vec_id FROM embeddings e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings p
+        WHERE p.vec_id < e.vec_id
+          AND (SELECT SUM(p.embedding[s.i]::DOUBLE * e.embedding[s.i]::DOUBLE)
+               FROM (SELECT unnest(generate_series(1, 64)) AS i) s) >= 0.4
+    )
+    """,
+)
+def l_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP (not just pair listing):
+    keep a vector iff no lower-id vector is within the similarity
+    threshold — the greedy min-id canonicalization used by embedding
+    dedup pipelines. Expressed as an anti-join against the thresholded
+    pair set, so the survivors are exactly reproducible in SQL.
+    Threshold 0.4 fits this corpus (max cosine 0.513); the candidate
+    pair generation swaps to ann.lsh_sim_join at scale — the anti-join
+    stage is unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    dup_ids = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .filter(vdot(F.col("ea"), F.col("eb")) >= 0.4)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return e.select("vec_id").join(dup_ids, "vec_id", "left_anti")
+
+
+@query("l_dedup_simhash")  # rows-only: banded hamming blocking is engine-specific
+def l_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via 64-bit SimHash (Charikar) with banded
+    hamming blocking + exact verification:
+
+    1. per doc, weighted token features: bit b of the fingerprint is
+       sign(Σ_tokens tf · (bit b of xxhash64(token) ? +1 : -1)) — all 64
+       bit-sums in ONE aggregation pass over exploded tokens;
+    2. near-identical docs differ in only a few bits, so split the
+       fingerprint into 8 bands of 8 bits: pairs agreeing on ANY full
+       band meet (detects hamming distance ≤ 7 deterministically);
+    3. verify candidates with exact token-Jaccard, keep J ≥ 0.7.
+
+    Same two-shuffle shape as MinHash-LSH (doc-grouped signature, then
+    band-bucket join); SimHash signatures are 8 bytes vs MinHash's
+    64x8 — the cheaper index when near-dups are very close. Recall vs
+    ground truth asserted in pytest (tests/test_minhash.py)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("t"),
+    ).groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    h = F.xxhash64("t")
+    bits = tok.groupBy("doc_id").agg(
+        *[
+            (
+                F.sum(
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                    .otherwise(-F.col("tf"))
+                )
+                > 0
+            )
+            .cast("int")
+            .alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    n_bands, width = 8, 8
+    bands = bits.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        *[F.col(f"b{band * width + k}") for k in range(width)],
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cands = (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact token-Jaccard verification on candidates only (as in minhash)
+    toks = _tokens(d)
+    cnt = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    sb = toks.select(F.col("doc_id").alias("doc_b2"), F.col("t").alias("t_b"))
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("t_a") == F.col("t_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(
+            F.broadcast(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .filter(jac >= 0.7)
+        .select("doc_a", "doc_b", dround(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query("l_multimodal_decode")  # rows-only: decode stub is engine-specific
 def l_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-media pipeline end to end: documents re-typed as an
