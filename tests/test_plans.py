@@ -99,3 +99,41 @@ def test_dedup_exact_partial_agg(spark):
 def test_tumbling_window_partial_agg(spark):
     plan = _plan(spark, "j_tumbling_1h")
     assert plan.count("HashAggregate") >= 2
+
+
+# Queries allowed to contain cartesian/nested-loop joins: provably
+# bounded inputs (5x25 dims, 500-row embeddings, 1-row broadcast scalars)
+# with their 100 TB alternative documented in place.
+CARTESIAN_WHITELIST = {
+    "c_join_cross",          # 5 x 25 dims, declared cartesian
+    "c_join_full",           # non-equi full outer (supplier x customer dims)
+    "l_sim_search_topk",     # 1-row query vector broadcast
+    "l_sim_join_threshold",  # 500-row embeddings; LSH path in ann.py
+    "l_knn_label_vote",      # same bounded input
+    "l_dedup_embedding",     # same bounded input
+    "l_text_tfidf_top",      # 1-row corpus-count broadcast
+}
+
+# Heavy side-effecting queries whose DataFrame construction executes
+# work (streaming run, sink writes) — excluded from the cheap lint.
+LINT_SKIP = {
+    "j_watermark_late_drop",
+    "a_scan_csv_roundtrip",
+    "a_scan_json_roundtrip",
+    "a_scan_orc_roundtrip",
+    "a_sink_parquet_partitioned",
+}
+
+
+def test_no_unexpected_cartesian_anywhere(spark):
+    """Repo-wide scale lint: no operator may plan a CartesianProduct or
+    BroadcastNestedLoopJoin unless its input is provably bounded and
+    whitelisted above."""
+    offenders = []
+    for qid in sorted(all_queries()):
+        if qid in CARTESIAN_WHITELIST or qid in LINT_SKIP:
+            continue
+        plan = _plan(spark, qid)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(qid)
+    assert not offenders, f"unbounded join shapes in: {offenders}"
