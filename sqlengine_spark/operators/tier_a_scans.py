@@ -57,35 +57,42 @@ def a_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_scan_csv_roundtrip")  # rows-only: sink side-effect, self-verified in pytest
+@query("a_scan_csv_roundtrip", oracle="SELECT * FROM nation")
 def a_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write nation to CSV with header, read back with explicit schema."""
+    """Write nation to CSV with header, read back with explicit schema.
+    The round-trip must be lossless, so the oracle is simply the source
+    table."""
     path = _scratch("nation_csv")
     nation = table(spark, sf_dir, "nation")
     nation.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(nation.schema).option("header", True).csv(path)
 
 
-@query("a_scan_json_roundtrip")  # rows-only: sink side-effect, self-verified in pytest
+@query("a_scan_json_roundtrip", oracle="SELECT * FROM region")
 def a_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write region to JSON lines, read back with explicit schema."""
+    """Write region to JSON lines, read back — lossless, so the oracle
+    is the source table."""
     path = _scratch("region_json")
     region = table(spark, sf_dir, "region")
     region.write.mode("overwrite").json(path)
     return spark.read.schema(region.schema).json(path)
 
 
-@query("a_scan_orc_roundtrip")  # rows-only: sink side-effect, self-verified in pytest
+@query("a_scan_orc_roundtrip", oracle="SELECT * FROM supplier")
 def a_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write supplier to ORC, read back — the second columnar format a
-    lakehouse ingest surface must speak besides Parquet."""
+    lakehouse ingest surface must speak besides Parquet. Lossless, so
+    the oracle is the source table."""
     path = _scratch("supplier_orc")
     supplier = table(spark, sf_dir, "supplier")
     supplier.write.mode("overwrite").orc(path)
     return spark.read.schema(supplier.schema).orc(path)
 
 
-@query("a_sink_parquet_partitioned")  # rows-only: read-back equality checked in pytest
+@query(
+    "a_sink_parquet_partitioned",
+    oracle="SELECT * FROM orders WHERE o_orderstatus = 'F'",
+)
 def a_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders hive-partitioned by o_orderstatus; read back one
     partition. The read-back filter is satisfied by partition pruning —
