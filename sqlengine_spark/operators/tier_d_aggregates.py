@@ -269,6 +269,35 @@ def d_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d_agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def d_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent quantity per return flag,
+    smallest-value tiebreak — built from count + rank rather than the
+    engines' mode() aggregates, whose tie-breaking is unspecified and
+    engine-dependent. Two map-side-combined aggregations; the rank runs
+    over |groups| rows."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "l_quantity")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt")
+    )
+
+
 @query("d_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
 def d_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — THE 100 TB cardinality estimator:
