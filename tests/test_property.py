@@ -141,3 +141,49 @@ def test_random_join_shapes(spark, duck_joins, kind, frac, seg):
     _, s_canon = canon_rows(list(sdf.columns), srows)
     _, d_canon = canon_rows(dcols, drows)
     assert s_canon == d_canon
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    k=st.integers(min_value=0, max_value=6),
+    desc=st.booleans(),
+    agg=st.sampled_from(["SUM", "AVG", "MIN", "MAX", "COUNT"]),
+)
+def test_random_window_frames(spark, duck_joins, k, desc, agg):
+    """Random ROWS frame size x sort direction x aggregate over a
+    per-customer window: frame boundary semantics must agree."""
+    from pyspark.sql import Window as W
+
+    order_sql = "o_orderdate DESC, o_orderkey DESC" if desc else "o_orderdate, o_orderkey"
+    cols = (
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+        if desc
+        else [F.col("o_orderdate"), F.col("o_orderkey")]
+    )
+    w = W.partitionBy("o_custkey").orderBy(*cols).rowsBetween(-k, 0)
+    sfun = {
+        "SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max, "COUNT": F.count
+    }[agg]
+    sdf = table(spark, SF_DIR_SMALL, "orders").select(
+        "o_orderkey",
+        dround(sfun("o_totalprice").over(w).cast("double"), 2).alias("v"),
+    )
+    sql = f"""
+        SELECT o_orderkey,
+               ROUND(CAST({agg}(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY {order_sql}
+                   ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     * 100, 0) / 100 AS v
+        FROM orders
+    """
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_joins.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    _, s_canon = canon_rows(list(sdf.columns), srows)
+    _, d_canon = canon_rows(dcols, drows)
+    assert s_canon == d_canon
