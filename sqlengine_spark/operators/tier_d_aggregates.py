@@ -298,6 +298,29 @@ def d_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey' AS metric, c_nationkey::DOUBLE AS val
+        FROM customer
+    )
+    """,
+)
+def d_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt), the inverse of d_pivot — Spark 4's
+    native unpivot; the oracle is the equivalent UNION ALL stack.
+    Zero-shuffle: each input row expands to |metrics| rows in place."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
 @query("d_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
 def d_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — THE 100 TB cardinality estimator:
