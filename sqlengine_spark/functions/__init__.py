@@ -18,9 +18,15 @@ def dround(col: Column, scale: int = 2) -> Column:
     lineitem net-price at sf0.01). ``round(x * 10^n) / 10^n`` — scaling
     first, rounding to integer, scaling back — reproduces DuckDB's result
     bit-for-bit (measured: 0/60 000 mismatches).
+
+    Negative zero: a value that rounds to zero from below yields -0.0,
+    which pandas-side canonicalizers format as "-0.0" != "0.0" (measured
+    at sf0.1 on z-scores). Adding +0.0 maps -0.0 to +0.0 (IEEE) and is
+    exact for every other double; oracles whose per-row values straddle
+    zero must add ``+ 0`` likewise.
     """
     factor = float(10**scale)
-    return F.round(col * factor, 0) / factor
+    return F.round(col * factor, 0) / factor + F.lit(0.0)
 
 
 def vdot(a: Column, b: Column) -> Column:

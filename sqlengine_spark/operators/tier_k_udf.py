@@ -145,7 +145,7 @@ def k_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey,
            ROUND((c_acctbal - avg(c_acctbal) OVER w)
-                 / stddev_samp(c_acctbal) OVER w * 1e4, 0) / 1e4 AS z
+                 / stddev_samp(c_acctbal) OVER w * 1e4, 0) / 1e4 + 0 AS z
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey)
     """,
