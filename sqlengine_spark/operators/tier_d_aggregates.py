@@ -321,6 +321,27 @@ def d_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
 
 
+@query(
+    "d_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount < 0.2)  AS all_low_disc,
+           bool_or(l_quantity >= 49)   AS any_big_qty,
+           COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + filtered count — predicate
+    summaries per group, all map-side combined."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_discount") < 0.2).alias("all_low_disc"),
+        F.some(F.col("l_quantity") >= 49).alias("any_big_qty"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+    )
+
+
 @query("d_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
 def d_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — THE 100 TB cardinality estimator:

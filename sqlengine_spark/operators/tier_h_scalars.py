@@ -367,6 +367,36 @@ def h_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_partkey & 255   AS b_and,
+           l_partkey | 7     AS b_or,
+           xor(l_partkey, 9) AS b_xor,
+           l_partkey << 2    AS b_shl,
+           l_partkey >> 3    AS b_shr,
+           ~l_partkey        AS b_not
+    FROM lineitem
+    """,
+)
+def h_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — the fast path for flag columns and hash
+    bucketing (SimHash banding uses exactly these)."""
+    li = table(spark, sf_dir, "lineitem")
+    pk = F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pk.bitwiseAND(F.lit(255)).alias("b_and"),
+        pk.bitwiseOR(F.lit(7)).alias("b_or"),
+        pk.bitwiseXOR(F.lit(9)).alias("b_xor"),
+        F.shiftleft(pk, 2).alias("b_shl"),
+        F.shiftright(pk, 3).alias("b_shr"),
+        F.bitwise_not(pk).alias("b_not"),
+    )
+
+
+@query(
     "h_hash_funcs",
     oracle="""
     SELECT doc_id,
