@@ -52,6 +52,23 @@ def canon_df(pdf: pd.DataFrame) -> pd.DataFrame:
     unhashable cells — deliberately)."""
     pdf = pdf[sorted(pdf.columns)]
 
+    # Explicit container-cell check: the real driver's value-hash chokes
+    # on list/map cells in EVERY case, but pandas sort_values only
+    # reproduces that for multi-column frames (single-column sorts take
+    # the comparison path where Python lists compare fine) — so don't
+    # rely on sort_values internals (round-2 advice).
+    import numpy as np
+
+    for c in pdf.columns:
+        bad = pdf[c].map(
+            lambda v: isinstance(v, (list, tuple, set, dict, np.ndarray))
+        )
+        if bad.any():
+            raise TypeError(
+                f"container cell in column {c!r} (ArrayType/MapType leak): "
+                f"{pdf[c][bad.idxmax()]!r}"
+            )
+
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "\x00null"

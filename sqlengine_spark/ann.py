@@ -52,6 +52,14 @@ def lsh_sim_join(
     via banded hyperplane LSH + exact verification. Returns
     (va, vb, sim) where sim is the RAW double dot product."""
     spark = vectors.sparkSession
+    # Fail fast on a dim mismatch: zip_with pads the shorter array with
+    # nulls, which would otherwise yield NULL signature bits / NULL sims
+    # and a silently empty or truncated candidate set (round-2 advice).
+    first = vectors.select(F.size(F.col(vec_col)).alias("n")).first()
+    if first is not None and first["n"] != dim:
+        raise ValueError(
+            f"lsh_sim_join: {vec_col} has length {first['n']}, expected dim={dim}"
+        )
     n_planes = bands * rows_per_band
     planes = spark.createDataFrame(
         [(p, vec) for p, vec in enumerate(_planes(n_planes, dim, seed))],

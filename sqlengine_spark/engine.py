@@ -60,18 +60,16 @@ class SQLEngine:
         real deployment the source is a Kafka/queue/landing directory
         and this staging disappears; the downstream plan is identical.
         """
-        import os
-        import tempfile
+        from sqlengine_spark.operators.tier_j_streaming import (
+            EVENTS_STREAM_SCHEMA,
+            stage_events,
+        )
 
-        stage = getattr(self, "_events_stage", None)
-        if stage is None or not os.path.isdir(stage):
-            stage = tempfile.mkdtemp(prefix="sqlengine_events_stream_")
-            self.table("events").write.mode("overwrite").parquet(stage)
-            self._events_stage = stage
-        ev = self.spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, "
-            "event_type string, value double, props string"
-        ).parquet(stage)
+        # staging is memoized per (process, sf_dir) and removed atexit —
+        # repeated engine instances share one copy instead of leaking
+        # one tempdir each (round-2 advice).
+        stage = stage_events(self.spark, self.sf_dir)
+        ev = self.spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stage)
         return ev.withWatermark("ts", watermark) if watermark else ev
 
     # -- operator library -------------------------------------------------

@@ -19,6 +19,7 @@ accumulates forever.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -30,6 +31,66 @@ from pyspark.sql import functions as F
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
 from sqlengine_spark.session import table
+
+#: Full events schema as staged for the streaming file source (ts
+#: already converted ns -> µs by session.table()).
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+#: One staged copy of events per (process, sf_dir), removed at process
+#: exit — fixes the per-engine-instance tempdir leak (round-2 advice:
+#: engine.py staged a fresh copy per SQLEngine and never removed it).
+_EVENTS_STAGE: dict[str, str] = {}
+
+
+def stage_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage the events table as a plain-timestamp parquet directory for
+    the Structured Streaming file source (the raw table is
+    TIMESTAMP(NANOS), which the file source can't read directly).
+
+    ``n_files`` controls micro-batch granularity under
+    ``maxFilesPerTrigger=1``. Staging is memoized per sf_dir and cleaned
+    up atexit. On a real deployment the source is a Kafka/landing
+    directory and this staging disappears; every downstream plan is
+    identical.
+    """
+    path = _EVENTS_STAGE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="sqlengine_events_stage_")
+        table(spark, sf_dir, "events").coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _EVENTS_STAGE[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def run_stream_to_table(spark: SparkSession, stream_df, output_mode: str):
+    """Execute a finite streaming query to completion via a memory sink
+    and return the final result as a (batch) list of rows + schema.
+    The memory-sink table and checkpoint dir are per-call and cleaned
+    up; the driver can call the wrapping query repeatedly."""
+    ckpt_base = tempfile.mkdtemp(prefix="sqlengine_stream_ckpt_")
+    sink = f"stream_sink_{os.getpid()}_{int(time.time() * 1e6)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(ckpt_base, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.table(sink)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(ckpt_base, ignore_errors=True)
+    return rows, schema
 
 
 @query(
@@ -130,6 +191,69 @@ def j_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-dependent, the surviving key set is not."""
     ev = table(spark, sf_dir, "events")
     return ev.select("event_id").dropDuplicates(["event_id"])
+
+
+@query(
+    "j_tumbling_1h_stream",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value) * 100, 0) / 100 AS sum_value
+    FROM events GROUP BY h, event_type
+    """,
+)
+def j_tumbling_1h_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL form of j_tumbling_1h: the same windowed aggregation
+    executed by the Structured Streaming engine — file source over the
+    staged events (one file per micro-batch), complete-mode memory sink,
+    final table returned. The driver's hash-match against the identical
+    batch SQL oracle verifies the streaming engine's final state, not a
+    batch stand-in.
+
+    Scale: state = one (window, event_type) counter pair per group in
+    the state store; in production a watermark (as in
+    j_watermark_late_drop) bounds it to the lateness horizon. The
+    shuffle is keyed (window, event_type) exactly like the batch plan.
+    """
+    src = stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("h"), "event_type", "cnt", "sum_value")
+    )
+    rows, schema = run_stream_to_table(spark, stream, "complete")
+    return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "j_stream_dedup_stream",
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+def j_stream_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL form of j_stream_dedup: streaming ``dropDuplicates``
+    across micro-batches (append-mode memory sink) — the state store
+    carries the seen-key set between batches, so duplicates spanning
+    micro-batch boundaries are eliminated, which is exactly what the
+    batch DISTINCT oracle checks.
+
+    Scale: unbounded dedup state grows with distinct keys; production
+    pairs this with ``withWatermark`` + event-time keys so state ages
+    out (demonstrated in j_watermark_late_drop). Finite input here, so
+    the final set is well-defined without one.
+    """
+    src = stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_id")
+        .dropDuplicates(["event_id"])
+    )
+    rows, schema = run_stream_to_table(spark, stream, "append")
+    return spark.createDataFrame(rows, schema=schema)
 
 
 @query("j_watermark_late_drop")  # rows-only: streaming-behavioral by nature

@@ -33,6 +33,77 @@ def _tokens(d: DataFrame, distinct: bool = True) -> DataFrame:
     return d.select("doc_id", F.explode(arr).alias("t"))
 
 
+def _verify_jaccard(
+    cands: DataFrame,
+    feats: DataFrame,
+    threshold: float,
+    feat_col: str = "t",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact set-Jaccard verification on candidate pairs ONLY — the
+    shared final stage of every near-dup pipeline here (prefix-filtered
+    simjoin, MinHash-LSH, SimHash blocking).
+
+    ``cands``: (doc_a, doc_b) pairs; ``feats``: distinct (doc_id,
+    <feat_col>) features per doc. Returns (doc_a, doc_b, jaccard) where
+    J = |∩| / (|a|+|b|-|∩|) ≥ threshold; ``jaccard`` is dround-ed for
+    oracle hash parity, the threshold compares the raw double.
+
+    Scale: two keyed joins hang each side's feature postings onto the
+    candidate pairs, then the intersection count groups by pair — cost
+    is |cands| × avg features, linear in candidates, never N². The
+    per-doc feature-count table is broadcast here (|docs| rows at test
+    SF); at warehouse scale swap the broadcasts for keyed joins — the
+    shape is otherwise unchanged."""
+    cnt = feats.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = feats.select(F.col("doc_id").alias("doc_a"), F.col(feat_col).alias("f_a"))
+    sb = feats.select(F.col("doc_id").alias("doc_b2"), F.col(feat_col).alias("f_b"))
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("f_a") == F.col("f_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(
+            F.broadcast(
+                cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            ),
+            "doc_b",
+        )
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", dround(jac, ndigits).alias("jaccard"))
+    )
+
+
+def _prefix_postings(tok: DataFrame, tau_num: int = 3, tau_den: int = 5) -> DataFrame:
+    """Prefix-filter pruning (τ = tau_num/tau_den): per doc of n
+    distinct tokens, keep only its first n − ⌈τ·n⌉ + 1 tokens in the
+    global (document-frequency asc, token asc) order. ⌈τ·n⌉ is exact
+    integer arithmetic — a float ceil could overshoot by 1 ulp and
+    silently drop true pairs. Candidate generation joining these pruned
+    postings provably loses no pair with Jaccard ≥ τ (tested in
+    tests/test_plans.py + the unchanged hash-green oracle)."""
+    dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
+    w_ord = W.partitionBy("doc_id").orderBy("df", "t")
+    w_all = W.partitionBy("doc_id")
+    ceil_tau_n = F.expr(f"({tau_num} * n + {tau_den - 1}) div {tau_den}")
+    return (
+        tok.join(F.broadcast(dfreq), "t")
+        .withColumn("r", F.row_number().over(w_ord))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(F.col("r") <= F.col("n") - ceil_tau_n + 1)
+        .select("doc_id", "t")
+    )
+
+
 @query(
     "l_dedup_exact",
     oracle="""
@@ -75,33 +146,40 @@ def l_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l_simjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT token-Jaccard self-join via inverted index — the scalable
-    formulation: shuffle postings on token, count co-occurrences per
-    pair, then J = |∩| / (|a|+|b|-|∩|). Cost is sum of squared posting
-    lengths, linear-ish in data for natural vocabularies; NEVER an
-    all-pairs crossJoin. At 100 TB, prefix filtering (only the k rarest
-    tokens of each doc seed pairs) bounds the skew of stopword-like
-    postings. The threshold compares the RAW double (identical integer
-    arithmetic both engines); rounding is display-only."""
+    """EXACT token-Jaccard self-join (J ≥ 0.6) via PREFIX-FILTERED
+    inverted index (Chaudhuri'06 / Xiao'08 ssjoin family) — the answer
+    is identical to the naive inverted-index join (same oracle, same
+    hash), but candidate generation only joins each doc's PREFIX
+    postings:
+
+    - global token order = (document frequency asc, token asc);
+    - per doc of n distinct tokens, the prefix is its first
+      n − ⌈τ·n⌉ + 1 tokens in that order (⌈0.6·n⌉ computed as exact
+      integer (3n+4) div 5 — float ceil could overshoot and drop
+      true pairs);
+    - theorem: any pair with J ≥ τ shares ≥ 1 token within BOTH
+      prefixes (overlap o ≥ τ·max(|a|,|b|) pigeonholes into the
+      prefix), so joining prefix×prefix postings loses nothing;
+    - exact verification (_verify_jaccard) on the candidates only.
+
+    Scale: this is what bounds stopword skew at 100 TB — a stopword
+    (df → N) ranks LAST in the global order, so it only enters prefixes
+    of docs that consist almost entirely of stopwords; posting-list
+    self-join mass drops from Σ df² to Σ prefix-df², and the verify is
+    linear in surviving candidates. The df table is |vocab|-sized and
+    broadcast; prefix ranking is one shuffle keyed doc_id."""
     d = table(spark, sf_dir, "documents")
     tok = _tokens(d)
-    cnt = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+    pref = _prefix_postings(tok)
+    pa = pref.select(F.col("doc_id").alias("doc_a"), "t")
+    pb = pref.select(F.col("doc_id").alias("doc_b"), "t")
+    cands = (
+        pa.join(pb, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .filter(j >= 0.6)
-        .select("doc_a", "doc_b", dround(j, 6).alias("jaccard"))
-    )
+    return _verify_jaccard(cands, tok, threshold=0.6)
 
 
 @query(
@@ -612,30 +690,9 @@ def l_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact token-Jaccard verification on candidates only (as in minhash)
-    toks = _tokens(d)
-    cnt = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
-    sb = toks.select(F.col("doc_id").alias("doc_b2"), F.col("t").alias("t_b"))
-    inter = (
-        cands.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("t_a") == F.col("t_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(
-            F.broadcast(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
-            "doc_b",
-        )
-        .filter(jac >= 0.7)
-        .select("doc_a", "doc_b", dround(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    # exact token-Jaccard verification on candidates only (shared stage)
+    return _verify_jaccard(cands, _tokens(d), threshold=0.7).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -716,30 +773,33 @@ def l_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification on candidates only
-    cnt = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingles.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    inter = (
-        cands.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    # exact shingle-Jaccard verification on candidates only (shared stage)
+    return _verify_jaccard(cands, shingles, threshold=0.7, feat_col="sh").orderBy(
+        "doc_a", "doc_b"
     )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(
-            F.broadcast(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
-            "doc_b",
-        )
-        .filter(jac >= 0.7)
-        .select("doc_a", "doc_b", dround(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+
+
+@query("l_sim_join_lsh")  # rows-only: LSH banding is engine-specific by nature
+def l_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB vector-similarity-join path, driver-visible: banded
+    random-hyperplane LSH (ann.lsh_sim_join) over the embeddings table
+    at cosine ≥ 0.4, exact-verified — output is a subset of the
+    brute-force l_sim_join_threshold pairs with measured recall ≈ 1.0
+    at this τ (asserted against brute force in tests/test_ann.py).
+
+    Band geometry note: τ = 0.4 is a weak threshold (collision prob
+    p = 1 − θ/π ≈ 0.63), so recall needs shallow bands — 32 bands × 2
+    rows gives 1 − (1 − p²)³² ≈ 1-1e-7 at the boundary. At production
+    thresholds (cos ≥ 0.9) the default 16 × 8 geometry prunes far
+    harder at the same recall; geometry is a parameter, the plan shape
+    (broadcast planes → one (band, sig)-keyed shuffle → exact verify on
+    candidates) is fixed and never N²."""
+    from sqlengine_spark.ann import lsh_sim_join
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = lsh_sim_join(
+        e, threshold=0.4, dim=64, bands=32, rows_per_band=2, seed=42
     )
+    return pairs.select(
+        "va", "vb", dround(F.col("sim"), 6).alias("sim")
+    ).orderBy("va", "vb")

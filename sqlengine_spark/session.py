@@ -9,6 +9,7 @@ partition-count tuning at 100 TB (SURVEY §4).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -64,27 +65,51 @@ def get_spark(app_name: str = "sqlengine_spark") -> SparkSession:
     return spark
 
 
+#: Per-session DataFrame cache: (sf_dir, name) -> DataFrame. Keyed
+#: weakly on the SparkSession so a stopped/garbage-collected session
+#: never serves stale plans. DataFrames are immutable logical plans, so
+#: reuse is always safe; the win is skipping the repeated parquet
+#: footer read + file listing (~0.1 s/table of fixed driver-side cost
+#: per query — the dominant term at toy SF, and wasted work at any SF).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Parquet footer provides the schema (SURVEY §1.3).
 
-    ``events.ts`` is nanosecond-precision in parquet; Spark reads it as a
-    nanos long (see nanosAsLong config) and we convert to a microsecond
-    timestamp with integer division — the same floor-truncation DuckDB
-    applies reading ns into its µs TIMESTAMP, so oracles agree (SURVEY
-    §5.4 R3). Integer DIV, not float division: ns epoch values ~1.7e18
-    exceed double's 53-bit exact-integer range.
+    The grading driver passes its OWN plain SparkSession, so builder-time
+    configs in get_spark() are not guaranteed; every session-sensitive
+    semantic a query depends on must be pinned here, at read time, via
+    runtime SQL confs (round-1 failure class):
+
+    - ``spark.sql.session.timeZone=UTC`` — unix_timestamp, epoch RANGE
+      frames, string->timestamp casts, date_trunc/hourly windows all
+      evaluate in the session timezone; the DuckDB oracles are naive/UTC.
+      A driver host on a non-UTC JVM default would silently shift every
+      timestamp-derived value without this pin.
+    - ``spark.sql.legacy.parquet.nanosAsLong`` — events.ts is
+      TIMESTAMP(NANOS), which Spark 4 otherwise rejects outright.
+
+    ``events.ts`` is then converted nanos->µs with integer DIV — the same
+    floor-truncation DuckDB applies reading ns into its µs TIMESTAMP, so
+    oracles agree (SURVEY §5.4 R3). Integer DIV, not float division: ns
+    epoch values ~1.7e18 exceed double's 53-bit exact-integer range.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     if name == "events":
-        # The grading driver passes its own plain SparkSession, so the
-        # builder-time config in get_spark() is not guaranteed; this conf
-        # is a runtime SQL conf, so set it at read time (round-1 failure:
-        # PARQUET_TYPE_ILLEGAL on 5 queries under the driver session).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    cache[key] = df
     return df
 
 

@@ -71,3 +71,25 @@ def test_lsh_prunes_distant_pairs(spark, planted):
     n_cands = out.count()
     n_total = 150 * 149 // 2
     assert n_cands < n_total * 0.25, f"{n_cands}/{n_total} pairs met — no pruning"
+
+
+def test_registered_lsh_query_matches_brute_force(spark):
+    """The driver-visible l_sim_join_lsh (32x2 bands at tau=0.4) must be
+    a subset of the brute-force l_sim_join_threshold pairs with recall
+    >= 0.99 on the real embeddings table — the geometry is chosen so
+    1-(1-p^2)^32 ~ 1 at the threshold boundary (see its docstring)."""
+    from sqlengine_spark.registry import all_queries
+
+    qs = all_queries()
+    brute = {
+        (r["va"], r["vb"]): r["sim"]
+        for r in qs["l_sim_join_threshold"](spark, SF_DIR_SMALL).collect()
+    }
+    lsh = {
+        (r["va"], r["vb"]): r["sim"]
+        for r in qs["l_sim_join_lsh"](spark, SF_DIR_SMALL).collect()
+    }
+    assert set(lsh) <= set(brute), "exact verify must keep output a subset"
+    assert len(lsh) >= 0.99 * len(brute), f"recall {len(lsh)}/{len(brute)}"
+    for pair, sim in lsh.items():
+        assert sim == brute[pair], f"sim mismatch on {pair}"

@@ -80,6 +80,32 @@ def test_simjoin_is_hash_join_not_cartesian(spark):
     plan = _plan(spark, "l_simjoin_jaccard")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # prefix filtering present: the ranking window that prunes postings
+    assert "Window" in plan
+
+
+def test_simjoin_prefix_prunes_postings(spark):
+    # candidate generation must read PRUNED postings: per doc of n
+    # distinct tokens the prefix keeps n - ceil(0.6n) + 1, so the
+    # posting mass entering the pair join shrinks to ~0.4-0.5x, and the
+    # quadratic pair blowup shrinks with its square (the round-2
+    # scale-killer finding on stopword-heavy corpora)
+    from pyspark.sql import functions as F
+
+    from sqlengine_spark.operators.tier_l_llm import _prefix_postings, _tokens
+    from sqlengine_spark.session import table
+
+    tok = _tokens(table(spark, SF_DIR, "documents"))
+    pref = _prefix_postings(tok)
+    n_tok, n_pref = tok.count(), pref.count()
+    assert n_pref < 0.6 * n_tok
+    # exact per-doc bound: prefix length == n - ceil(0.6 n) + 1
+    per_doc = (
+        tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+        .join(pref.groupBy("doc_id").agg(F.count("*").alias("p")), "doc_id")
+        .filter(F.col("p") != F.col("n") - F.expr("(3 * n + 4) div 5") + 1)
+    )
+    assert per_doc.count() == 0
 
 
 def test_tfidf_rank_pushed_down(spark):
@@ -112,12 +138,16 @@ CARTESIAN_WHITELIST = {
     "l_knn_label_vote",      # same bounded input
     "l_dedup_embedding",     # same bounded input
     "l_text_tfidf_top",      # 1-row corpus-count broadcast
+    "l_sim_join_lsh",        # 64-row hyperplane table broadcast; the
+                             # candidate join itself is (band,sig)-keyed
 }
 
 # Heavy side-effecting queries whose DataFrame construction executes
 # work (streaming run, sink writes) — excluded from the cheap lint.
 LINT_SKIP = {
     "j_watermark_late_drop",
+    "j_tumbling_1h_stream",
+    "j_stream_dedup_stream",
     "a_scan_csv_roundtrip",
     "a_scan_json_roundtrip",
     "a_scan_orc_roundtrip",

@@ -187,3 +187,153 @@ def test_random_window_frames(spark, duck_joins, k, desc, agg):
     _, s_canon = canon_rows(list(sdf.columns), srows)
     _, d_canon = canon_rows(dcols, drows)
     assert s_canon == d_canon
+
+
+# ---------------------------------------------------------------------------
+# Tier-L float formulas (round-2 verdict item 8): random corpora / vectors
+# stress the prefix-filter theorem, the tf-idf formula pins, and vdot's
+# bit-identity — the -0.0 class of bug was found by exactly this kind of
+# randomized cross-engine check.
+# ---------------------------------------------------------------------------
+
+VOCAB = [f"w{i}" for i in range(12)]
+
+corpora = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=10),
+    min_size=2,
+    max_size=25,
+)
+
+
+def _stage_corpus(spark, docs):
+    """Write a random corpus as <tmp>/documents.parquet so the REAL
+    registered tier-L pipelines (which read via session.table) run on
+    it unmodified."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sqlengine_prop_corpus_")
+    spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=corpora)
+def test_random_corpus_prefix_jaccard_equals_naive(spark, docs):
+    """The prefix-filtered l_simjoin_jaccard pipeline must equal the
+    naive all-postings inverted-index SQL on ANY corpus — this is the
+    prefix-filter completeness theorem under randomized attack (small
+    vocab => heavy stopword skew, the adversarial case)."""
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    sf_dir = _stage_corpus(spark, docs)
+    sdf = all_queries()["l_simjoin_jaccard"](spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(all_oracles()["l_simjoin_jaccard"])
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    con.close()
+    srows = [tuple(r) for r in sdf.collect()]
+    _, s_canon = canon_rows(list(sdf.columns), srows)
+    _, d_canon = canon_rows(dcols, drows)
+    assert s_canon == d_canon
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=corpora)
+def test_random_corpus_tfidf_scores_agree(spark, docs):
+    """tf x ln(N/df) per (doc, term), dround(4), must agree cross-engine
+    on random corpora (formula pin: natural log, dynamic N)."""
+    sf_dir = _stage_corpus(spark, docs)
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.count()
+    sdf = tf.join(F.broadcast(df_), "t").select(
+        "doc_id",
+        F.col("t").alias("term"),
+        dround(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 4).alias("tfidf"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(
+        """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT tf.doc_id, tf.t AS term,
+               ROUND(tf.tf * ln(n.n * 1.0 / df.df) * 1e4, 0) / 1e4 + 0 AS tfidf
+        FROM tf JOIN df ON tf.t = df.t, n
+        """
+    )
+    dcols = [d_[0] for d_ in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    con.close()
+    srows = [tuple(r) for r in sdf.collect()]
+    _, s_canon = canon_rows(list(sdf.columns), srows)
+    _, d_canon = canon_rows(dcols, drows)
+    assert s_canon == d_canon
+
+
+unit_vectors = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64),
+        min_size=8,
+        max_size=8,
+    ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vecs=unit_vectors)
+def test_vdot_bit_identical_to_duckdb_ordered_sum(spark, vecs):
+    """functions.vdot (sequential double fold) must be BIT-identical —
+    no rounding guard at all — to DuckDB's ordered SUM over
+    generate_series, for arbitrary double vectors (CLAUDE.md pin 4)."""
+    import math as m
+
+    from sqlengine_spark.functions import vdot
+
+    dim = 8
+    vecs = [[x / m.sqrt(sum(y * y for y in v)) for x in v] for v in vecs]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    a = sdf.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = sdf.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    got = {
+        (r["va"], r["vb"]): r["sim"]
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", vdot(F.col("ea"), F.col("eb")).alias("sim"))
+        .collect()
+    }
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("vecs", pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs}))
+    res = con.execute(
+        f"""
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               (SELECT SUM(a.embedding[s.i]::DOUBLE * b.embedding[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, {dim})) AS i) s) AS sim
+        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        """
+    ).fetchall()
+    con.close()
+    for va, vb, sim in res:
+        assert got[(va, vb)] == sim, (va, vb, got[(va, vb)], sim)
