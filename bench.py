@@ -42,12 +42,15 @@ HEADLINE = [
     "l_multimodal_enrich",   # posexplode centroid pipeline
 ]
 # NOT benched: l_simjoin_jaccard / l_dedup_near_minhash at sf0.1 — the
-# synthetic corpus has a 31-token vocabulary, so EVERY token is a
-# stopword and token-postings self-joins are inherently quadratic on
-# this data (~224M intermediate rows at 5 000 docs; DuckDB's oracle is
-# identically quadratic). On natural vocabularies posting lists are
-# Zipf-bounded and both stay linear-ish; correctness is verified at
-# sf0.01 where the driver runs them.
+# synthetic corpus has a 31-token vocabulary, so the ANSWER itself is
+# quadratic: 7 098 809 of 12.5M possible pairs genuinely have J >= 0.6
+# at 5 000 docs (measured after prefix filtering landed — pruning cuts
+# candidate generation, but no algorithm beats an O(N^2)-sized output;
+# DuckDB's oracle is identically quadratic). On natural vocabularies
+# the qualifying-pair count is near-linear and the prefix-filtered plan
+# follows it; correctness is verified at sf0.01 where the driver runs
+# them, and the prefix pruning itself is plan/size-asserted in
+# tests/test_plans.py.
 
 
 def main() -> int:
