@@ -119,3 +119,83 @@ def lsh_sim_join(
         .filter(F.col("sim") >= threshold)
         .select("va", "vb", "sim")
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest of ``n_centroids`` coarse centroids, then answer the query by
+    scanning only the ``n_probe`` buckets whose centroids are nearest to
+    the query vector. With ``n_probe == n_centroids`` the result is
+    EXACTLY the brute-force top-k (asserted in tests/test_ann.py).
+
+    Centroids are a deterministic seeded sample of the data itself (the
+    ``n_centroids`` rows with smallest ``xxhash64(id, seed)`` — one
+    TakeOrdered pass, no k-means iterations, fully reproducible).
+
+    Scale shape: the centroid set is tiny and broadcast as literals into
+    a JVM-side argmax — assignment is a map-only pass with NO shuffle;
+    the probe filter cuts the scan to ~n_probe/n_centroids of the table
+    before the TakeOrdered top-k. On a real deployment the assignment is
+    computed once at ingest and stored as a partition column, making the
+    probe a partition-pruned scan.
+    """
+    from sqlengine_spark.functions import dround
+
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    cent_rows = (
+        v.select("vid", "vec", F.xxhash64(F.col("vid"), F.lit(seed)).alias("h"))
+        .orderBy("h", "vid")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(ci, [float(x) for x in r["vec"]]) for ci, r in enumerate(cent_rows)]
+    qrow = v.filter(F.col("vid") == query_id).first()
+    if qrow is None:
+        raise ValueError(f"ivf_topk: query id {query_id} not found")
+    qvec = [float(x) for x in qrow["vec"]]
+
+    def lit_vec(xs):
+        return F.array(*[F.lit(x) for x in xs])
+
+    # JVM-side argmax over the broadcast centroid set: array_max on
+    # struct<dot, cid> compares dot first (ties -> larger cid, fixed).
+    best_cid = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    vdot(F.col("vec"), lit_vec(cvec)).alias("d"),
+                    F.lit(ci).alias("cid"),
+                )
+                for ci, cvec in centroids
+            ]
+        )
+    )["cid"]
+    # probe set: n_probe centroids nearest to the query (driver-side —
+    # n_centroids scalars, same tie rule as the JVM argmax)
+    probe = [
+        ci
+        for _, ci in sorted(
+            ((sum(a * b for a, b in zip(cvec, qvec)), ci) for ci, cvec in centroids),
+            reverse=True,
+        )[:n_probe]
+    ]
+    return (
+        v.withColumn("cid", best_cid)
+        .filter(F.col("cid").isin(probe))
+        .filter(F.col("vid") != query_id)
+        .select(
+            F.col("vid").alias("vec_id"),
+            dround(vdot(F.col("vec"), lit_vec(qvec)), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )

@@ -45,6 +45,43 @@ class SQLEngine:
         """DataFrame entry point for one table."""
         return table(self.spark, self.sf_dir, name)
 
+    # -- DDL --------------------------------------------------------------
+    def create_table(
+        self,
+        name: str,
+        source,
+        *,
+        bucket_by=None,
+        n_buckets: int = 16,
+        partition_by=None,
+        sort_by=None,
+        mode: str = "overwrite",
+    ) -> DataFrame:
+        """Engine-facing DDL: persist a DataFrame (or a named source
+        table) as a managed parquet table in the session catalog — the
+        ``CREATE TABLE ... [PARTITIONED BY] [CLUSTERED BY ... INTO n
+        BUCKETS]`` surface.
+
+        Scale: bucketing pays the shuffle ONCE at write time; every
+        later equi-join or aggregation on the bucket key is
+        exchange-free (asserted through this API in
+        tests/test_engine.py::test_create_bucketed_table_colocated_join).
+        Partitioning gives partition-pruned scans on the partition key.
+        """
+        df = source if isinstance(source, DataFrame) else self.table(source)
+        w = df.write.mode(mode).format("parquet")
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else partition_by
+            w = w.partitionBy(*cols)
+        if bucket_by:
+            cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+            w = w.bucketBy(n_buckets, *cols).sortBy(*(sort_by or cols))
+        w.saveAsTable(name)
+        return self.spark.table(name)
+
+    def drop_table(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+
     # -- SQL --------------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         """SQL entry point over the registered catalog."""

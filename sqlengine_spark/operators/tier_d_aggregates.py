@@ -407,3 +407,33 @@ def d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
     )
+
+
+@query(
+    "d_agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           ROUND(MIN(o_totalprice) * 100, 0) / 100 AS lo,
+           ROUND(MAX(o_totalprice) * 100, 0) / 100 AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def d_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (25k-wide bins): the
+    binning profile step every data-distribution check runs before
+    choosing partition bounds. Bin id is floor(x / width) — double
+    division then floor, identical in both engines (Spark floor returns
+    BIGINT natively; the oracle casts DuckDB's DOUBLE floor to match,
+    measured-pin rule).
+
+    Scale: map-side partial agg into |bins| groups — scale-invariant
+    like every plain groupBy here."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 25000).alias("bucket")
+    ).agg(
+        F.count("*").alias("cnt"),
+        dround(F.min("o_totalprice"), 2).alias("lo"),
+        dround(F.max("o_totalprice"), 2).alias("hi"),
+    )

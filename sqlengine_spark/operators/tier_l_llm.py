@@ -803,3 +803,94 @@ def l_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "va", "vb", dround(F.col("sim"), 6).alias("sim")
     ).orderBy("va", "vb")
+
+
+@query(
+    "l_simjoin_ngram",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(a) < 3 THEN [text]
+                 ELSE list_transform(generate_series(1, len(a) - 2),
+                                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+            END) AS t
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        FROM g x JOIN g y ON x.t = y.t AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (ca.n + cb.n - i) * 1e6, 0) / 1e6 AS jaccard
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+    """,
+)
+def l_simjoin_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity join (J >= 0.5) — the n-gram
+    near-dup family from the training-pipeline mandate: 3-grams keep
+    token ORDER (token-set Jaccard does not), so reordered copies score
+    low while true near-copies score high. Docs under 3 tokens fall back
+    to the whole text as their single feature (identical rule both
+    engines; 1-based element_at matches DuckDB's 1-based a[i]).
+
+    Same scale shape as l_simjoin_jaccard and strictly better skew
+    behavior: the SAME prefix-filter + exact-verify stages run on the
+    gram postings, and 3-gram document frequencies are far more
+    discriminative than single-token dfs (stopword 3-grams are rare), so
+    prefix postings prune harder."""
+    d = table(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    grams3 = F.transform(
+        F.sequence(F.lit(1), F.size(a) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(a, i),
+            F.element_at(a, i + 1),
+            F.element_at(a, i + 2),
+        ),
+    )
+    feats = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(F.size(a) < 3, F.array(F.col("text"))).otherwise(grams3)
+            )
+        ).alias("t"),
+    )
+    pref = _prefix_postings(feats, tau_num=1, tau_den=2)
+    pa = pref.select(F.col("doc_id").alias("doc_a"), "t")
+    pb = pref.select(F.col("doc_id").alias("doc_b"), "t")
+    cands = (
+        pa.join(pb, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(cands, feats, threshold=0.5)
+
+
+@query("l_sim_search_ivf")  # rows-only: IVF partitioning is engine-specific
+def l_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the OTHER scale path for
+    vector search next to LSH: cluster vectors into coarse buckets,
+    search only the query's ``n_probe`` nearest buckets. Here: 16
+    deterministic data-sampled centroids, probe 8 — top-10 for vector 0,
+    same output shape as the exact l_sim_search_topk (recall vs brute
+    force pinned in tests/test_ann.py; probing ALL buckets is asserted
+    == exact).
+
+    Scale: assignment is one broadcast of the centroid set + JVM-side
+    argmax per row (no shuffle); the probe filters to n_probe/n_centroid
+    of the table BEFORE the top-k scan — at 1 B vectors that is the
+    difference between scanning 1 B and 62 M rows per query. Centroid
+    REFINEMENT (k-means iterations) is deliberately absent: sampled
+    centroids keep the operator one-pass and deterministic."""
+    from sqlengine_spark.ann import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_id=0, k=10, n_centroids=16, n_probe=8)

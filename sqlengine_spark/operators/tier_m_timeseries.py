@@ -1,0 +1,113 @@
+"""Tier M (extension) — time-series resampling operators over `events`:
+the hypertable-style gap-fill / forward-fill surface a metrics or
+training-telemetry pipeline needs on top of plain windowed aggregation
+(SURVEY §2 tier J covers the aggregations; these cover the missing-data
+semantics).
+
+Scale notes: gap-filling joins a BOUNDED dense grid (|hours in range| ×
+|event types| — calendar-sized, independent of row count) against the
+aggregated table, so the dense side never explodes with data volume;
+forward-fill is a running window per key — one shuffle on the key, state
+linear in partition size, the same shape Structured Streaming would use
+with applyInPandasWithState for the incremental form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+
+@query(
+    "m_ts_gapfill",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value) * 100, 0) / 100 AS sum_value
+        FROM events GROUP BY h, event_type
+    )
+    SELECT hours.h AS h, types.event_type AS event_type,
+           COALESCE(agg.cnt, 0) AS cnt, agg.sum_value AS sum_value
+    FROM hours CROSS JOIN types
+    LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type
+    """,
+)
+def m_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample: every (hour, event_type) cell in the data's
+    time range appears exactly once — missing hours materialize with
+    cnt = 0 and NULL sum (the gap-fill every charting/feature pipeline
+    does before a rolling computation).
+
+    Scale: the dense grid is |hours| × |types| — calendar-bounded (720 ×
+    5 here; ~9k × types for a year of hours), NOT data-bounded, so the
+    cross join is safe at any ingest volume; it then left-joins the
+    aggregate keyed (h, type). The aggregation itself partial-aggregates
+    map-side exactly like j_tumbling_1h."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    return grid.join(hourly, ["h", "event_type"], "left").select(
+        "h",
+        "event_type",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        "sum_value",
+    )
+
+
+@query(
+    "m_ts_ffill",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(LAST_VALUE(CASE WHEN value >= 35.0 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 100, 0) / 100 + 0 AS ffilled
+    FROM events
+    """,
+)
+def m_ts_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward): values below a
+    quality threshold are masked to NULL, then each row carries the most
+    recent surviving value in its user's event-time order (NULL until
+    the first survivor). The canonical sensor/metrics repair step before
+    feature extraction.
+
+    Total order pin: (ts, event_id) — ts alone can tie. Running frame is
+    explicit ROWS UNBOUNDED PRECEDING..CURRENT (CLAUDE.md rule 5).
+    Scale: one shuffle on user_id; the window scans each partition once
+    with O(1) carried state."""
+    ev = table(spark, sf_dir, "events")
+    masked = F.when(F.col("value") >= 35.0, F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        dround(F.last(masked, ignorenulls=True).over(w), 2).alias("ffilled"),
+    )

@@ -144,6 +144,10 @@ PRIORITY_ORDER = (
     "l_text_fingerprint",
     "l_text_token_count",
     "l_dedup_embedding",
+    "l_simjoin_ngram",
+    "m_ts_gapfill",
+    "m_ts_ffill",
+    "d_agg_histogram",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
@@ -153,6 +157,7 @@ PRIORITY_ORDER = (
     "l_dedup_simhash",
     "l_multimodal_decode",
     "l_sim_join_lsh",
+    "l_sim_search_ivf",
     "l_dedup_near_minhash",
 )
 

@@ -60,3 +60,46 @@ def test_streaming_entry_point(spark, tmp_path):
     finally:
         q.stop()
     assert total == eng.table("events").count()
+
+
+def test_create_bucketed_table_colocated_join(spark):
+    """The engine DDL surface: CREATE TABLE ... CLUSTERED BY through
+    SQLEngine.create_table must produce tables whose equi-join on the
+    bucket key plans WITHOUT an Exchange on either side (the
+    pay-shuffle-once-at-write-time contract)."""
+    import shutil
+
+    eng = _engine(spark)
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_l = f"ddl_orders_{tag}", f"ddl_lineitem_{tag}"
+    try:
+        eng.create_table(t_o, "orders", bucket_by="o_orderkey", n_buckets=8)
+        eng.create_table(t_l, "lineitem", bucket_by="l_orderkey", n_buckets=8)
+        joined = eng.sql(
+            f"""
+            SELECT o_orderkey, COUNT(*) AS n
+            FROM {t_o} JOIN {t_l} ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+            """
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        join_section = plan.split("HashAggregate")[0]
+        assert "Exchange" not in join_section, (
+            "bucketed DDL join still shuffles:\n" + join_section
+        )
+        # and partitioned DDL: partition column prunes the scan
+        t_p = f"ddl_events_{tag}"
+        eng.create_table(t_p, "events", partition_by="event_type")
+        pruned = eng.sql(
+            f"SELECT COUNT(*) AS n FROM {t_p} WHERE event_type = 'click'"
+        )
+        pplan = pruned._jdf.queryExecution().explainString(mode)
+        assert "PartitionFilters" in pplan
+        eng.drop_table(t_p)
+    finally:
+        for t in (t_o, t_l):
+            eng.drop_table(t)
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

@@ -140,6 +140,7 @@ CARTESIAN_WHITELIST = {
     "l_text_tfidf_top",      # 1-row corpus-count broadcast
     "l_sim_join_lsh",        # 64-row hyperplane table broadcast; the
                              # candidate join itself is (band,sig)-keyed
+    "m_ts_gapfill",          # calendar-bounded |hours| x |types| grid
 }
 
 # Heavy side-effecting queries whose DataFrame construction executes
