@@ -437,3 +437,28 @@ def d_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.min("o_totalprice"), 2).alias("lo"),
         dround(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "d_agg_salted",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def d_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage count-distinct (skew.salted_agg) registered as
+    an engine operator: 5 hot event_type keys would each pin their whole
+    distinct-set state on one reducer under a plain GROUP BY; salting on
+    xxhash64(value) % 16 splits every hot key's state across 16 tasks
+    and a second stage sums the per-salt partials. EXACT (each distinct
+    value lands in exactly one salt bucket) — the oracle is the plain
+    COUNT(DISTINCT), which is the point.
+
+    Scale: this is the aggregation-side skew recipe for power-law keys
+    whose state can't partial-aggregate (distinct sets, collect_list);
+    plain sums/counts never need it."""
+    from sqlengine_spark.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events")
+    return salted_agg(ev, key="event_type", value="user_id", n_salts=16)

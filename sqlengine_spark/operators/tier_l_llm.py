@@ -894,3 +894,40 @@ def l_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return ivf_topk(e, query_id=0, k=10, n_centroids=16, n_probe=8)
+
+
+@query(
+    "l_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '  +', ' ', 'g')) AS norm_text,
+           length(text) AS n_raw,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                      '  +', ' ', 'g'))) AS n_norm
+    FROM documents
+    """,
+)
+def l_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first stage of every training-corpus
+    pipeline: lowercase, strip non-alphanumerics, collapse runs of
+    spaces, trim; raw and normalized lengths reported for filtering.
+    DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all (measured pin, CLAUDE.md rule 6).
+
+    Scale: pure per-row codegen expressions — map-only, no shuffle, no
+    UDF."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").alias("n_raw"),
+        F.length(norm).alias("n_norm"),
+    )

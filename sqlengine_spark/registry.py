@@ -145,9 +145,12 @@ PRIORITY_ORDER = (
     "l_text_token_count",
     "l_dedup_embedding",
     "l_simjoin_ngram",
+    "l_text_normalize",
     "m_ts_gapfill",
     "m_ts_ffill",
     "d_agg_histogram",
+    "d_agg_salted",
+    "g_recursive_cte",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
