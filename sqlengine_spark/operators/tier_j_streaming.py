@@ -355,3 +355,62 @@ def j_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(c), ev.user_id == c.c_custkey).select(
         "event_id", "event_type", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "j_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def j_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join, executed by the streaming engine: click
+    events joined to purchase events of the same user within the
+    following hour — both sides are unbounded streams, so the engine
+    buffers each side's rows in the state store and emits matches as
+    the other side arrives, across micro-batch boundaries. The final
+    emitted set must equal the batch interval join, which is what the
+    oracle checks.
+
+    Watermark note: intentionally NONE here — the staged files are not
+    time-ordered, and a watermark would let the engine evict state and
+    DROP cross-file matches (correct streaming behavior, wrong oracle).
+    Production bounds state with withWatermark on BOTH sides + this
+    same time-range predicate, which lets the engine age out rows older
+    than watermark - 1 h; the join plan is otherwise identical.
+    """
+    src = stage_events(spark, sf_dir)
+    clicks = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    rows, schema = run_stream_to_table(spark, joined, "append")
+    return spark.createDataFrame(rows, schema=schema)

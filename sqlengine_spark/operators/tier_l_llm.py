@@ -931,3 +931,87 @@ def l_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_raw"),
         F.length(norm).alias("n_norm"),
     )
+
+
+def _linear_weights(dim: int = 64, seed: int = 123) -> list[float]:
+    """Deterministic pseudo-trained weights for the fused-inference
+    operator: seeded uniforms rounded to 6 dp so the decimal literals in
+    the SQL oracle parse to bit-identical doubles in both engines."""
+    import random
+
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+
+
+_W = _linear_weights()
+_B = -0.05
+
+_ML_SCORE_ORACLE = f"""
+    WITH w AS (SELECT {[repr(x) for x in _W]}::DOUBLE[] AS wv)
+    SELECT vec_id,
+           ROUND(1.0 / (1.0 + exp(-(
+               (SELECT SUM(e.embedding[s.i]::DOUBLE * w.wv[s.i])
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
+               + ({_B!r})))) * 1e6, 0) / 1e6 AS score,
+           CAST((SELECT SUM(e.embedding[s.i]::DOUBLE * w.wv[s.i])
+                 FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
+                + ({_B!r}) >= 0 AS INT) AS label_pred
+    FROM embeddings e, w
+""".replace("'", "")
+
+
+@query("l_ml_score_linear", oracle=_ML_SCORE_ORACLE)
+def l_ml_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused in-SQL ML inference (the ICDE'25 operator-fusion idea from
+    PAPERS.md): a logistic model scored entirely inside the query —
+    sigmoid(w·x + b) with the weight vector inlined as literals, the dot
+    product in JVM-side double fold (vdot, bit-identical to the oracle's
+    ordered SUM), and the class decision on the raw margin.
+
+    Scale: map-only, whole-stage-codegen, no shuffle, no UDF, no model
+    server round-trip — inference fuses into whatever scan/filter
+    pipeline feeds it, which is exactly the paper's point. Swapping in
+    real trained weights changes literals, not the plan."""
+    e = table(spark, sf_dir, "embeddings")
+    wlit = F.array(*[F.lit(x) for x in _W])
+    margin = vdot(F.col("embedding"), wlit) + F.lit(_B)
+    return e.select(
+        "vec_id",
+        dround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("score"),
+        (margin >= 0).cast("int").alias("label_pred"),
+    )
+
+
+@query(
+    "l_multimodal_framesample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
+               substring(text, i * 256 + 1, 256) AS fr
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(
+                 0, CAST(ceil(length(text) / 256.0) AS BIGINT) - 1)) AS i)
+    )
+    SELECT media_id, frame_no,
+           CAST(length(fr) AS BIGINT) AS frame_bytes,
+           md5(fr) AS frame_digest
+    FROM f WHERE frame_no % 2 = 0
+    """,
+)
+def l_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media through the Arrow mapInPandas
+    path (multimodal.sample_frames): each payload splits into 256-byte
+    'frames', every 2nd is kept, digested, and measured — the batched
+    shape of a real ffmpeg keyframe sampler. Because the fixture
+    payloads are ASCII text bytes and the chunker is deterministic, this
+    mapInPandas pipeline gets a FULL SQL oracle (substring + md5 per
+    chunk) — the Arrow plumbing itself is hash-verified, not just
+    row-counted.
+
+    Scale: repartition(media_id) balances decode work; mapInPandas
+    iterates Arrow batches so peak memory is one batch, not one
+    partition."""
+    from sqlengine_spark.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_size=256, every_n=2)

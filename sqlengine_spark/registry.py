@@ -151,6 +151,9 @@ PRIORITY_ORDER = (
     "d_agg_histogram",
     "d_agg_salted",
     "g_recursive_cte",
+    "j_stream_stream_join",
+    "l_ml_score_linear",
+    "l_multimodal_framesample",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

@@ -149,6 +149,7 @@ LINT_SKIP = {
     "j_watermark_late_drop",
     "j_tumbling_1h_stream",
     "j_stream_dedup_stream",
+    "j_stream_stream_join",
     "a_scan_csv_roundtrip",
     "a_scan_json_roundtrip",
     "a_scan_orc_roundtrip",
