@@ -104,3 +104,16 @@ def a_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     # restore source column order (partitionBy moves the key last)
     return back.select(*orders.columns)
+
+
+@query("a_scan_text_roundtrip", oracle="SELECT text AS value FROM documents")
+def a_scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the document bodies as plain text lines, read them back
+    with the text source (one row per line, column ``value``) — the
+    raw-text ingest path every corpus pipeline starts from. Lossless
+    because the fixture texts contain no newlines, so the oracle is the
+    source column."""
+    path = _scratch("documents_text")
+    d = table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(path)
+    return spark.read.text(path)

@@ -49,3 +49,20 @@ def i_monotonic_id_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+
+
+@query("i_sample_stratified")  # rows-only: RNG streams are engine-specific
+def i_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): a different Bernoulli fraction
+    per stratum key — 20% of 'click' events, 5% of 'view', 100% of
+    'error' — the class-rebalancing step of training-data curation.
+    Per-stratum fractions are asserted within tolerance in pytest
+    (tests/test_rows_only.py); exact membership is RNG-stream-specific,
+    hence rows-only.
+
+    Scale: per-row coin flips keyed by the stratum column, evaluated
+    inside the scan — no shuffle, no state."""
+    ev = table(spark, sf_dir, "events")
+    return ev.sampleBy(
+        "event_type", {"click": 0.2, "view": 0.05, "error": 1.0}, seed=42
+    ).select("event_id", "event_type")

@@ -414,3 +414,51 @@ def j_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
     rows, schema = run_stream_to_table(spark, joined, "append")
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "j_stateful_stream",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def j_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM KEYED STATE executed by the streaming engine:
+    applyInPandasWithState maintains one counter per user in the state
+    store and emits the running total every micro-batch (update mode);
+    the latest emission per key — counts are monotone, so max() — must
+    equal the batch GROUP BY, which the oracle hash-checks. This is the
+    arbitrary-stateful-operator escape hatch the built-in windowed aggs
+    don't cover (custom timeouts, session logic, per-key models).
+
+    Scale: state is one tuple per user in the executor-local store
+    (RocksDB provider on the engine session); Arrow batches move each
+    key group to Python once per micro-batch. GroupStateTimeout handles
+    eviction in production for keys that go quiet."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    src = stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    rows, schema = run_stream_to_table(spark, stream, "update")
+    updates = spark.createDataFrame(rows, schema=schema)
+    # update-mode memory sink appends every emission; latest state per
+    # key = max because the running count is monotone
+    return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

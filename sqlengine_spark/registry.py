@@ -152,12 +152,15 @@ PRIORITY_ORDER = (
     "d_agg_salted",
     "g_recursive_cte",
     "j_stream_stream_join",
+    "j_stateful_stream",
     "l_ml_score_linear",
     "l_multimodal_framesample",
+    "a_scan_text_roundtrip",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
     "i_sample",
+    "i_sample_stratified",
     "j_watermark_late_drop",
     "l_text_langid",
     "l_dedup_simhash",

@@ -150,6 +150,8 @@ LINT_SKIP = {
     "j_tumbling_1h_stream",
     "j_stream_dedup_stream",
     "j_stream_stream_join",
+    "j_stateful_stream",
+    "a_scan_text_roundtrip",
     "a_scan_csv_roundtrip",
     "a_scan_json_roundtrip",
     "a_scan_orc_roundtrip",

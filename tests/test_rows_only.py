@@ -101,3 +101,28 @@ def test_approx_quantile_within_2pct(spark):
     )
     assert abs(row["p50"] - exact["p50"]) / exact["p50"] < 0.02
     assert abs(row["p95"] - exact["p95"]) / exact["p95"] < 0.02
+
+
+def test_stratified_sample_fractions(spark):
+    from pyspark.sql import functions as F2
+
+    q = all_queries()
+    got = {
+        r["event_type"]: r["n"]
+        for r in q["i_sample_stratified"](spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    # unlisted strata must not appear; listed strata within tolerance
+    assert set(got) <= {"click", "view", "error"}
+    assert got["error"] == totals["error"]  # fraction 1.0 is exact
+    assert abs(got["click"] / totals["click"] - 0.2) < 0.05
+    assert abs(got["view"] / totals["view"] - 0.05) < 0.03
