@@ -305,3 +305,51 @@ def c_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "c_join_range_bucketed",
+    oracle="""
+    SELECT a.o_orderkey AS oa, b.o_orderkey AS ob,
+           ROUND(ABS(a.o_totalprice - b.o_totalprice) * 100, 0) / 100
+               AS price_gap
+    FROM orders a JOIN orders b
+      ON a.o_orderkey < b.o_orderkey
+     AND ABS(a.o_totalprice - b.o_totalprice) <= 25.0
+    """,
+)
+def c_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range self-join (no equi key: all order pairs within $25 of
+    each other) via BUCKETIZATION — the technique that keeps band/range
+    joins off the nested-loop path. A naive |price diff| <= w condition
+    has no hashable key, so Spark would plan BroadcastNestedLoopJoin =
+    O(N*M) comparisons. Instead: bucket = floor(price / w); one side
+    keeps its bucket, the other replicates to {b-1, b, b+1}; since
+    |pa - pb| <= w implies the buckets differ by at most 1, the
+    equi-join on bucket finds every qualifying pair exactly once, and
+    the exact range predicate filters the residual.
+
+    Scale: a 3x replication of one side buys a keyed hash shuffle in
+    place of N*M — the standard interval-join rewrite (same idea Spark
+    itself applies to stream-stream time-interval joins). Bucket width
+    = window width keeps candidates per bucket ~ data density * w.
+    Plan-asserted: hash join, no nested loop (tests/test_plans.py)."""
+    o = table(spark, sf_dir, "orders")
+    w = 25.0
+    a = o.select(
+        F.col("o_orderkey").alias("oa"),
+        F.col("o_totalprice").alias("pa"),
+        F.floor(F.col("o_totalprice") / w).alias("bucket"),
+    )
+    bb = F.floor(F.col("o_totalprice") / w)
+    b = o.select(
+        F.col("o_orderkey").alias("ob"),
+        F.col("o_totalprice").alias("pb"),
+        F.explode(F.array(bb - 1, bb, bb + 1)).alias("bucket"),
+    )
+    gap = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        a.join(b, "bucket")
+        .filter((F.col("oa") < F.col("ob")) & (gap <= w))
+        .select("oa", "ob", dround(gap, 2).alias("price_gap"))
+    )

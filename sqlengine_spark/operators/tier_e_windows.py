@@ -237,3 +237,38 @@ def e_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(w).alias("richest"),
         F.last("c_name").over(w).alias("poorest"),
     )
+
+
+@query(
+    "e_win_value_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(percent_rank() OVER w * 1e6, 0) / 1e6 + 0 AS pr,
+           ROUND(cume_dist() OVER w * 1e6, 0) / 1e6 AS cd,
+           nth_value(o_orderkey, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def e_win_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic value functions in one query:
+    percent_rank (rank-1)/(n-1), cume_dist, and nth_value with an
+    explicit full-partition frame (nth_value's default running frame
+    would return NULL before row 2 — CLAUDE.md rule 5 family). Total
+    order (o_totalprice, o_orderkey) pins ties; percent_rank of a
+    1-row partition is 0.0 in both engines (+ 0 guards the oracle's
+    -0.0 class).
+
+    Scale: same shuffle+sort shape as every partitioned window."""
+    ev = table(spark, sf_dir, "orders")
+    wspec = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = wspec.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "o_orderkey",
+        dround(F.percent_rank().over(wspec), 6).alias("pr"),
+        dround(F.cume_dist().over(wspec), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+    )

@@ -156,6 +156,8 @@ PRIORITY_ORDER = (
     "l_ml_score_linear",
     "l_multimodal_framesample",
     "a_scan_text_roundtrip",
+    "c_join_range_bucketed",
+    "e_win_value_funcs",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

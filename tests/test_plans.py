@@ -171,3 +171,13 @@ def test_no_unexpected_cartesian_anywhere(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(qid)
     assert not offenders, f"unbounded join shapes in: {offenders}"
+
+
+def test_range_bucketed_join_is_hash_join(spark):
+    # the pure range join must NOT plan a nested loop: bucketization
+    # gives it a hashable equi key (floor(price/w)) with the exact
+    # range as residual filter
+    plan = _plan(spark, "c_join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
