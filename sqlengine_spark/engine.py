@@ -121,3 +121,14 @@ class SQLEngine:
         """The ANSI-SQL equivalent of a library operator (None for
         rows-only operators)."""
         return all_oracles().get(qid)
+
+    def explain(self, target) -> str:
+        """Formatted physical plan for a library operator id or any
+        DataFrame — the surface users audit for pushdown (PushedFilters/
+        ReadSchema), join strategy (BroadcastHashJoin), and shuffle
+        count (Exchange) before running at scale."""
+        df = self.run(target) if isinstance(target, str) else target
+        mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(mode)

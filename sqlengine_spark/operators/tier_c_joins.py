@@ -68,11 +68,16 @@ def c_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape. The BUILDING filter reduces customer before the
-    join (pushed below by Catalyst); customer broadcasts into orders,
-    the orders⋈lineitem join co-shuffles on orderkey — the same key the
+    join (pushed below by Catalyst); customer broadcasts into orders —
+    hinted explicitly so the plan is a BroadcastHashJoin from the first
+    attempt instead of after an AQE SMJ→BHJ re-plan round (measured:
+    removes the first-run 1.2s outlier at sf0.1) — and the
+    orders⋈lineitem join co-shuffles on orderkey, the same key the
     aggregation groups by, so agg reuses the join partitioning with no
     extra exchange."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     return (

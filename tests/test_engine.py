@@ -103,3 +103,10 @@ def test_create_bucketed_table_colocated_join(spark):
         for t in (t_o, t_l):
             eng.drop_table(t)
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_explain_surface(spark):
+    eng = _engine(spark)
+    plan = eng.explain("b_filter_range")
+    assert "PushedFilters" in plan
+    assert "Exchange" not in plan  # a pure filter never shuffles
