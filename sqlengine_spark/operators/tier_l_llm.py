@@ -1015,3 +1015,113 @@ def l_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(table(spark, sf_dir, "documents"))
     return sample_frames(media, frame_size=256, every_n=2)
+
+
+@query(
+    "l_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY da, db
+    ),
+    pairs AS (
+        SELECT da, db FROM inter
+        JOIN cnt ca ON da = ca.doc_id
+        JOIN cnt cb ON db = cb.doc_id
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9
+    ),
+    edges AS (
+        SELECT da AS u, db AS v FROM pairs
+        UNION ALL
+        SELECT db AS u, da AS v FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id AS cid, COUNT(*) AS cluster_size FROM comp GROUP BY cid)
+    SELECT c.doc_id, c.cluster_id, sz.cluster_size,
+           CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS keep
+    FROM comp c JOIN sz ON c.cluster_id = sz.cid
+    """,
+)
+def l_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment — the final step of a real
+    corpus dedup: pairwise matches (exact token-Jaccard >= 0.9, via the
+    same prefix-filtered ssjoin as l_simjoin_jaccard) are treated as an
+    undirected graph and every document gets its connected-component id
+    (min doc_id in the component), its cluster size, and a keep flag for
+    the one representative per cluster. Pair-level dedup alone
+    under-deletes: A~B and B~C with A!~C must still collapse to ONE kept
+    doc, which only the transitive closure gives.
+
+    Algorithm (Spark side): HashMin label propagation —
+    labels start as each node's own id; each round every node takes the
+    min label over itself and its neighbors (one keyed join + one
+    min-groupBy = two shuffles per round) until a fixpoint. The DuckDB
+    oracle computes the same fixpoint declaratively with WITH RECURSIVE
+    min-reachable-label, so the distributed iteration is hash-verified
+    against an independent formulation.
+
+    Scale: near-dup components are quasi-cliques (every member overlaps
+    the seed heavily), so HashMin converges in O(log diameter) ~ 2-4
+    rounds at any corpus size; each round is shuffle-keyed on node id
+    (never all-pairs), edges are localCheckpoint-ed once and reused, and
+    each round's labels are localCheckpoint-ed eagerly so lineage stays
+    one round deep (no exponential plan growth — the classic iterative-
+    Spark trap). The convergence probe is a bounded isEmpty action, the
+    only driver-side step. For adversarial long-path graphs swap HashMin
+    for alternating large-star/small-star (Kiveris et al., 2014) — same
+    per-round join shape, O(log n) rounds unconditionally."""
+    d = table(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    pref = _prefix_postings(tok, tau_num=9, tau_den=10)
+    cands = (
+        pref.select(F.col("doc_id").alias("doc_a"), "t")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "t"), "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = _verify_jaccard(cands, tok, threshold=0.9).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("id", "nbr")
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("lbl")).toDF("id", "lbl")
+    labels = labels.localCheckpoint()
+    for _ in range(50):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .select("id", "lbl")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        improved = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter(F.col("lbl") < F.col("old"))
+        )
+        done = improved.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    sz = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sz), "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+            F.when(F.col("id") == F.col("lbl"), 1).otherwise(0).alias("keep"),
+        )
+    )

@@ -111,3 +111,43 @@ def m_ts_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         dround(F.last(masked, ignorenulls=True).over(w), 2).alias("ffilled"),
     )
+
+
+@query(
+    "m_ts_resample_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           arg_min(value, event_id) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           arg_max(value, event_id) AS close_v,
+           COUNT(*) AS n_events,
+           ROUND(AVG(value) * 100, 0) / 100 AS avg_v
+    FROM events
+    GROUP BY h, event_type
+    """,
+)
+def m_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the hypertable/candlestick resample): per
+    (hour, event_type) bucket — first value, max, min, last value, event
+    count, and rounded mean. first/last are min_by/max_by on event_id,
+    which is a valid event-time order key because the fixture stream is
+    ts-ascending with event_id (FIXTURES.md: events ordered ascending)
+    and unique, so ties are impossible by construction.
+
+    Scale: ONE hash aggregation — min_by/max_by carry (value, key) pairs
+    through the map-side partial aggregate, so the full OHLC tuple
+    computes in a single shuffle whose cardinality is calendar-bounded
+    (|hours| x |event types|), never a window sort over the raw stream.
+    open/high/low/close project stored doubles untouched (no float
+    arithmetic => bit-identical to the oracle); only avg_v needs the
+    dround pin."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.min_by("value", "event_id").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", "event_id").alias("close_v"),
+        F.count("*").alias("n_events"),
+        dround(F.avg("value"), 2).alias("avg_v"),
+    )

@@ -158,6 +158,8 @@ PRIORITY_ORDER = (
     "a_scan_text_roundtrip",
     "c_join_range_bucketed",
     "e_win_value_funcs",
+    "l_dedup_cluster",
+    "m_ts_resample_ohlc",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
