@@ -160,6 +160,22 @@ PRIORITY_ORDER = (
     "e_win_value_funcs",
     "l_dedup_cluster",
     "m_ts_resample_ohlc",
+    # -- tier T: TPC-H-adapted suite (oracled extensions) ---------------
+    "t_q03_shipping",
+    "t_q04_order_priority",
+    "t_q05_local_supplier",
+    "t_q06_forecast_revenue",
+    "t_q07_volume_shipping",
+    "t_q08_market_share",
+    "t_q09_product_profit",
+    "t_q10_returned_items",
+    "t_q13_cust_distribution",
+    "t_q14_promo_effect",
+    "t_q15_top_supplier",
+    "t_q17_small_qty",
+    "t_q18_large_volume",
+    "t_q19_disjunctive",
+    "t_q22_sales_opportunity",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

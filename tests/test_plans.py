@@ -141,6 +141,7 @@ CARTESIAN_WHITELIST = {
     "l_sim_join_lsh",        # 64-row hyperplane table broadcast; the
                              # candidate join itself is (band,sig)-keyed
     "m_ts_gapfill",          # calendar-bounded |hours| x |types| grid
+    "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
 }
 
 # Heavy side-effecting queries whose DataFrame construction executes
