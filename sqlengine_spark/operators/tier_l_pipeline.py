@@ -1,0 +1,304 @@
+"""Tier L (pipeline extensions) — training-data preparation operators.
+
+The ops a 100 TB LLM-pretraining data pipeline runs between raw corpus
+and training shards, beyond the dedup/similarity/quality family already
+in ``tier_l_llm``: context-window chunking, PII-style scrubbing,
+deterministic train/val/test splitting, domain-mixture resampling, a
+Gopher-style repetition filter, and prefix-fingerprint dedup.
+
+Everything here is pure Catalyst expressions (split / slice / sequence /
+transform / regexp_replace / window rank) — no UDFs, no collect. Each
+op's shuffle key and its behavior at 1000 executors is documented on the
+operator. Determinism policy: anything "random" (splits, mixture
+sampling) is keyed on md5 of a stable id, never on an RNG, so results
+are reproducible run-to-run AND identical in the DuckDB oracle — which
+is exactly how production pipelines pin their splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+#: Context-window chunking parameters (words per chunk / stride).
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 40
+
+
+@query(
+    "l_text_chunk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), s AS (
+        SELECT doc_id, words,
+               unnest(range(0, len(words), {CHUNK_STRIDE})) AS st
+        FROM w
+    )
+    SELECT doc_id,
+           st // {CHUNK_STRIDE} AS chunk_id,
+           array_to_string(words[st + 1 : st + {CHUNK_WORDS}], ' ') AS chunk_text,
+           least({CHUNK_WORDS}, len(words) - st) AS n_words
+    FROM s
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def l_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    fixed-size word windows (50 words, stride 40 -> 10-word overlap),
+    the standard prep step before tokenize-and-pack for pretraining.
+
+    Scale: narrow per-row transform — split once, explode the start
+    offsets (sequence), slice per chunk. No shuffle at all until the
+    output sort (which a real pipeline omits); fan-out is bounded by
+    doc length / stride. At 100 TB this is a map-only stage that
+    pipelines into the sink writer.
+    """
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n = F.size("words")
+    return (
+        w.select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))).alias("st"),
+        )
+        .select(
+            "doc_id",
+            (F.col("st") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice("words", F.col("st") + 1, F.lit(CHUNK_WORDS)), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(CHUNK_WORDS), F.size("words") - F.col("st")).alias("n_words"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "l_text_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+           len(props) - len(regexp_replace(props, '[0-9]', '', 'g')) AS n_digits
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    ORDER BY event_id
+    """,
+)
+def l_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: mask every digit run in the event payload
+    with a placeholder token and count the digits removed — the shape
+    of email/phone/SSN redaction passes (the real patterns are just
+    longer regexes over the same codegen path).
+
+    Scale: map-only regexp_replace inside whole-stage codegen, filter
+    pushed to the scan; zero shuffles. Engine pin: DuckDB
+    regexp_replace needs the 'g' flag, Spark replaces all matches by
+    default (CLAUDE.md rule 6).
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("scrubbed"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).alias("n_digits"),
+    ).orderBy("event_id")
+
+
+@query(
+    "l_split_hash",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT CASE WHEN hx < '0d' THEN 'val'
+                WHEN hx < '1a' THEN 'test'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM h
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def l_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: assign each document by the
+    lexicographic range of md5(doc_id) (~5% val, ~5% test, 90% train).
+    Hash-range splitting is how production pipelines pin splits so
+    they survive re-runs, resharding, and incremental appends — no
+    RNG, no seed state.
+
+    Scale: the assignment is a map-only expression; the summary agg
+    shuffles 3 groups. md5 is identical hex in Spark and DuckDB, so
+    the oracle verifies the actual membership function, not a proxy.
+    """
+    h = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    split = (
+        F.when(F.col("hx") < "0d", "val")
+        .when(F.col("hx") < "1a", "test")
+        .otherwise("train")
+    )
+    return (
+        h.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "l_domain_mix",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    )
+    SELECT doc_id, source, lang
+    FROM ranked
+    WHERE rn <= CEIL(n_src * CASE WHEN source IN ('src0', 'src1', 'src2')
+                                  THEN 1.0
+                                  WHEN source IN ('src3', 'src4', 'src5')
+                                  THEN 0.5
+                                  ELSE 0.25 END)
+    ORDER BY doc_id
+    """,
+)
+def l_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample each source domain to a
+    target rate (keep 100% of src0-2, 50% of src3-5, 25% of the rest)
+    by ranking documents on md5(doc_id) within each domain and keeping
+    the target prefix — the deterministic equivalent of weighted
+    mixture sampling (C4/Pile-style recipe weights).
+
+    Scale: one shuffle on the domain key for the window rank; the
+    hash order makes the kept subset a uniform, reproducible sample
+    of each domain. Skewed domains salt the same way d_agg_salted
+    does; rank-prefix semantics survive because md5 order is global.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 1.0)
+        .when(F.col("source").isin("src3", "src4", "src5"), 0.5)
+        .otherwise(0.25)
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n_src") * rate))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "l_text_repetition",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS w,
+               list_transform(range(1, len(string_split(text, ' '))),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i + 1]) AS bigrams
+        FROM documents
+    )
+    SELECT doc_id,
+           len(bigrams) AS n_bigrams,
+           ROUND((1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams))
+                 * 1e4, 0) / 1e4 + 0 AS dup_bigram_frac
+    FROM b
+    WHERE len(bigrams) > 0
+    ORDER BY dup_bigram_frac DESC, doc_id
+    LIMIT 50
+    """,
+)
+def l_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: per-document fraction of
+    duplicate word bigrams (1 - distinct/total). High values flag
+    boilerplate/spam for removal before training.
+
+    Scale: per-row array expressions only (split once, build bigrams
+    with transform over an index sequence, array_distinct) — no
+    explode, no shuffle except the top-50 TakeOrdered. At 100 TB the
+    filter is a map-only stage fused into the ingest scan.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bigrams = F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+    b = docs.select("doc_id", bigrams.alias("bigrams")).filter(F.size("bigrams") > 0)
+    return (
+        b.select(
+            "doc_id",
+            F.size("bigrams").alias("n_bigrams"),
+            dround(
+                1.0 - F.size(F.array_distinct("bigrams")) / F.size("bigrams"), 4
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy(F.desc("dup_bigram_frac"), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "l_dedup_prefix",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang, n_chars,
+               md5(substring(text, 1, 100)) AS fp
+        FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS keep_doc, COUNT(*) AS n_members
+    FROM f
+    GROUP BY fp
+    ORDER BY fp
+    """,
+)
+def l_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: cluster documents by the md5 of their
+    first 100 characters and keep the min-id representative — the
+    cheap first pass (CC-dump pipelines run it before MinHash) that
+    kills exact head duplicates without full-text comparison.
+
+    Scale: fingerprint is computed map-side, groupBy(fp) is a
+    partial+final agg whose shuffle carries one row per distinct
+    prefix — strictly smaller than the input. The min-id canonical
+    representative matches l_dedup_exact's convention.
+    """
+    f = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 100)).alias("fp")
+    )
+    return (
+        f.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_members"))
+        .orderBy("fp")
+    )

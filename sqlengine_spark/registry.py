@@ -160,6 +160,13 @@ PRIORITY_ORDER = (
     "e_win_value_funcs",
     "l_dedup_cluster",
     "m_ts_resample_ohlc",
+    # -- training-data pipeline extensions (oracled) --------------------
+    "l_text_chunk",
+    "l_text_scrub",
+    "l_split_hash",
+    "l_domain_mix",
+    "l_text_repetition",
+    "l_dedup_prefix",
     # -- tier T: TPC-H-adapted suite (oracled extensions) ---------------
     "t_q03_shipping",
     "t_q04_order_priority",
