@@ -462,3 +462,58 @@ def j_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update-mode memory sink appends every emission; latest state per
     # key = max because the running count is monotone
     return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "j_session_30m_stream",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS s_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def j_session_30m_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL form of j_session_30m: session windows computed BY THE
+    STREAMING ENGINE — the state store merges/extends open sessions as
+    micro-batches arrive, including sessions spanning micro-batch
+    boundaries (the case the batch form can't exercise). Complete-mode
+    memory sink; the final table must hash-match the same
+    gaps-and-islands batch oracle as j_session_30m.
+
+    Scale: streaming session_window state is one open-session record
+    per (user, session) in the state store, merged on arrival; a
+    watermark (j_watermark_late_drop) would bound retention in an
+    unbounded deployment. Shuffle is keyed on user_id — identical to
+    the batch plan.
+    """
+    src = stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+    )
+    rows, schema = run_stream_to_table(spark, stream, "complete")
+    return spark.createDataFrame(rows, schema=schema)

@@ -302,3 +302,80 @@ def l_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_members"))
         .orderBy("fp")
     )
+
+
+@query("l_kmeans_assign")  # rows-only: iterative algorithm, not SQL-expressible
+def l_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=10, 5 iterations) over the embedding column —
+    the iterative-algorithm pattern (MLlib-style): centroids live on the
+    driver (k x dim doubles, O(1) w.r.t. data), each iteration is ONE
+    distributed pass — broadcast centroids as literals into a codegen
+    expression, assign by max dot product (vectors are unit-L2, so
+    argmax dot == argmin euclidean), recompute means via posexplode +
+    (cluster, dim)-keyed partial agg. Init: the k lowest-vec_id vectors
+    (deterministic, no RNG).
+
+    Scale: per iteration the only driver traffic is k*dim averaged
+    coordinates (640 doubles) — the data never leaves executors; the
+    assignment is a map-only pass and the centroid update shuffles
+    k*dim partial rows per partition. Rows-only: the fixpoint loop has
+    no single-query SQL equivalent (pytest asserts inertia descent,
+    determinism, and label purity instead).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k, iters = 10, 5
+    cents = [
+        [float(v) for v in r.embedding]
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+
+    def scores_expr() -> F.Column:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in cents]
+        )
+        return F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), c, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    for _ in range(iters):
+        assigned = emb.withColumn("scores", scores_expr()).select(
+            "vec_id",
+            "embedding",
+            (F.array_position(F.col("scores"), F.array_max("scores")) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()  # bounded: k*dim = 640 rows, independent of data size
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.m
+        cents = [
+            [by_cluster[c][d] for d in range(len(cents[0]))]
+            if c in by_cluster
+            else cents[c]  # empty cluster keeps its centroid
+            for c in range(k)
+        ]
+
+    return (
+        emb.withColumn("scores", scores_expr())
+        .select(
+            "vec_id",
+            (F.array_position(F.col("scores"), F.array_max("scores")) - 1)
+            .cast("int")
+            .alias("cluster"),
+            dround(F.array_max("scores"), 6).alias("sim_to_centroid"),
+        )
+        .orderBy("vec_id")
+    )

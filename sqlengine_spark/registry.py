@@ -153,6 +153,7 @@ PRIORITY_ORDER = (
     "g_recursive_cte",
     "j_stream_stream_join",
     "j_stateful_stream",
+    "j_session_30m_stream",
     "l_ml_score_linear",
     "l_multimodal_framesample",
     "a_scan_text_roundtrip",
@@ -195,6 +196,7 @@ PRIORITY_ORDER = (
     "l_sim_join_lsh",
     "l_sim_search_ivf",
     "l_dedup_near_minhash",
+    "l_kmeans_assign",
 )
 
 
