@@ -184,3 +184,60 @@ def test_range_bucketed_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+# ---- tier T (TPC-H-adapted) scale shapes ------------------------------
+
+def test_tpch_q3_take_ordered_and_pushdown(spark):
+    plan = _plan(spark, "t_q03_shipping")
+    assert "TakeOrderedAndProject" in plan          # top-10, no global sort
+    assert "PushedFilters" in plan                  # date filters reach scans
+    assert plan.count("HashAggregate") >= 2         # partial+final revenue agg
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    plan = _plan(spark, "t_q05_local_supplier")
+    assert "BroadcastHashJoin" in plan              # nation/region hinted
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q4_semi_join(spark):
+    plan = _plan(spark, "t_q04_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q6_scan_filter_agg_only(spark):
+    plan = _plan(spark, "t_q06_forecast_revenue")
+    assert "PushedFilters" in plan
+    assert "Join" not in plan                       # pure scan->filter->agg
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema        # column pruning
+
+
+def test_tpch_q18_semi_then_agg(spark):
+    plan = _plan(spark, "t_q18_large_volume")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---- training-pipeline scale shapes -----------------------------------
+
+def test_dedup_prefix_partial_agg(spark):
+    plan = _plan(spark, "l_dedup_prefix")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_split_hash_no_join_no_window(spark):
+    plan = _plan(spark, "l_split_hash")
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_domain_mix_single_shuffle_on_source(spark):
+    plan = _plan(spark, "l_domain_mix")
+    # one hash-partitioning exchange on the domain key feeds both window
+    # functions (rank + per-source count reuse the same partitioning);
+    # the only other exchange is the final presentation sort
+    assert plan.count("Arguments: hashpartitioning(source") == 1
+    assert plan.count("Window") >= 2
