@@ -82,6 +82,30 @@ class SQLEngine:
     def drop_table(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
 
+    # -- DML (copy-on-write rewrites, see dml.py) --------------------------
+    def update(self, name: str, condition, updates) -> DataFrame:
+        """UPDATE <name> SET <updates> WHERE <condition> — returns the
+        next snapshot (map-only rewrite); caller persists via
+        create_table/write."""
+        from sqlengine_spark import dml
+
+        return dml.update(self.table(name), condition, updates)
+
+    def delete(self, name: str, condition) -> DataFrame:
+        """DELETE FROM <name> WHERE <condition> — complement-filter
+        rewrite, null-safe per SQL DELETE semantics."""
+        from sqlengine_spark import dml
+
+        return dml.delete(self.table(name), condition)
+
+    def merge_into(self, name: str, source: DataFrame, key: str, **kw) -> DataFrame:
+        """MERGE INTO <name> USING source ON key — one co-shuffled
+        full-outer join; see dml.merge_into for the matched/not-matched
+        clauses."""
+        from sqlengine_spark import dml
+
+        return dml.merge_into(self.table(name), source, key, **kw)
+
     # -- SQL --------------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         """SQL entry point over the registered catalog."""

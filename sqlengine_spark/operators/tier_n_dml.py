@@ -1,0 +1,138 @@
+"""Tier N — DML surface (UPDATE / DELETE / MERGE as copy-on-write).
+
+Each operator runs a DML statement through ``sqlengine_spark.dml``'s
+copy-on-write rewrite, persists the new snapshot to the scratch sink
+(same contract as the tier-A sinks: on a cluster this is a DFS path),
+reads it back, and is oracled by the equivalent pure-SQL SELECT over
+the ORIGINAL table — verifying the full statement semantics, not just
+the transform.
+
+Scale: UPDATE/DELETE rewrites are map-only (no shuffle; see dml.py);
+MERGE is one full-outer join co-shuffled on the merge key. The
+write+read-back here is the snapshot commit a lakehouse format would
+do with file-level pruning on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlengine_spark import dml
+from sqlengine_spark.functions import dround
+from sqlengine_spark.operators.tier_a_scans import _scratch
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+
+@query(
+    "n_update_rewrite",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CASE WHEN s_nationkey = 3
+                THEN ROUND(s_acctbal * 1.1 * 100, 0) / 100 + 0
+                ELSE s_acctbal END AS s_acctbal
+    FROM supplier
+    """,
+)
+def n_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE supplier SET s_acctbal = round(s_acctbal * 1.1, 2)
+    WHERE s_nationkey = 3 — copy-on-write: projection rewrite, snapshot
+    write, read-back. The oracle replays the statement as a CASE over
+    the original table."""
+    sup = table(spark, sf_dir, "supplier")
+    updated = dml.update(
+        sup,
+        F.col("s_nationkey") == 3,
+        {"s_acctbal": dround(F.col("s_acctbal") * 1.1, 2)},
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    path = _scratch("supplier_updated")
+    updated.write.mode("overwrite").parquet(path)
+    return spark.read.schema(updated.schema).parquet(path)
+
+
+@query(
+    "n_delete_rewrite",
+    oracle="""
+    SELECT * FROM orders
+    WHERE NOT (o_orderstatus = 'P'
+               AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def n_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM orders WHERE o_orderstatus = 'P' AND o_orderdate <
+    '1996-01-01' — complement-filter rewrite, snapshot write,
+    read-back."""
+    o = table(spark, sf_dir, "orders")
+    kept = dml.delete(
+        o,
+        (F.col("o_orderstatus") == "P")
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")),
+    )
+    path = _scratch("orders_deleted")
+    kept.write.mode("overwrite").parquet(path)
+    return spark.read.schema(kept.schema).parquet(path)
+
+
+@query(
+    "n_merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+               ROUND((c_acctbal + 100) * 100, 0) / 100 + 0 AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 7
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey,
+               ROUND((c_acctbal + 100) * 100, 0) / 100 + 0 AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           COALESCE(t.c_name, s.c_name) AS c_name,
+           COALESCE(t.c_nationkey, s.c_nationkey) AS c_nationkey,
+           CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                THEN s.c_acctbal
+                WHEN t.c_custkey IS NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           COALESCE(t.c_mktsegment, s.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def n_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer USING src ON c_custkey — src is a
+    deterministic CDC batch derived from the table itself: +100 balance
+    updates for every 10th customer (matched -> update) plus re-keyed
+    copies of every 107th customer (not matched -> insert). One
+    full-outer join on the key, snapshot write, read-back; the oracle
+    replays the merge as FULL OUTER JOIN + COALESCE."""
+    c = table(spark, sf_dir, "customer")
+    new_bal = dround(F.col("c_acctbal") + 100, 2)
+    src = (
+        c.filter(F.col("c_custkey") % 100 == 7)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            new_bal.alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                new_bal.alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+    )
+    merged = dml.merge_into(
+        c,
+        src,
+        key="c_custkey",
+        update_cols={"c_acctbal": F.col("src_c_acctbal")},
+    )
+    path = _scratch("customer_merged")
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.schema(merged.schema).parquet(path)

@@ -161,6 +161,10 @@ PRIORITY_ORDER = (
     "e_win_value_funcs",
     "l_dedup_cluster",
     "m_ts_resample_ohlc",
+    # -- tier N: DML surface (oracled extensions) -----------------------
+    "n_update_rewrite",
+    "n_delete_rewrite",
+    "n_merge_upsert",
     # -- training-data pipeline extensions (oracled) --------------------
     "l_text_chunk",
     "l_text_scrub",

@@ -159,6 +159,9 @@ LINT_SKIP = {
     "a_sink_parquet_partitioned",
     "j_session_30m_stream",
     "l_kmeans_assign",  # driver-loop iterations execute at build time
+    "n_update_rewrite",
+    "n_delete_rewrite",
+    "n_merge_upsert",
 }
 
 
