@@ -414,3 +414,39 @@ def h_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("h_sha"),
         F.length(F.md5("text")).alias("md5_len"),
     )
+
+
+@query(
+    "h_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(status := o_orderstatus,
+                       price := o_totalprice).status AS s_status,
+           struct_pack(status := o_orderstatus,
+                       price := o_totalprice).price AS s_price,
+           CASE WHEN struct_pack(k := o_custkey) = struct_pack(k := o_custkey)
+                THEN 1 ELSE 0 END AS eq_self
+    FROM orders
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+)
+def h_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, field access, and struct equality — the
+    nested-type surface (projection rule: only SCALAR fields reach the
+    output, never the raw struct, per the array/map serialization pin).
+
+    Scale: pure codegen expressions; structs are columnar in Tungsten
+    (no boxing), so pack/extract is free at any volume.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("price")
+    )
+    kst = F.struct(F.col("o_custkey").alias("k"))
+    return o.select(
+        "o_orderkey",
+        st.getField("status").alias("s_status"),
+        st.getField("price").alias("s_price"),
+        F.when(kst == kst, 1).otherwise(0).alias("eq_self"),
+    ).orderBy("o_orderkey")

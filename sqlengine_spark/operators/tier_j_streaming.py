@@ -517,3 +517,35 @@ def j_session_30m_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows, schema = run_stream_to_table(spark, stream, "complete")
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "j_sliding_1h_15m_stream",
+    oracle="""
+    SELECT w_start, COUNT(*) AS cnt FROM (
+        SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+               - k.k * INTERVAL 15 MINUTES AS w_start
+        FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+    ) GROUP BY w_start
+    """,
+)
+def j_sliding_1h_15m_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL form of j_sliding_1h_15m: overlapping 1h/15min
+    windows maintained by the streaming engine across micro-batches
+    (each event updates 4 window states), complete-mode memory sink,
+    final table hash-matched to the same batch oracle.
+
+    Scale: state = one counter per open window (4x tumbling's count);
+    watermarks bound retention exactly as in the tumbling case.
+    """
+    src = stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "cnt")
+    )
+    rows, schema = run_stream_to_table(spark, stream, "complete")
+    return spark.createDataFrame(rows, schema=schema)

@@ -379,3 +379,78 @@ def l_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "l_text_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM toks
+    ), uni AS (
+        SELECT t AS w1, COUNT(*) AS u_cnt FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ) GROUP BY t
+    ), bic AS (
+        SELECT bigram, COUNT(*) AS b_cnt FROM bg GROUP BY bigram
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(bic.b_cnt * 1.0 / uni.u_cnt)) * 1e4, 0) / 1e4 + 0
+               AS avg_logprob
+    FROM bg
+    JOIN bic ON bg.bigram = bic.bigram
+    JOIN uni ON string_split(bg.bigram, ' ')[1] = uni.w1
+    GROUP BY bg.doc_id
+    ORDER BY avg_logprob DESC, doc_id
+    LIMIT 50
+    """,
+)
+def l_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model scoring: P(w2|w1) estimated from
+    corpus bigram/unigram counts, each document scored by its mean
+    bigram log-probability — the cheap statistical stand-in for
+    perplexity-based quality filtering (CCNet-style): low scores flag
+    out-of-distribution / garbled text.
+
+    Scale: two count aggregations over the exploded corpus (partial
+    agg, |vocab| and |vocab|^2-bounded outputs), both broadcast back
+    into the per-doc join (count tables are vocabulary-sized, tiny
+    relative to the corpus); per-doc mean is one (doc_id)-keyed agg.
+    Top-50 plans TakeOrdered.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("bigram"),
+    )
+    uni = (
+        docs.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("u_cnt"))
+    )
+    bic = bg.groupBy("bigram").agg(F.count("*").alias("b_cnt"))
+    return (
+        bg.join(F.broadcast(bic), "bigram")
+        .join(
+            F.broadcast(uni),
+            F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            dround(F.avg(F.log(F.col("b_cnt") / F.col("u_cnt"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy(F.desc("avg_logprob"), "doc_id")
+        .limit(50)
+    )

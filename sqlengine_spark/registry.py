@@ -140,6 +140,7 @@ PRIORITY_ORDER = (
     "g_intersect_all",
     "g_union_byname_missing",
     "h_bitwise",
+    "h_struct_funcs",
     "l_text_quality",
     "l_text_fingerprint",
     "l_text_token_count",
@@ -154,6 +155,7 @@ PRIORITY_ORDER = (
     "j_stream_stream_join",
     "j_stateful_stream",
     "j_session_30m_stream",
+    "j_sliding_1h_15m_stream",
     "l_ml_score_linear",
     "l_multimodal_framesample",
     "a_scan_text_roundtrip",
@@ -172,6 +174,7 @@ PRIORITY_ORDER = (
     "l_domain_mix",
     "l_text_repetition",
     "l_dedup_prefix",
+    "l_text_lm_score",
     # -- tier T: TPC-H-adapted suite (oracled extensions) ---------------
     "t_q03_shipping",
     "t_q04_order_priority",

@@ -158,6 +158,7 @@ LINT_SKIP = {
     "a_scan_orc_roundtrip",
     "a_sink_parquet_partitioned",
     "j_session_30m_stream",
+    "j_sliding_1h_15m_stream",
     "l_kmeans_assign",  # driver-loop iterations execute at build time
     "n_update_rewrite",
     "n_delete_rewrite",
