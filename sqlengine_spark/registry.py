@@ -187,9 +187,11 @@ PRIORITY_ORDER = (
     "t_q13_cust_distribution",
     "t_q14_promo_effect",
     "t_q15_top_supplier",
+    "t_q16_part_suppliers",
     "t_q17_small_qty",
     "t_q18_large_volume",
     "t_q19_disjunctive",
+    "t_q21_waiting_supplier",
     "t_q22_sales_opportunity",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
