@@ -1,0 +1,67 @@
+"""dml.py edge-case semantics (beyond the oracled tier-N round-trips):
+NULL-condition rows on DELETE, no-match MERGE, insert-only MERGE, and
+update expressions referencing source columns."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sqlengine_spark import dml
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def test_delete_null_condition_rows_survive(spark):
+    # SQL DELETE removes rows where the predicate is TRUE; NULL keeps
+    df = _df(spark, [(1, 10.0), (2, None), (3, 5.0)], "id long, v double")
+    out = dml.delete(df, F.col("v") > 6).orderBy("id").collect()
+    assert [r.id for r in out] == [2, 3]
+
+
+def test_update_untouched_rows_identical(spark):
+    df = _df(spark, [(1, "a"), (2, "b")], "id long, s string")
+    out = (
+        dml.update(df, F.col("id") == 1, {"s": F.lit("z")})
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.s) for r in out] == [(1, "z"), (2, "b")]
+
+
+def test_merge_no_match_is_identity_plus_inserts(spark):
+    tgt = _df(spark, [(1, "a"), (2, "b")], "id long, s string")
+    src = _df(spark, [(3, "c")], "id long, s string")
+    out = dml.merge_into(tgt, src, "id").orderBy("id").collect()
+    assert [(r.id, r.s) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_update_only_no_insert(spark):
+    tgt = _df(spark, [(1, "a"), (2, "b")], "id long, s string")
+    src = _df(spark, [(2, "B"), (9, "X")], "id long, s string")
+    out = (
+        dml.merge_into(
+            tgt,
+            src,
+            "id",
+            update_cols={"s": F.col("src_s")},
+            insert_when_not_matched=False,
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.s) for r in out] == [(1, "a"), (2, "B")]
+
+
+def test_merge_matched_update_and_insert(spark):
+    tgt = _df(spark, [(1, 10.0), (2, 20.0)], "id long, v double")
+    src = _df(spark, [(2, 5.0), (3, 7.0)], "id long, v double")
+    out = (
+        dml.merge_into(
+            tgt, src, "id", update_cols={"v": F.col("v") + F.col("src_v")}
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.v) for r in out] == [(1, 10.0), (2, 25.0), (3, 7.0)]
