@@ -462,3 +462,96 @@ def d_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return salted_agg(ev, key="event_type", value="user_id", n_salts=16)
+
+
+@query(
+    "d_agg_regr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity) * 1e6, 0) / 1e6 + 0
+               AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity) * 100, 0) / 100
+               AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity) * 1e8, 0) / 1e8 + 0
+               AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family: OLS slope, intercept, R² and
+    pair count of extendedprice on quantity per returnflag — the
+    in-database model-fitting surface (identical co-moment formulas in
+    both engines; probed equal to 8 dp on the fixture).
+
+    Scale: regr_* are algebraic aggregates (sums of x, y, xy, x², y²) —
+    partial+final HashAggregate around one exchange carrying |groups|
+    rows, exactly like SUM. The +0 pin maps -0.0 slopes to +0.0."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        dround(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        dround(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        dround(F.regr_r2("l_extendedprice", "l_quantity"), 8).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@query(
+    "d_agg_moments",
+    oracle="""
+    WITH mu AS (
+        SELECT l_linestatus, AVG(l_quantity) AS mu
+        FROM lineitem GROUP BY l_linestatus
+    ),
+    cm AS (
+        SELECT l.l_linestatus,
+               COUNT(*)                            AS n,
+               AVG(pow(l_quantity - mu, 2))        AS m2,
+               AVG(pow(l_quantity - mu, 3))        AS m3,
+               AVG(pow(l_quantity - mu, 4))        AS m4
+        FROM lineitem l JOIN mu USING (l_linestatus)
+        GROUP BY l.l_linestatus
+    )
+    SELECT l_linestatus, n,
+           ROUND(m2 * 1e4, 0) / 1e4 AS var_pop,
+           ROUND(m3 / pow(m2, 1.5) * 1e6, 0) / 1e6 + 0 AS skew,
+           ROUND((m4 / pow(m2, 2) - 3) * 1e6, 0) / 1e6 + 0 AS ex_kurtosis
+    FROM cm
+    """,
+)
+def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central moments, skewness and excess kurtosis of quantity per
+    linestatus — computed from explicit two-pass central moments rather
+    than the built-in skewness()/kurtosis(), because Spark uses the
+    population (g1) definition while DuckDB applies sample corrections;
+    pinning the formula (m3/m2^1.5, m4/m2²−3) makes both engines
+    bit-comparable. Two-pass beats raw power sums at scale: centered
+    terms stay O(range⁴) instead of O(value⁴), so the association-order
+    float error stays far below the rounding pin even at 10⁹ rows.
+
+    Scale: pass 1 is a tiny per-group AVG (broadcast back), pass 2 a
+    partial+final agg on the same key — two exchanges carrying |groups|
+    rows each; the broadcast join adds no shuffle of the fact table."""
+    l = table(spark, sf_dir, "lineitem")
+    mu = l.groupBy("l_linestatus").agg(F.avg("l_quantity").alias("mu"))
+    cent = F.col("l_quantity") - F.col("mu")
+    cm = (
+        l.join(F.broadcast(mu), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(F.pow(cent, 2)).alias("m2"),
+            F.avg(F.pow(cent, 3)).alias("m3"),
+            F.avg(F.pow(cent, 4)).alias("m4"),
+        )
+    )
+    return cm.select(
+        "l_linestatus",
+        "n",
+        dround(F.col("m2"), 4).alias("var_pop"),
+        dround(F.col("m3") / F.pow("m2", 1.5), 6).alias("skew"),
+        dround(F.col("m4") / F.pow("m2", 2) - 3, 6).alias("ex_kurtosis"),
+    )

@@ -454,3 +454,163 @@ def l_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_logprob"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "l_dedup_fuzzy",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               string_split(text, ' ')[1] AS bk,
+               n_chars // 20              AS lb
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(left(a.text, 80), left(b.text, 80)) AS lev
+    FROM d a JOIN d b ON a.bk = b.bk AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(left(a.text, 80), left(b.text, 80)) <= 45
+    """,
+)
+def l_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup candidate pairs: block documents
+    on (first token, length bucket), compare 80-char prefixes within a
+    block by levenshtein, keep pairs within distance 45 (measured on
+    the fixture: true prefix-dups sit at 0, the random-token mass
+    starts at ~41 — the threshold keeps the dup cluster plus the
+    closest tail, exercising both accept and reject paths).
+
+    This is the third near-dup family next to MinHash (set overlap) and
+    SimHash (bit overlap): edit distance catches small in-place edits
+    that token-set methods score as identical or miss entirely.
+
+    Scale: levenshtein is O(len²) per pair, so the blocking key does
+    ALL the work — the join shuffles on (bk, lb) and only intra-block
+    pairs are scored (Σ block²; blocks are balanced by the length
+    bucket). 100 TB variant: wider blocking (simhash band as bk) plus
+    prefix truncation exactly as here; never an unblocked pair join."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.element_at(F.split("text", " "), 1).alias("bk"),
+        F.expr("n_chars DIV 20").alias("lb"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    lev = F.levenshtein(
+        F.left(F.col("a.text"), F.lit(80)), F.left(F.col("b.text"), F.lit(80))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("lev"),
+        )
+        .filter(F.col("lev") <= 45)
+    )
+
+
+@query(
+    "l_vector_quantize",
+    oracle="""
+    SELECT vec_id,
+           ROUND((SELECT SUM(pow(e.embedding[s.i]::DOUBLE
+                                 - floor(e.embedding[s.i]::DOUBLE * 127 + 0.5)
+                                   / 127.0, 2))
+                  FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
+                 / 64 * 1e9, 0) / 1e9 AS mse,
+           (SELECT CAST(SUM(CASE WHEN floor(e.embedding[s.i]::DOUBLE * 127 + 0.5)
+                                      = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM (SELECT unnest(generate_series(1, 64)) AS i) s) AS n_zero
+    FROM embeddings e
+    """,
+)
+def l_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the storage
+    layout ANN systems actually serve from (4× smaller than float32,
+    SIMD-dot-able): q_i = floor(x_i·127 + 0.5), reported as per-vector
+    reconstruction MSE plus the zero-bucket count. floor(x+0.5) is the
+    half-up rounding BOTH engines compute identically on doubles
+    (probed bit-equal on the fixture), unlike round(), whose half-even
+    vs half-up behavior differs.
+
+    Scale: map-only — a higher-order transform+fold per row inside
+    codegen, no shuffle, no UDF; quantizing 100 TB of vectors is a
+    single narrow pass. The sequential fold matches DuckDB's ordered
+    SUM over generate_series term-for-term (same pin as vdot)."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    qerr = F.transform(
+        "embedding",
+        lambda x: F.pow(xd(x) - F.floor(xd(x) * 127 + F.lit(0.5)) / 127.0, 2),
+    )
+    nz = F.filter(
+        "embedding", lambda x: F.floor(xd(x) * 127 + F.lit(0.5)) == 0
+    )
+    return e.select(
+        "vec_id",
+        dround(
+            F.aggregate(qerr, F.lit(0.0), lambda a, b: a + b) / 64, 9
+        ).alias("mse"),
+        F.size(nz).cast("bigint").alias("n_zero"),
+    )
+
+
+@query(
+    "l_winsorize",
+    oracle="""
+    WITH pct AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS p05,
+               quantile_cont(n_chars, 0.95) AS p95
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS n,
+           ROUND(AVG(n_chars) * 1e4, 0) / 1e4 AS raw_avg,
+           ROUND(AVG(greatest(p05, least(p95, n_chars))) * 1e4, 0) / 1e4
+               AS win_avg,
+           CAST(SUM(CASE WHEN n_chars < p05 OR n_chars > p95
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM documents d JOIN pct USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def l_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-language length statistics: clip n_chars to its
+    language's [p05, p95] band, report raw vs clipped mean and the
+    clip count — the outlier-robust normalization step before length
+    features feed a quality model (Spark exact ``percentile`` ≡ DuckDB
+    ``quantile_cont``, both linear-interpolating).
+
+    Scale: pass 1 aggregates the quantiles per language (exact
+    percentile holds the group's values; at 100 TB swap in
+    approx_percentile — same algebra, fixed-memory GK sketch), the
+    tiny result broadcasts back, pass 2 is one partial+final agg. The
+    fact table shuffles once."""
+    d = table(spark, sf_dir, "documents")
+    pct = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.greatest("p05", F.least("p95", F.col("n_chars")))
+    return (
+        d.join(F.broadcast(pct), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.avg("n_chars"), 4).alias("raw_avg"),
+            dround(F.avg(clipped), 4).alias("win_avg"),
+            F.sum(
+                ((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95")))
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )

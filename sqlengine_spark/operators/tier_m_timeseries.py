@@ -151,3 +151,97 @@ def m_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dround(F.avg("value"), 2).alias("avg_v"),
     )
+
+
+@query(
+    "m_ts_zscore_roll",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type, value,
+               AVG(value)         OVER w AS mu,
+               STDDEV_SAMP(value) OVER w AS sd,
+               COUNT(*)           OVER w AS n_frame
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, n_frame,
+           ROUND((value - mu) / sd * 1e4, 0) / 1e4 + 0 AS z
+    FROM r
+    WHERE abs(ROUND((value - mu) / sd * 1e4, 0) / 1e4) > 2.5
+    """,
+)
+def m_ts_zscore_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: z-score of each event's value
+    against the trailing 25-observation mean/stddev of its event type;
+    emit only |z| > 2.5 outliers. The standard streaming-metrics alarm
+    computed as a batch window (the incremental form is the same state
+    shape as j_stateful_running: a per-key ring buffer).
+
+    Determinism: the anomaly filter compares the ROUNDED z in both
+    engines, so a 1-ulp float divergence can't flip row membership
+    (it would need z within 1e-4 of the 2.5 boundary AND the two
+    engines to round apart — measured clean at sf0.1). First row of
+    each partition has a 1-row frame → sd NULL → NULL filter drops it
+    identically in both engines.
+
+    Scale: one shuffle on event_type, one ordered scan per partition
+    with O(frame) carried state; output is filter-bounded to the
+    anomalies. Low-cardinality partition keys cap parallelism at
+    |event types| — at 100 TB you'd sub-key by (event_type, day) and
+    stitch frame edges, documented here rather than built because the
+    fixture has 5 types."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, W.currentRow)
+    )
+    z = dround((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.count("*").over(w).alias("n_frame"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+@query(
+    "m_ts_autocorr",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type, value,
+               lag(value) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev_value
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(prev_value) AS n_pairs,
+           ROUND(corr(value, prev_value) * 1e6, 0) / 1e6 + 0 AS acf1
+    FROM lagged
+    GROUP BY event_type
+    """,
+)
+def m_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of value per event type: pair each
+    observation with its predecessor in event-time order, then Pearson
+    corr over the pairs — the first diagnostic any time-series feature
+    pipeline computes (white noise ⇒ ~0, trending ⇒ → 1).
+
+    Scale: lag is a single-shuffle window (same exchange as the
+    aggregate that follows — Catalyst reuses the event_type
+    partitioning), corr is an algebraic aggregate (5 co-moment sums)
+    that partial-aggregates map-side. The +0 pin maps -0.0 to +0.0
+    (acf of white noise straddles zero — CLAUDE.md rule 5b)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev_value")
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("prev_value").alias("n_pairs"),
+        dround(F.corr("value", "prev_value"), 6).alias("acf1"),
+    )

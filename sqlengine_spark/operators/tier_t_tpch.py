@@ -1,10 +1,11 @@
 """Tier T — TPC-H-adapted benchmark suite (extensions beyond SURVEY §2).
 
-Fifteen classic TPC-H query shapes (Q3-Q22) adapted to the driver's
+Eighteen classic TPC-H query shapes (Q3-Q22) adapted to the driver's
 schema (FIXTURES.md): no ``partsupp`` table (Q9's supplycost becomes a
 fixed 10% of ``p_retailprice``), no ``l_shipmode``/``l_commitdate``
 (Q4's late-delivery EXISTS uses ``l_shipdate > o_orderdate + 30 days``;
-Q12 is dropped), no ``c_phone`` (Q22's country code becomes the last two
+Q12 keeps its CASE-split aggregation with l_returnflag standing in for
+the ship mode), no ``c_phone`` (Q22's country code becomes the last two
 digits of ``c_name``). Every query keeps the canonical plan shape the
 original exercises — that is the point of carrying them: together they
 cover multi-fact join trees, EXISTS/NOT-EXISTS semi/anti joins, scalar
@@ -785,4 +786,45 @@ def t_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+@query(
+    "t_q12_priority_class",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def t_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: the
+    schema has no l_shipmode/commitdate/receiptdate, so the "late"
+    predicate becomes shipdate > orderdate + 60 days and the grouping
+    key becomes l_returnflag — preserving the canonical Q12 shape: a
+    fact⋈fact join with a non-key residual predicate feeding a
+    conditional (CASE-split) aggregation.
+
+    Scale: orders⋈lineitem co-shuffles on the order key (both sides
+    partial-aggregate nothing before the join — the residual needs the
+    joined row); the CASE-split agg then partial-aggregates map-side
+    into |returnflag| groups. At 100 TB this is the bucketed-join
+    poster child: bucket both facts on orderkey and the exchange
+    disappears (c_join_range_bucketed demonstrates the technique)."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
     )

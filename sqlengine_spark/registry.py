@@ -193,6 +193,18 @@ PRIORITY_ORDER = (
     "t_q19_disjunctive",
     "t_q21_waiting_supplier",
     "t_q22_sales_opportunity",
+    # -- round-3 session-2 oracled extensions ---------------------------
+    "h_str_fuzzy",
+    "h_date_format",
+    "h_higher_order",
+    "d_agg_regr",
+    "d_agg_moments",
+    "m_ts_zscore_roll",
+    "m_ts_autocorr",
+    "l_dedup_fuzzy",
+    "l_vector_quantize",
+    "l_winsorize",
+    "t_q12_priority_class",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
