@@ -245,3 +245,47 @@ def test_domain_mix_single_shuffle_on_source(spark):
     # the only other exchange is the final presentation sort
     assert plan.count("Arguments: hashpartitioning(source") == 1
     assert plan.count("Window") >= 2
+
+
+# ---- round-3 session-2 additions --------------------------------------
+
+def test_dedup_fuzzy_blocked_equi_join(spark):
+    # blocking keys (bk, lb) must give the pair join a hashable equi
+    # core — levenshtein never appears in an unblocked cartesian
+    plan = _plan(spark, "l_dedup_fuzzy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_vector_quantize_map_only(spark):
+    # int8 quantization is a narrow transform fused into the scan: a
+    # 100 TB pass with zero shuffle
+    plan = _plan(spark, "l_vector_quantize")
+    assert "Exchange" not in plan
+
+
+def test_moments_broadcast_mu(spark):
+    # pass-1 per-group means broadcast back; the fact table never
+    # shuffles for the join (only for its own partial+final agg)
+    plan = _plan(spark, "d_agg_moments")
+    assert "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_winsorize_broadcast_percentiles(spark):
+    plan = _plan(spark, "l_winsorize")
+    assert "BroadcastExchange" in plan
+
+
+def test_autocorr_single_shuffle(spark):
+    # the lag window and the final agg share the event_type
+    # partitioning: exactly one round of exchanges on the fact table
+    plan = _plan(spark, "m_ts_autocorr")
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read marker)
+
+
+def test_tpch_q12_conditional_agg(spark):
+    plan = _plan(spark, "t_q12_priority_class")
+    assert plan.count("HashAggregate") >= 2  # partial+final CASE-split
+    assert "CartesianProduct" not in plan
