@@ -117,3 +117,59 @@ def a_scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     d.select("text").write.mode("overwrite").text(path)
     return spark.read.text(path)
+
+
+@query(
+    "a_table_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount),
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    """,
+)
+def a_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (row count, exact NDV,
+    min/max, null count) for three lineitem measures, in the long
+    one-row-per-column layout a catalog stores — the stats that feed
+    cost-based join reordering and that `ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS` would persist.
+
+    min/max project STORED doubles (no arithmetic → bit-identical to
+    the oracle, no rounding pin needed).
+
+    Scale: each column's stats are one partial+final aggregate; the
+    three stat rows union metadata-only. At 100 TB you'd flip exact
+    COUNT(DISTINCT) to approx_count_distinct (the HLL sketch
+    d_agg_approx_distinct demonstrates) — exact NDV is kept here
+    because the driver hash-compares values."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def stats(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v"),
+            F.sum(F.isnull(col).cast("int")).cast("bigint").alias("n_null"),
+        )
+
+    out = stats("l_quantity")
+    for c in ("l_extendedprice", "l_discount"):
+        out = out.unionAll(stats(c))
+    return out

@@ -66,3 +66,47 @@ def i_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sampleBy(
         "event_type", {"click": 0.2, "view": 0.05, "error": 1.0}, seed=42
     ).select("event_id", "event_type")
+
+
+@query(
+    "i_sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                      CAST(l_linenumber AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < 10
+    """,
+)
+def i_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key hash: md5 the row's natural key,
+    take the first 32 bits, keep rows whose value mod 100 < 10. Unlike
+    i_sample's RNG (engine-specific stream → rows-only), the hash
+    sample is REPRODUCIBLE across engines, runs, partitionings and
+    resharding — which is why production pipelines sample this way
+    (same idiom as l_split_hash's train/val/test ranges) — and so gets
+    a full SQL oracle.
+
+    Scale: a pure codegen predicate in the scan — embarrassingly
+    parallel, no shuffle, and the same rows survive no matter how the
+    data is re-partitioned."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return li.filter(bucket < 10).select("l_orderkey", "l_linenumber", "l_quantity")

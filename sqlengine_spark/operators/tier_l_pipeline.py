@@ -614,3 +614,69 @@ def l_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clipped"),
         )
     )
+
+
+@query(
+    "l_pack_sequences",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+        FROM d
+    )
+    SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY source, bin_id
+    """,
+)
+def l_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: within each
+    source (shard key), walk documents in stable doc_id order,
+    accumulate token counts, and cut a new 512-token bin whenever the
+    running total crosses the capacity — bin_id = floor(tokens-before-
+    this-doc / 512). Emits per-bin document count, token payload, and
+    the doc-id span. This is the packing step that turns a deduped
+    corpus into fixed-length pretraining sequences with minimal
+    padding.
+
+    Determinism: the walk order is (source, doc_id) — stable ids, no
+    RNG — so bins are reproducible across engines and re-runs, like
+    every sampling decision in this pipeline. Token counts are integer
+    arithmetic end-to-end (no float pins needed).
+
+    Scale: one shuffle on the shard key; the running sum is a single
+    ordered partition scan with O(1) carried state (identical shape to
+    m_ts_ffill), and the bin aggregation reuses the same exchange. At
+    100 TB the shard key IS the unit of parallelism — exactly how
+    distributed tokenizers shard packing."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "bin_id", F.floor((F.col("cum") - F.col("n_tok")) / 512).cast("bigint")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -205,6 +205,9 @@ PRIORITY_ORDER = (
     "l_vector_quantize",
     "l_winsorize",
     "t_q12_priority_class",
+    "a_table_stats",
+    "i_sample_hash",
+    "l_pack_sequences",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
