@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
 from sqlengine_spark.session import load_tables, table
+from sqlengine_spark.skew import salted_join
 
 
 @query(
@@ -357,4 +358,39 @@ def c_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "bucket")
         .filter((F.col("oa") < F.col("ob")) & (gap <= w))
         .select("oa", "ob", dround(gap, 2).alias("price_gap"))
+    )
+
+
+@query(
+    "c_join_salted",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           ROUND(SUM(value) * 100, 0) / 100 AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (skew.salted_join): the events fact
+    side is salted on its unique event_id, the customer dim replicated
+    once per salt, and the join keyed (custkey, salt) — so a hot
+    user's events spread across 16 tasks instead of one straggler.
+    The oracle is the PLAIN join: salting must be result-invariant,
+    which is the whole point of the driver check here.
+
+    Scale: this is the portable answer to power-law join skew when the
+    dim can't broadcast (too big for the driver / build side must stay
+    partitioned): |dim|×16 replication buys straggler-free parallelism.
+    AQE's skew-split covers the sort-merge case automatically;
+    explicit salting also covers shuffled-hash joins (hinted here, so
+    the plan demonstrably exercises the salted shuffle, not a
+    broadcast — plan-asserted in tests/test_plans.py)."""
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    joined = salted_join(
+        ev, c, big_key="user_id", small_key="c_custkey", row_key="event_id"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        dround(F.sum("value"), 2).alias("sum_value"),
     )

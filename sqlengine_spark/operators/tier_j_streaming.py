@@ -549,3 +549,36 @@ def j_sliding_1h_15m_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows, schema = run_stream_to_table(spark, stream, "complete")
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "j_stream_join_static_stream",
+    oracle="""
+    SELECT event_id, event_type, c_name, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def j_stream_join_static_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL form of j_stream_join_static: the enrichment join
+    executed BY the streaming engine — file-source micro-batches of
+    events, static customer dimension joined into every batch,
+    append-mode memory sink. Stateless (no stream-side buffering): each
+    micro-batch broadcasts the dim and emits immediately, so the final
+    emitted set must equal the batch join, which the oracle verifies.
+
+    Scale: the dim re-broadcasts per micro-batch (cached after the
+    first); the stream side never shuffles. This is the standard
+    streaming feature-enrichment topology — dimension updates between
+    batches are picked up automatically because the static plan is
+    re-bound each trigger."""
+    src = stage_events(spark, sf_dir)
+    c = table(spark, sf_dir, "customer")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "event_type", "c_name", "c_mktsegment")
+    )
+    rows, schema = run_stream_to_table(spark, stream, "append")
+    return spark.createDataFrame(rows, schema=schema)

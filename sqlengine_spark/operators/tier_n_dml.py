@@ -136,3 +136,35 @@ def n_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("customer_merged")
     merged.write.mode("overwrite").parquet(path)
     return spark.read.schema(merged.schema).parquet(path)
+
+
+@query(
+    "n_insert_append",
+    oracle="""
+    SELECT * FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 100000, 'COPY-' || s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_nationkey = 3
+    """,
+)
+def n_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO supplier SELECT ... — the append verb completing
+    the DML set (UPDATE/DELETE/MERGE above): derive new rows (nation-3
+    suppliers re-keyed past the existing range, names prefixed),
+    append to the snapshot, write, read back. The oracle replays the
+    statement as UNION ALL over the original table.
+
+    Scale: append-only commit — the new files land next to the old
+    ones with zero rewrite of existing data (the cheapest DML path in
+    any lakehouse format); the union itself is metadata-only."""
+    sup = table(spark, sf_dir, "supplier")
+    new_rows = sup.filter(F.col("s_nationkey") == 3).select(
+        (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+        F.concat(F.lit("COPY-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+        "s_acctbal",
+    )
+    appended = sup.unionAll(new_rows)
+    path = _scratch("supplier_inserted")
+    appended.write.mode("overwrite").parquet(path)
+    return spark.read.schema(appended.schema).parquet(path)

@@ -208,6 +208,9 @@ PRIORITY_ORDER = (
     "a_table_stats",
     "i_sample_hash",
     "l_pack_sequences",
+    "c_join_salted",
+    "n_insert_append",
+    "j_stream_join_static_stream",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

@@ -141,6 +141,9 @@ CARTESIAN_WHITELIST = {
     "l_sim_join_lsh",        # 64-row hyperplane table broadcast; the
                              # candidate join itself is (band,sig)-keyed
     "m_ts_gapfill",          # calendar-bounded |hours| x |types| grid
+    "c_join_salted",         # deliberate |dim| x n_salts replication
+                             # (the fact join itself is (key,salt)-keyed
+                             # shuffled-hash — asserted below)
     "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
 }
 
@@ -163,6 +166,8 @@ LINT_SKIP = {
     "n_update_rewrite",
     "n_delete_rewrite",
     "n_merge_upsert",
+    "n_insert_append",
+    "j_stream_join_static_stream",
 }
 
 
@@ -288,4 +293,13 @@ def test_autocorr_single_shuffle(spark):
 def test_tpch_q12_conditional_agg(spark):
     plan = _plan(spark, "t_q12_priority_class")
     assert plan.count("HashAggregate") >= 2  # partial+final CASE-split
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_shuffles_not_broadcast(spark):
+    # the salted join must demonstrate the salted SHUFFLE topology:
+    # replicated dim co-shuffled on (key, salt), not a broadcast that
+    # would make the salt a no-op
+    plan = _plan(spark, "c_join_salted")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
