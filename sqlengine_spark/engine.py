@@ -98,6 +98,13 @@ class SQLEngine:
 
         return dml.delete(self.table(name), condition)
 
+    def insert_into(self, name: str, rows: DataFrame) -> DataFrame:
+        """INSERT INTO <name> SELECT ... — append-only snapshot: the
+        cheapest DML verb (no rewrite of existing data; in a lakehouse
+        format this is a pure file-add commit). Columns are matched by
+        name so a reordered source can't silently corrupt the table."""
+        return self.table(name).unionByName(rows)
+
     def merge_into(self, name: str, source: DataFrame, key: str, **kw) -> DataFrame:
         """MERGE INTO <name> USING source ON key — one co-shuffled
         full-outer join; see dml.merge_into for the matched/not-matched

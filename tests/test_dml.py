@@ -65,3 +65,19 @@ def test_merge_matched_update_and_insert(spark):
         .collect()
     )
     assert [(r.id, r.v) for r in out] == [(1, 10.0), (2, 25.0), (3, 7.0)]
+
+
+def test_engine_insert_into_matches_by_name(spark):
+    from sqlengine_spark.engine import SQLEngine
+    from tests.conftest import SF_DIR
+
+    eng = SQLEngine(SF_DIR, spark)
+    # reordered columns must still land in the right slots
+    rows = spark.createDataFrame(
+        [( "XTRA", 99901, 3, 1.5)], "s_name string, s_suppkey long, s_nationkey int, s_acctbal double"
+    )
+    out = eng.insert_into("supplier", rows)
+    base = eng.table("supplier").count()
+    assert out.count() == base + 1
+    got = out.filter(F.col("s_suppkey") == 99901).collect()[0]
+    assert (got.s_name, got.s_nationkey, got.s_acctbal) == ("XTRA", 3, 1.5)
