@@ -11,6 +11,8 @@ where AQE handles skew (SURVEY §4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -393,4 +395,48 @@ def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
         dround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "c_join_dpp",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice) * 100, 0) / 100 AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def c_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the orders fact is staged partitioned
+    by o_orderstatus (hive layout), then joined to a tiny dimension
+    whose FILTER (label = 'final' → status 'F') is only known at run
+    time — Catalyst injects a dynamic-pruning subquery into the fact
+    scan's PartitionFilters, so only the 'F' directory is ever read
+    (plan-asserted: dynamicpruningexpression in tests/test_plans.py).
+    The oracle replays the dim filter as a literal predicate.
+
+    Scale: DPP is THE mechanism that makes star-schema joins on
+    partitioned 100 TB facts read |matching partitions| instead of the
+    full table when the partition predicate arrives through a dim
+    filter rather than a literal. Staging cost here is the test
+    harness's price for a partitioned input; a production table is
+    already laid out this way."""
+    from sqlengine_spark.operators.tier_a_scans import _scratch
+
+    o = table(spark, sf_dir, "orders")
+    path = _scratch(f"orders_dpp_{os.path.basename(sf_dir.rstrip('/'))}")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")], "st string, label string"
+    ).filter(F.col("label") == "final")
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.st)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
     )

@@ -211,6 +211,7 @@ PRIORITY_ORDER = (
     "c_join_salted",
     "n_insert_append",
     "j_stream_join_static_stream",
+    "c_join_dpp",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

@@ -168,6 +168,7 @@ LINT_SKIP = {
     "n_merge_upsert",
     "n_insert_append",
     "j_stream_join_static_stream",
+    "c_join_dpp",  # stages the partitioned fact at build time
 }
 
 
@@ -303,3 +304,10 @@ def test_salted_join_shuffles_not_broadcast(spark):
     plan = _plan(spark, "c_join_salted")
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    # the dim-side runtime filter must reach the partitioned fact scan
+    # as a dynamic-pruning subquery — the star-schema 100 TB read path
+    plan = _plan(spark, "c_join_dpp")
+    assert "dynamicpruning" in plan.lower()
