@@ -29,6 +29,7 @@ so HAVING/threshold comparisons on their sums are exact.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
@@ -827,4 +828,202 @@ def t_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
             F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
+    )
+
+
+def _europe_supplycost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp for Q2: the schema has no partsupp table, so
+    (part, supplier) supply relationships come from lineitem history and
+    supplycost = MIN(l_extendedprice) over that pair — MIN of raw column
+    values involves no arithmetic, so the correlated-equality comparison
+    below is exact in both engines. Restricted to EUROPE suppliers
+    (region/nation broadcast — 5/25 rows, fixed size forever)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+
+
+@query(
+    "t_q02_min_cost_supp",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM part
+    JOIN ps       ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_size <= 10 AND p_type = 'STANDARD'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def t_q02_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier), adapted: partsupp is derived
+    from lineitem (see _europe_supplycost). The canonical shape — a
+    correlated scalar-MIN subquery per part — is expressed Spark-first
+    as a window MIN over the part key on the already-filtered EUROPE
+    supply set, then an equality filter: one shuffle on ps_partkey
+    replaces the oracle's per-row re-aggregation, same rows exactly
+    (MIN of raw doubles, no arithmetic -> bit-identical equality).
+
+    Scale: the window partitions by partkey — the same key the derived
+    ps aggregation just shuffled on, so AQE reuses the partitioning; at
+    100 TB the part filter (size+type, pushed to the scan) prunes
+    before the final join, and (s_name, p_partkey) gives the LIMIT a
+    total order (TakeOrderedAndProject, no global sort).
+    """
+    ps_eu = _europe_supplycost(spark, sf_dir)
+    w = W.partitionBy("l_partkey")
+    best = ps_eu.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        best.join(p, F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "t_q11_important_stock",
+    oracle="""
+    SELECT l_partkey AS ps_partkey,
+           ROUND(SUM(l_extendedprice * l_quantity) * 100, 0) / 100 AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * l_quantity) > (
+        SELECT 1.5 * SUM(l_extendedprice * l_quantity)
+                   / COUNT(DISTINCT l_partkey)
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7')
+    """,
+)
+def t_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: part value
+    comes from lineitem (extendedprice x quantity) of one nation's
+    suppliers; HAVING compares each part's value against a scalar
+    subquery (1.5x the nation's average part value — scale-free, so the
+    selectivity holds at every SF, unlike the original's 0.0001/SF
+    constant) — the two-level-aggregation + scalar-threshold shape Q11
+    exists to exercise.
+
+    Scale: the per-part aggregate shuffles once on l_partkey with
+    map-side partial agg; the scalar total is a second pass over the
+    SAME filtered join reduced to ONE row, crossJoin-broadcast to the
+    comparison (O(1) data motion — the c_subquery_scalar idiom). The
+    nation filter prunes supplier before the fact join; supplier is
+    broadcast. The raw-sum HAVING comparison is flip-safe in practice:
+    a part sits on the threshold only within ~1e-12 relative error.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    )
+    base = li.join(s, F.col("l_suppkey") == s.s_suppkey).join(
+        n, s.s_nationkey == F.col("n_nationkey")
+    )
+    val = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    per_part = base.groupBy("l_partkey").agg(
+        val.alias("raw_value"), dround(val, 2).alias("part_value")
+    )
+    thresh = base.agg(
+        (F.lit(1.5) * val / F.count_distinct(F.col("l_partkey"))).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("ps_partkey"), "part_value")
+    )
+
+
+@query(
+    "t_q20_potential_promo",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 3
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > (
+            SELECT 0.5 * SUM(l_quantity) / COUNT(DISTINCT l_suppkey)
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+    ORDER BY s_name
+    """,
+)
+def t_q20_potential_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no partsupp
+    availqty, so "excess stock" becomes a supplier whose shipped
+    quantity of 'small%' parts in 1996 exceeds half the average shipped
+    quantity across all such suppliers — keeping Q20's canonical nested
+    shape: an IN-subquery over a grouped-HAVING set whose threshold is
+    itself a scalar subquery. The threshold divides exact integer sums
+    by an exact count, so both engines compute the identical double.
+
+    Scale: part filter prunes before the fact join (broadcast part
+    prefix set); the per-supplier agg shuffles on l_suppkey map-side
+    combined; the scalar threshold is one broadcast row; the final
+    membership test is a LEFT SEMI join into supplier (no fanout, no
+    distinct). Region filter on the broadcast nation dim.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    per_supp = shipped.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    thresh = per_supp.agg(
+        (F.lit(0.5) * F.sum("qty") / F.count("l_suppkey")).alias("threshold")
+    )
+    qualified = (
+        per_supp.crossJoin(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("threshold"))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3))
+    return (
+        s.join(n, s.s_nationkey == F.col("n_nationkey"))
+        .join(qualified, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )

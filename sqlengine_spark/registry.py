@@ -212,6 +212,9 @@ PRIORITY_ORDER = (
     "n_insert_append",
     "j_stream_join_static_stream",
     "c_join_dpp",
+    "t_q02_min_cost_supp",
+    "t_q11_important_stock",
+    "t_q20_potential_promo",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

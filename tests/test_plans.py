@@ -145,6 +145,8 @@ CARTESIAN_WHITELIST = {
                              # (the fact join itself is (key,salt)-keyed
                              # shuffled-hash — asserted below)
     "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
+    "t_q11_important_stock",    # 1-row nation-total scalar broadcast
+    "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
 }
 
 # Heavy side-effecting queries whose DataFrame construction executes
@@ -229,6 +231,22 @@ def test_tpch_q18_semi_then_agg(spark):
     plan = _plan(spark, "t_q18_large_volume")
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q2_window_min_take_ordered(spark):
+    # the correlated scalar-MIN is a window over the part key, not a
+    # re-aggregating self-join; top-100 is TakeOrdered, no global sort
+    plan = _plan(spark, "t_q02_min_cost_supp")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_semi_join_membership(spark):
+    # the IN-subquery chain must end as a LEFT SEMI into supplier —
+    # no fanout, no post-join distinct
+    plan = _plan(spark, "t_q20_potential_promo")
+    assert "LeftSemi" in plan
 
 
 # ---- training-pipeline scale shapes -----------------------------------
