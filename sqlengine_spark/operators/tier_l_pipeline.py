@@ -680,3 +680,65 @@ def l_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "l_decontaminate",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), g AS (
+        SELECT doc_id, source, array_to_string(ws[i : i + 2], ' ') AS gram
+        FROM (SELECT doc_id, source, ws,
+                     unnest(range(1, len(ws) - 1)) AS i
+              FROM w)
+    ), bench AS (
+        SELECT DISTINCT gram FROM g WHERE source = 'src0'
+    )
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+    FROM g JOIN bench USING (gram)
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def l_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    word n-grams with a held-out benchmark set (here: the 'src0' source
+    stands in for the benchmark; n=3 because this corpus draws from a
+    ~30-word vocabulary — production decontamination uses the same
+    pipeline with n=8..13 over a real vocabulary). Output: every
+    contaminated doc with its count of distinct shared n-grams. This is
+    the standard pre-training hygiene pass (GPT-3 appendix C / PaLM
+    style) expressed as a pure inverted-index join.
+
+    Scale: benchmark suites are MBs while the corpus is TBs, so the
+    distinct benchmark-gram set broadcasts (plan: BroadcastHashJoin on
+    gram — no shuffle of the corpus gram stream); the per-doc distinct
+    count then shuffles on doc_id once, partially aggregated map-side.
+    At real n (8-13) grams get md5-hashed to 16 bytes before the join
+    to cut shuffle width — same plan shape. Gram explosion is a narrow
+    map (split once, slice per offset), fan-out bounded by doc length.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+    )
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))")
+        ).alias("gram"),
+    )
+    bench = g.filter(F.col("source") == "src0").select("gram").distinct()
+    return (
+        g.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared"))
+        .orderBy("doc_id")
+    )

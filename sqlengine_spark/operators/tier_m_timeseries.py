@@ -245,3 +245,163 @@ def m_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("prev_value").alias("n_pairs"),
         dround(F.corr("value", "prev_value"), 6).alias("acf1"),
     )
+
+
+@query(
+    "m_ts_twa",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                 - epoch_us(ts) AS dt
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dt) / SUM(dt) * 1e4, 0) / 1e4 + 0 AS twa
+    FROM s WHERE dt IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def m_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the hypertable `time_weight` aggregate):
+    each observation holds until the next one, so the mean weights each
+    value by its holding interval — sum(value*dt)/sum(dt) with dt from
+    lead() over the per-user timeline; a user's last observation has no
+    interval and is excluded. dt is integer microseconds on BOTH
+    engines (unix_micros / epoch_us), so the weights are exact.
+
+    Scale: one shuffle on user_id serves both the lead() window and the
+    aggregate (same partitioning, AQE reuses the exchange); state is
+    one row of lookahead. The streaming form is the same expression
+    over applyInPandasWithState with the previous row as state.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    s = e.select(
+        "user_id", "value", (F.lead(us).over(w) - us).alias("dt")
+    ).filter(F.col("dt").isNotNull())
+    return (
+        s.groupBy("user_id")
+        .agg(dround(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias("twa"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "m_funnel_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2 AS stage, 'click' AS event_type, COUNT(*) AS n_users FROM c
+    UNION ALL
+    SELECT 3 AS stage, 'purchase' AS event_type, COUNT(*) AS n_users FROM p
+    ORDER BY stage
+    """,
+)
+def m_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: users who viewed, then clicked
+    strictly after their first view, then purchased strictly after that
+    first qualifying click — the ordered-sequence semantics every
+    product-analytics engine ships (funnel/windowFunnel). Each stage is
+    a keyed MIN-aggregate joined back to the event stream.
+
+    Scale: all three stage aggregates and both joins key on user_id —
+    one partitioning reused end-to-end (AQE coalesces the exchanges);
+    stage outputs shrink monotonically, and the per-stage row is a
+    single global count. No window over the full stream, no fanout.
+    """
+    e = table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t2", "t1")
+    p = first_after(c, "purchase", "t3", "t2")
+
+    def stage(df: DataFrame, n: int, etype: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(n).alias("stage"), F.lit(etype).alias("event_type"), "n_users"
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionAll(stage(c, 2, "click"))
+        .unionAll(stage(p, 3, "purchase"))
+        .orderBy("stage")
+    )
+
+
+@query(
+    "m_cohort_retention",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT cohort_week,
+           CAST((CAST(wk AS DATE) - CAST(cohort_week AS DATE)) // 7
+                AS BIGINT) AS weeks_since,
+           COUNT(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def m_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    first event (the cohort), counted in every subsequent week they
+    were active — the classic retention triangle. Both engines
+    date_trunc to Monday-start weeks; weeks_since is exact integer
+    day-arithmetic (always a multiple of 7) so no float is involved.
+
+    Scale: first-event cohorts and per-week activity both shuffle on
+    user_id (shared partitioning); the distinct collapses each user to
+    |active weeks| rows before the join, so the retention join is
+    user-keyed and the final matrix is |cohorts| x |weeks| — calendar-
+    sized, independent of event volume.
+    """
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = e.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -215,6 +215,10 @@ PRIORITY_ORDER = (
     "t_q02_min_cost_supp",
     "t_q11_important_stock",
     "t_q20_potential_promo",
+    "l_decontaminate",
+    "m_ts_twa",
+    "m_funnel_stages",
+    "m_cohort_retention",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

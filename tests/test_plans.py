@@ -329,3 +329,25 @@ def test_dpp_prunes_fact_partitions(spark):
     # as a dynamic-pruning subquery — the star-schema 100 TB read path
     plan = _plan(spark, "c_join_dpp")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    # the benchmark gram set must broadcast — the corpus gram stream is
+    # never shuffled for the join; only the per-doc count shuffles
+    plan = _plan(spark, "l_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2      # partial+final distinct count
+
+
+def test_twa_window_and_agg_share_user_partitioning(spark):
+    # lead() window and the aggregate both key on user_id — exactly one
+    # hash-partitioning exchange on user_id in the plan
+    plan = _plan(spark, "m_ts_twa")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "Window" in plan
+
+
+def test_funnel_no_cartesian_user_keyed(spark):
+    plan = _plan(spark, "m_funnel_stages")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
