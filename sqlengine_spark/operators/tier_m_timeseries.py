@@ -405,3 +405,92 @@ def m_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@query(
+    "m_ts_rollup_2level",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS cnt, SUM(value) AS sv
+        FROM events GROUP BY h, event_type
+    )
+    SELECT date_trunc('day', h) AS d, event_type,
+           CAST(SUM(cnt) AS BIGINT) AS cnt,
+           ROUND(SUM(sv) * 100, 0) / 100 + 0 AS sum_value
+    FROM hourly
+    GROUP BY d, event_type
+    ORDER BY d, event_type
+    """,
+)
+def m_ts_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (the hypertable continuous-aggregate shape):
+    the daily aggregate is computed FROM the hourly aggregate, not from
+    raw events — count/sum re-aggregate losslessly, which is exactly
+    why continuous-aggregate systems store those partials. The oracle
+    replays the same two-level shape so both engines combine identical
+    hourly partials.
+
+    Scale: this is the 100 TB materialized-rollup pattern — raw events
+    are touched once for the hourly tier (|hours|x|types| rows), and
+    every coarser tier re-aggregates the one above it at calendar cost,
+    independent of event volume. In Spark the second groupBy's input is
+    already tiny, so AQE collapses it to a handful of partitions.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("d"), "event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            dround(F.sum("sv"), 2).alias("sum_value"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+@query(
+    "m_event_transitions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n,
+           ROUND(COUNT(*) * 1e4 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 0)
+             / 1e4 AS p
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+)
+def m_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (Markov) matrix: for each consecutive pair of
+    events on a user's timeline, count from->to transitions and the
+    per-source transition probability — the click-path building block
+    behind next-action prediction and anomaly scoring. The probability
+    divides exact integer counts, so both engines produce the identical
+    double before rounding.
+
+    Scale: the lead() window shuffles once on user_id with one row of
+    lookahead state; the pair count partial-aggregates map-side into at
+    most |types|^2 groups; the ratio window runs over those ~25 rows.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    wt = W.partitionBy("from_type")
+    return (
+        s.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("p", dround(F.col("n") / F.sum("n").over(wt), 4))
+        .orderBy("from_type", "to_type")
+    )

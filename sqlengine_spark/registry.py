@@ -219,6 +219,8 @@ PRIORITY_ORDER = (
     "m_ts_twa",
     "m_funnel_stages",
     "m_cohort_retention",
+    "m_ts_rollup_2level",
+    "m_event_transitions",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
