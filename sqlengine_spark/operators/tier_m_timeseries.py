@@ -367,12 +367,12 @@ def m_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), a AS (
         SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
     )
-    SELECT cohort_week,
+    SELECT CAST(CAST(cohort_week AS DATE) AS VARCHAR) AS cohort_week,
            CAST((CAST(wk AS DATE) - CAST(cohort_week AS DATE)) // 7
                 AS BIGINT) AS weeks_since,
            COUNT(*) AS n_users
     FROM a JOIN f USING (user_id)
-    GROUP BY cohort_week, weeks_since
+    GROUP BY 1, weeks_since
     ORDER BY cohort_week, weeks_since
     """,
 )
@@ -382,6 +382,9 @@ def m_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     were active — the classic retention triangle. Both engines
     date_trunc to Monday-start weeks; weeks_since is exact integer
     day-arithmetic (always a multiple of 7) so no float is involved.
+    cohort_week is a derived DATE, so both engines project it as a
+    yyyy-MM-dd string (CLAUDE.md rule 3 — DuckDB date_trunc at week
+    granularity yields DATE where Spark yields TIMESTAMP).
 
     Scale: first-event cohorts and per-week activity both shuffle on
     user_id (shared partitioning); the distinct collapses each user to
@@ -397,7 +400,7 @@ def m_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(f, "user_id")
         .groupBy(
-            "cohort_week",
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
             .cast("bigint")
             .alias("weeks_since"),
@@ -415,11 +418,12 @@ def m_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS cnt, SUM(value) AS sv
         FROM events GROUP BY h, event_type
     )
-    SELECT date_trunc('day', h) AS d, event_type,
+    SELECT CAST(CAST(date_trunc('day', h) AS DATE) AS VARCHAR) AS d,
+           event_type,
            CAST(SUM(cnt) AS BIGINT) AS cnt,
            ROUND(SUM(sv) * 100, 0) / 100 + 0 AS sum_value
     FROM hourly
-    GROUP BY d, event_type
+    GROUP BY 1, event_type
     ORDER BY d, event_type
     """,
 )
@@ -442,7 +446,10 @@ def m_ts_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
     return (
-        hourly.groupBy(F.date_trunc("day", "h").alias("d"), "event_type")
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("d"),
+            "event_type",
+        )
         .agg(
             F.sum("cnt").cast("bigint").alias("cnt"),
             dround(F.sum("sv"), 2).alias("sum_value"),

@@ -89,13 +89,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       evaluate in the session timezone; the DuckDB oracles are naive/UTC.
       A driver host on a non-UTC JVM default would silently shift every
       timestamp-derived value without this pin.
-    - ``spark.sql.legacy.parquet.nanosAsLong`` — events.ts is
-      TIMESTAMP(NANOS), which Spark 4 otherwise rejects outright.
+    - ``spark.sql.legacy.parquet.nanosAsLong`` — an events.ts written as
+      TIMESTAMP(NANOS) (round-1/2 testdata) is otherwise rejected
+      outright by Spark 4.
 
-    ``events.ts`` is then converted nanos->µs with integer DIV — the same
-    floor-truncation DuckDB applies reading ns into its µs TIMESTAMP, so
-    oracles agree (SURVEY §5.4 R3). Integer DIV, not float division: ns
-    epoch values ~1.7e18 exceed double's 53-bit exact-integer range.
+    ``events.ts`` is normalised to a session-timezone TIMESTAMP whatever
+    physical type the parquet carries — the generator has shipped BOTH
+    nanos (rounds 1-2) and micros (round 3), so sniff the read dtype:
+
+    - BIGINT (nanos via the legacy conf): integer ``DIV 1000`` then
+      ``timestamp_micros`` — the same floor-truncation DuckDB applies
+      reading ns into its µs TIMESTAMP (SURVEY §5.4 R3). Integer DIV,
+      not float division: ns epoch ~1.7e18 exceeds double's 53-bit
+      exact-integer range.
+    - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false): cast to TIMESTAMP
+      (LTZ) — with the session timezone pinned UTC the wall-clock values
+      are identical to what DuckDB's naive TIMESTAMP reads, and every
+      downstream unix_timestamp / window / date_trunc keeps the exact
+      semantics the nanos path had.
+    - TIMESTAMP (LTZ): already the canonical form; leave untouched.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cache = _TABLE_CACHE.setdefault(spark, {})
@@ -107,8 +119,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     cache[key] = df
     return df
 
