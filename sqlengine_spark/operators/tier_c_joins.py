@@ -440,3 +440,70 @@ def c_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "c_join_bloom",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) / 100 + 0
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a runtime bloom-filter: the selective dim-side
+    predicate (urgent orders) is turned by Catalyst into a
+    ``bloom_filter_agg`` subquery whose ``might_contain`` probe is
+    injected into the FACT scan's filter — rows for non-urgent orders
+    are dropped before the shuffle, not after the join
+    (tests/test_plans.py asserts the injected probe).
+
+    Scale: at 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only the ~20% that can match — the runtime
+    filter needs no bucketing, no manual pre-join, and composes with
+    AQE. At production scale the dim side exceeds the broadcast
+    threshold naturally and Catalyst injects the filter on its own; the
+    sf0.01 test dim is broadcast-sized, so the broadcast threshold is
+    disabled ONLY for this query's logical optimization (forced and
+    cached via its QueryExecution, then the conf is restored — later
+    queries in the session keep their broadcasts; results are conf-
+    independent either way, as the oracle proves). The bloom thresholds
+    themselves are injection gates only; they never change results.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # Logical optimization (where InjectRuntimeFilter runs) is lazy
+        # AND cached per QueryExecution — force it under the scoped conf
+        # so the bloom probe lands, then restore before anyone else plans.
+        out._jdf.queryExecution().optimizedPlan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out

@@ -272,3 +272,53 @@ def e_win_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.cume_dist().over(wspec), 6).alias("cd"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
     )
+
+
+@query(
+    "e_win_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    ), streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS len FROM isl
+        GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def e_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of consecutive
+    active days. The classic trick — ``day − row_number()`` is constant
+    within a consecutive run — turns streak detection into a plain
+    groupBy; the anchor date stays internal (never projected, per the
+    no-raw-derived-dates rule).
+
+    Scale: one shuffle on user_id serves the distinct, the window, and
+    both aggregations (same key throughout — Catalyst reuses the
+    partitioning); state per user is |active days|, calendar-bounded,
+    so no skew regardless of event volume per user.
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )

@@ -501,3 +501,127 @@ def m_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p", dround(F.col("n") / F.sum("n").over(wt), 4))
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "m_attribution_last_touch",
+    oracle="""
+    WITH tl AS (
+        SELECT event_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM tl WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY touch
+    """,
+)
+def m_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding view/click (``none`` if the purchase is the
+    user's first touch). One ignore-nulls last_value over the user
+    timeline carries the latest marketing touch forward; counts are
+    exact integers so no float policy is needed.
+
+    Scale: single shuffle on user_id, one row of carried state per
+    user — the same union-merge family as the as-of join, never a
+    per-purchase lookback join; the final count collapses map-side to
+    |touch types| rows.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select("event_type", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("touch")
+    )
+
+
+#: Bounded-lookback EWMA: weights for the current row and the 9 before
+#: it, alpha = 0.3. A fixed tap count keeps the formula exact SQL in
+#: both engines (a true recursive EWMA needs unbounded recursion that
+#: neither engine's window frame expresses); 10 taps of 0.7^i leave a
+#: residual weight of 0.7^10 ~ 2.8%, renormalised away below.
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 10
+
+
+@query(
+    "m_ts_ewma",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, value,
+               {", ".join(
+                   f"lag(value, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v{i}"
+                   for i in range(1, _EWMA_TAPS)
+               )}
+        FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND((
+               (value * {_EWMA_ALPHA}
+                {" ".join(
+                    f"+ CASE WHEN v{i} IS NOT NULL THEN v{i} * {_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i!r} ELSE 0 END"
+                    for i in range(1, _EWMA_TAPS)
+                )})
+               /
+               ({_EWMA_ALPHA}
+                {" ".join(
+                    f"+ CASE WHEN v{i} IS NOT NULL THEN {_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i!r} ELSE 0 END"
+                    for i in range(1, _EWMA_TAPS)
+                )})
+           ) * 1e6, 0) / 1e6 + 0 AS ewma
+    FROM lagged
+    ORDER BY user_id, event_id
+    """,
+)
+def m_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event
+    values, 10-tap bounded lookback (see _EWMA_ALPHA note): the weighted
+    sum over explicit lag() taps is the same left-to-right double
+    arithmetic in both engines, so values match bit-for-bit under the
+    shared round policy. Early rows renormalise over the taps that
+    exist, exactly like pandas ``ewm(adjust=True)``.
+
+    Scale: one shuffle on user_id serves all taps (one Window node, 10
+    frame reads of already-sorted rows); output is map-only after the
+    window. Fixed tap count = fixed state, no per-user skew term.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value") * _EWMA_ALPHA]
+    wsum = [F.lit(_EWMA_ALPHA)]
+    for i in range(1, _EWMA_TAPS):
+        v = F.lag("value", i).over(w)
+        wt = _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i
+        lags.append(F.when(v.isNotNull(), v * wt).otherwise(F.lit(0.0)))
+        wsum.append(F.when(v.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0)))
+    num = lags[0]
+    for t in lags[1:]:
+        num = num + t
+    den = wsum[0]
+    for t in wsum[1:]:
+        den = den + t
+    return (
+        e.select(
+            "user_id", "event_id", dround(num / den, 6).alias("ewma")
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -16,6 +16,7 @@ do with file-level pruning on top.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqlengine_spark import dml
@@ -168,3 +169,66 @@ def n_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("supplier_inserted")
     appended.write.mode("overwrite").parquet(path)
     return spark.read.schema(appended.schema).parquet(path)
+
+
+@query(
+    "n_scd2_history",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_prio
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), versions AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        FROM changes
+        WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS valid_from,
+           CAST(CAST(lead(o_orderdate) OVER w2 AS DATE) AS VARCHAR)
+             AS valid_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+    FROM versions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, valid_from, o_orderpriority
+    """,
+)
+def n_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each customer's order-priority
+    state becomes a versioned history row — consecutive repeats
+    collapse, valid_from/valid_to chain via lead(), the open version
+    flags is_current. This is the MERGE-into-history pattern every
+    warehouse dimension load runs; expressed declaratively it is two
+    windows over one partitioning. Derived dates project as yyyy-MM-dd
+    strings in both engines (rule 3); (o_orderdate, o_orderkey) is the
+    deterministic total order within a customer.
+
+    Scale: both windows and the change-filter share the o_custkey
+    shuffle (one Exchange, plan-asserted); state is one row of lag
+    lookback. History size is |state changes|, not |orders| — the
+    collapse happens before the second window touches anything.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+    ).filter(
+        F.col("prev_prio").isNull()
+        | (F.col("prev_prio") != F.col("o_orderpriority"))
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return (
+        changes.select(
+            "o_custkey",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "valid_from", "o_orderpriority")
+    )

@@ -221,6 +221,12 @@ PRIORITY_ORDER = (
     "m_cohort_retention",
     "m_ts_rollup_2level",
     "m_event_transitions",
+    # -- round-3 session-3 oracled extensions ---------------------------
+    "c_join_bloom",
+    "e_win_gaps_islands",
+    "m_attribution_last_touch",
+    "m_ts_ewma",
+    "n_scd2_history",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

@@ -351,3 +351,45 @@ def test_funnel_no_cartesian_user_keyed(spark):
     plan = _plan(spark, "m_funnel_stages")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_filter_reaches_fact_scan(spark):
+    # the dim-side predicate must inject a bloom probe into the FACT
+    # side's pre-shuffle filter — rows drop before the exchange, the
+    # 100 TB shuffle-volume lever for selective shuffle joins
+    plan = _plan(spark, "c_join_bloom")
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+
+
+def test_gaps_islands_two_hash_exchanges(spark):
+    # distinct shuffles on (user_id, day); window + both aggregations
+    # then share the user_id partitioning — nothing else may shuffle
+    plan = _plan(spark, "e_win_gaps_islands")
+    assert plan.count("Arguments: hashpartitioning(") == 2
+
+
+def test_attribution_single_user_shuffle(spark):
+    # carried-touch window and the final count: one user_id exchange;
+    # the count collapses map-side to |touch| rows first
+    plan = _plan(spark, "m_attribution_last_touch")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "Window" in plan
+
+
+def test_ewma_single_window_single_shuffle(spark):
+    # all 10 lag taps must fold into ONE Window node over one user_id
+    # exchange — per-tap windows would sort the partition 10 times
+    plan = _plan(spark, "m_ts_ewma")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    import re
+
+    window_nodes = re.findall(r"^\(\d+\) Window$", plan, flags=re.M)
+    assert len(window_nodes) == 1
+
+
+def test_scd2_windows_share_custkey_shuffle(spark):
+    # change-detect lag and the valid_to lead partition identically —
+    # Catalyst must plan exactly one o_custkey exchange for both
+    plan = _plan(spark, "n_scd2_history")
+    assert plan.count("Arguments: hashpartitioning(o_custkey") == 1
