@@ -507,3 +507,61 @@ def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
+
+
+@query(
+    "c_join_asof_tol",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.ts <= o.o_orderdate + INTERVAL 30 DAY
+                THEN o.o_orderdate END AS recent_orderdate
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def c_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance window (the kdb/pandas ``asof(...,
+    tolerance=30d)`` semantics): each event matches its user's most
+    recent order only if that order is at most 30 days old, else NULL.
+    Tolerance composes on the union-merge idiom for free — carry the
+    running latest order date, then nullify beyond the bound; the
+    oracle replays it as ASOF LEFT JOIN + the same CASE.
+
+    Scale: identical to c_join_asof — ONE shuffle on user_id, no row
+    multiplication, O(1) carried state; the tolerance is a post-window
+    codegen expression, costing nothing extra. A join-based tolerance
+    formulation would need a range join and re-open the power-law
+    fanout this idiom exists to avoid.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ord_date"),
+        F.lit(1).alias("side"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("ord_date"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_od = F.max("ord_date").over(w)
+    return (
+        o.unionByName(ev)
+        .withColumn(
+            "recent_orderdate",
+            F.when(
+                F.col("t") <= last_od + F.expr("INTERVAL 30 DAYS"), last_od
+            ),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "recent_orderdate")
+    )

@@ -110,3 +110,37 @@ def i_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     return li.filter(bucket < 10).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "i_sample_weighted",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 * 500.0 < value
+    """,
+)
+def i_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling: each row survives with
+    probability proportional to its ``value`` (u01(md5(key)) * V_max <
+    value) — importance sampling for training-data curation (keep
+    high-signal rows more often) with the same partition-invariant
+    reproducibility as i_sample_hash: the kept set is identical across
+    engines, re-runs and ANY resharding, which no RNG sampler promises.
+    The u01 is an exact power-of-two division of the first 32 md5 bits,
+    so both engines compare bit-identical doubles.
+
+    Scale: pure codegen predicate in the scan — no shuffle, no state;
+    the weight ceiling is a pipeline constant (500 covers the fixture's
+    value range), not a computed max, so no pre-pass is needed.
+    """
+    e = table(spark, sf_dir, "events")
+    u01 = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return e.filter(u01 * F.lit(500.0) < F.col("value")).select(
+        "event_id", "user_id", "value"
+    )

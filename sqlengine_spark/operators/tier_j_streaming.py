@@ -582,3 +582,89 @@ def j_stream_join_static_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows, schema = run_stream_to_table(spark, stream, "append")
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "j_foreach_batch_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_event_id,
+           arg_max(value, event_id) AS last_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def j_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (foreachBatch upsert): the events stream drains
+    micro-batch by micro-batch into a per-user latest-state snapshot —
+    each batch reduces to one row per user seen, then MERGEs into the
+    running snapshot keeping the newer event (conditional update via
+    dml.merge_into), exactly the lakehouse CDC-upsert loop
+    (foreachBatch + MERGE) run by every streaming materialized view.
+    The final snapshot must equal the batch GROUP BY — the oracle
+    hash-checks the whole multi-batch merge chain. event_id is the
+    recency key (the fixture stream is ts-ascending, FIXTURES.md), so
+    ties are impossible and the result is deterministic.
+
+    Scale: per-batch state motion is |users in batch| rows; the merge
+    is one key-shuffled outer join against the snapshot. In production
+    the snapshot is a lakehouse table (Delta/Iceberg MERGE) and the
+    per-batch write rewrites only matched files; the parquet
+    version-swap here is the same commit protocol at demo scale.
+    """
+    from sqlengine_spark.dml import merge_into
+
+    src_dir = stage_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sqlengine_upsert_snap_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="sqlengine_upsert_ckpt_")
+    state: dict[str, str | None] = {"path": None}
+
+    def upsert(batch_df, batch_id: int) -> None:
+        src = batch_df.groupBy("user_id").agg(
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+        if state["path"] is None:
+            new = src
+        else:
+            tgt = spark.read.parquet(state["path"])
+            newer = F.col("src_last_event_id") > F.col("last_event_id")
+            new = merge_into(
+                tgt,
+                src,
+                "user_id",
+                update_cols={
+                    "last_event_id": F.when(
+                        newer, F.col("src_last_event_id")
+                    ).otherwise(F.col("last_event_id")),
+                    "last_value": F.when(
+                        newer, F.col("src_last_value")
+                    ).otherwise(F.col("last_value")),
+                },
+            )
+        out = os.path.join(base, f"v{batch_id}")
+        new.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .select("user_id", "event_id", "value")
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(ckpt, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    snap = spark.read.parquet(state["path"])
+    return snap.select(
+        "user_id",
+        F.col("last_event_id").cast("bigint").alias("last_event_id"),
+        "last_value",
+    ).orderBy("user_id")

@@ -742,3 +742,81 @@ def l_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("gram").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+#: Non-overlapping passage size (words) for corpus-level passage dedup.
+PASSAGE_WORDS = 30
+
+
+@query(
+    "l_dedup_passage",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), s AS (
+        SELECT doc_id, words,
+               unnest(range(0, len(words), {PASSAGE_WORDS})) AS st
+        FROM w
+    ), c AS (
+        SELECT doc_id, st // {PASSAGE_WORDS} AS chunk_id,
+               md5(array_to_string(words[st + 1 : st + {PASSAGE_WORDS}], ' ')) AS h
+        FROM s
+    ), r AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id)
+                 AS rn
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages
+    FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def l_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) exact dedup: split every document
+    into non-overlapping 30-word passages, md5 each, and mark every
+    passage that repeats an earlier (doc_id, chunk_id) occurrence
+    anywhere in the corpus — the granularity at which boilerplate and
+    template text actually repeats, which whole-document dedup misses
+    entirely. Output is the per-document duplication profile a curation
+    pipeline filters on.
+
+    Scale: the passage stream is a narrow map stage (split + explode +
+    slice + md5); first-occurrence ranking shuffles ONCE keyed by the
+    content hash — same key distribution as l_dedup_exact, no skew
+    beyond true content skew (a boilerplate passage's bucket is its
+    actual global frequency, exactly what the operator must count);
+    the per-doc profile re-aggregates map-side on doc_id.
+    """
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    c = w.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("words") - 1, F.lit(PASSAGE_WORDS))
+        ).alias("st"),
+        "words",
+    ).select(
+        "doc_id",
+        (F.col("st") / PASSAGE_WORDS).cast("bigint").alias("chunk_id"),
+        F.md5(
+            F.array_join(F.slice("words", F.col("st") + 1, PASSAGE_WORDS), " ")
+        ).alias("h"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    )
+    return (
+        c.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias(
+                "n_dup_passages"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -227,6 +227,10 @@ PRIORITY_ORDER = (
     "m_attribution_last_touch",
     "m_ts_ewma",
     "n_scd2_history",
+    "c_join_asof_tol",
+    "i_sample_weighted",
+    "l_dedup_passage",
+    "j_foreach_batch_upsert",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

@@ -171,6 +171,7 @@ LINT_SKIP = {
     "n_insert_append",
     "j_stream_join_static_stream",
     "c_join_dpp",  # stages the partitioned fact at build time
+    "j_foreach_batch_upsert",  # runs the full foreachBatch stream at build
 }
 
 
@@ -393,3 +394,27 @@ def test_scd2_windows_share_custkey_shuffle(spark):
     # Catalyst must plan exactly one o_custkey exchange for both
     plan = _plan(spark, "n_scd2_history")
     assert plan.count("Arguments: hashpartitioning(o_custkey") == 1
+
+
+def test_asof_tol_union_merge_no_join(spark):
+    # tolerance must NOT reintroduce a join: same union-merge shape as
+    # c_join_asof — no Join node anywhere, one user_id window
+    plan = _plan(spark, "c_join_asof_tol")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_weighted_sample_scan_only(spark):
+    # weighted deterministic sample is a codegen predicate in the scan:
+    # zero exchanges of any kind
+    plan = _plan(spark, "i_sample_weighted")
+    assert "Exchange" not in plan
+
+
+def test_passage_dedup_content_then_doc_keyed(spark):
+    # first-occurrence ranking shuffles on the content hash, then the
+    # profile re-aggregates on doc_id — exactly two hash exchanges and
+    # a map-side partial agg for the per-doc profile
+    plan = _plan(spark, "l_dedup_passage")
+    assert plan.count("Arguments: hashpartitioning(") == 2
+    assert plan.count("HashAggregate") >= 2
