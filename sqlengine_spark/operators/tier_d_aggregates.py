@@ -555,3 +555,35 @@ def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("m3") / F.pow("m2", 1.5), 6).alias("skew"),
         dround(F.col("m4") / F.pow("m2", 2) - 3, 6).alias("ex_kurtosis"),
     )
+
+
+@query("d_agg_hll_merge")  # rows-only: Datasketches HLL binaries are engine-specific
+def d_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB pre-aggregation pattern: a
+    per-nation Datasketches HLL sketch table is materialized ONCE
+    (fixed-size binary per group, computed in one partial-agg pass),
+    then ANY coarser rollup — here the global customer cardinality —
+    re-aggregates the stored sketches via hll_union_agg without
+    touching raw data again. This is what makes count-distinct
+    dashboards incremental at scale: sketches compose, exact distincts
+    don't. Output is estimates only (the sketch binaries stay
+    internal); pytest asserts every estimate within 5% of exact and
+    the merged estimate consistent with the per-nation sketch table.
+
+    Scale: the sketch table is |nations| x ~1.5 KB regardless of row
+    count; the rollup pass reads only that. Incremental maintenance =
+    union the new partition's sketch in — O(sketch) per update.
+    """
+    c = table(spark, sf_dir, "customer")
+    sketches = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    per_nation = sketches.select(
+        F.col("c_nationkey").cast("int").alias("scope_key"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_customers"),
+    )
+    merged = sketches.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit(-1).alias("scope_key"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_customers"),
+    )
+    return per_nation.unionByName(merged).orderBy("scope_key")

@@ -232,6 +232,7 @@ PRIORITY_ORDER = (
     "l_dedup_passage",
     "j_foreach_batch_upsert",
     # -- rows-only operators (driver records err: no_oracle) ------------
+    "d_agg_hll_merge",
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
     "i_sample",

@@ -126,3 +126,26 @@ def test_stratified_sample_fractions(spark):
     assert got["error"] == totals["error"]  # fraction 1.0 is exact
     assert abs(got["click"] / totals["click"] - 0.2) < 0.05
     assert abs(got["view"] / totals["view"] - 0.05) < 0.03
+
+
+def test_hll_sketch_rollup_accuracy(spark):
+    """Every per-nation estimate and the sketch-merged global estimate
+    must sit within 5% of the exact distinct counts."""
+    q = all_queries()
+    got = {
+        r["scope_key"]: r["est_customers"]
+        for r in q["d_agg_hll_merge"](spark, SF_DIR).collect()
+    }
+    from sqlengine_spark.session import table as _t
+
+    c = _t(spark, SF_DIR, "customer")
+    exact = {
+        r["c_nationkey"]: r["n"]
+        for r in c.groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    exact[-1] = c.select("c_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
