@@ -565,3 +565,38 @@ def c_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "recent_orderdate")
     )
+
+
+@query(
+    "c_join_mark_exists",
+    oracle="""
+    SELECT c_custkey, c_name,
+           EXISTS(SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             AS has_big_order
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def c_join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join (EXISTS in the projection, not the WHERE): every
+    customer row survives, annotated with a boolean instead of being
+    filtered — the flag-building shape behind feature engineering and
+    conditional aggregation. Catalyst plans the true mark-join
+    primitive, ``ExistenceJoin`` (plan-asserted): like a semi join it
+    emits each probe row at most once and shuffles no payload columns
+    from the inner side — NOT a left join + distinct + null-check
+    emulation, which would shuffle the dedup.
+
+    Scale: inner side reduces to its join key before the join; probe
+    side streams through unchanged. Same cost envelope as c_join_semi.
+    """
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               EXISTS(SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+                 AS has_big_order
+        FROM customer ORDER BY c_custkey
+        """
+    )

@@ -1125,3 +1125,62 @@ def l_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("id") == F.col("lbl"), 1).otherwise(0).alias("keep"),
         )
     )
+
+
+@query(
+    "l_hybrid_search",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT d.doc_id,
+               (SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s) AS cos,
+               len(list_filter(string_split(d.text, ' '),
+                               w -> w IN ('table', 'join'))) AS kw_hits,
+               len(string_split(d.text, ' ')) AS n_words
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id, q
+        WHERE d.doc_id <> 0
+    )
+    SELECT doc_id,
+           ROUND((cos * 0.5 + (kw_hits / CAST(n_words AS DOUBLE)) * 0.5)
+                 * 1e6, 0) / 1e6 + 0 AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def l_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the RAG-stack workhorse): fuse dense cosine
+    similarity to a query vector with a sparse keyword signal (query-
+    term density in the document), rank by the weighted blend, top-20.
+    Both signals compute in one pass over the doc⋈embedding join; the
+    blend is a fixed-order double expression so both engines produce
+    identical scores.
+
+    Scale: the query vector broadcasts (1 row); documents⋈embeddings
+    co-shuffles on the id ONCE (or is bucket-colocated in a real
+    deployment — the embedding table would be written CLUSTERED BY id);
+    keyword scoring is a codegen higher-order filter, no explode, no
+    UDF; top-20 is TakeOrdered. The IVF/LSH pre-filter from
+    l_sim_search_ivf composes in front of the dense side unchanged.
+    """
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    words = F.split(F.col("text"), " ")
+    kw = F.size(F.filter(words, lambda w: w.isin("table", "join")))
+    cos = vdot(F.col("embedding"), F.col("qe"))
+    return (
+        d.filter(F.col("doc_id") != 0)
+        .join(e, d.doc_id == e.vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            dround(
+                cos * 0.5 + (kw / F.size(words).cast("double")) * 0.5, 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

@@ -231,6 +231,8 @@ PRIORITY_ORDER = (
     "i_sample_weighted",
     "l_dedup_passage",
     "j_foreach_batch_upsert",
+    "c_join_mark_exists",
+    "l_hybrid_search",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_approx_distinct",

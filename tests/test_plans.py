@@ -144,6 +144,7 @@ CARTESIAN_WHITELIST = {
     "c_join_salted",         # deliberate |dim| x n_salts replication
                              # (the fact join itself is (key,salt)-keyed
                              # shuffled-hash — asserted below)
+    "l_hybrid_search",       # 1-row query vector broadcast
     "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
     "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
@@ -418,3 +419,18 @@ def test_passage_dedup_content_then_doc_keyed(spark):
     plan = _plan(spark, "l_dedup_passage")
     assert plan.count("Arguments: hashpartitioning(") == 2
     assert plan.count("HashAggregate") >= 2
+
+
+def test_mark_join_plans_existence_join(spark):
+    # EXISTS in the projection must plan Catalyst's ExistenceJoin —
+    # probe rows emit once, no inner payload shuffles, no dedup stage
+    plan = _plan(spark, "c_join_mark_exists")
+    assert "ExistenceJoin" in plan
+
+
+def test_hybrid_search_broadcast_and_topk(spark):
+    # dense side: 1-row query vector broadcasts; blend ranks via
+    # TakeOrdered — the doc table shuffles only for the id join
+    plan = _plan(spark, "l_hybrid_search")
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
