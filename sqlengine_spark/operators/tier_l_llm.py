@@ -1184,3 +1184,79 @@ def l_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "l_topic_cooccur",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), df AS (
+        SELECT t, COUNT(*) AS n_docs FROM tok GROUP BY t
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM tok),
+    pairs AS (
+        SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_ab
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+        GROUP BY a.t, b.t
+    )
+    SELECT ta, tb, n_ab,
+           ROUND(ln((n_ab * n.n_total) / CAST(da.n_docs * db.n_docs AS DOUBLE))
+                 * 1e6, 0) / 1e6 + 0 AS pmi
+    FROM pairs
+    JOIN df da ON da.t = ta
+    JOIN df db ON db.t = tb, n
+    WHERE n_ab >= 25
+    ORDER BY ta, tb
+    """,
+)
+def l_topic_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI — the topic/collocation signal behind
+    phrase mining and embedding pre-filters: for every token pair that
+    co-occurs in >= 25 documents, pointwise mutual information
+    ln(P(a,b) / P(a)P(b)) computed from document frequencies. The log
+    argument is one double division of exact integer products, so both
+    engines evaluate the identical double before the shared round.
+
+    Scale: the pair space is VOCABULARY-bounded, not corpus-bounded —
+    the per-doc self-join emits C(|distinct tokens per doc|, 2) pairs
+    which partial-aggregate map-side into at most C(|V|, 2) groups; df
+    and N broadcast. At web scale the vocabulary is first capped to the
+    top-V tokens by df (one ranked filter before the join) — same
+    plan, bounded V; the join itself stays doc_id-keyed (inverted
+    index), never all-pairs across documents.
+    """
+    tok = _tokens(table(spark, sf_dir, "documents"))
+    df_tab = tok.groupBy("t").agg(F.count("*").alias("n_docs"))
+    n_total = tok.agg(
+        F.countDistinct("doc_id").alias("n_total")
+    )
+    a = tok.select("doc_id", F.col("t").alias("ta"))
+    b = tok.select("doc_id", F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 25)
+    )
+    da = F.broadcast(df_tab.select(F.col("t").alias("ta"), F.col("n_docs").alias("dfa")))
+    db = F.broadcast(df_tab.select(F.col("t").alias("tb"), F.col("n_docs").alias("dfb")))
+    return (
+        pairs.join(da, "ta")
+        .join(db, "tb")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            dround(
+                F.log(
+                    (F.col("n_ab") * F.col("n_total"))
+                    / (F.col("dfa") * F.col("dfb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("ta", "tb")
+    )

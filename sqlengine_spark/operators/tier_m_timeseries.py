@@ -625,3 +625,68 @@ def m_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "m_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.m,
+               abs(e.value - m.m) AS ad
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS md
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           ROUND((d.value - d.m) / (1.4826 * mad.md) * 1e4, 0) / 1e4 + 0
+             AS robust_z
+    FROM dev d JOIN mad USING (event_type)
+    WHERE abs(ROUND((d.value - d.m) / (1.4826 * mad.md) * 1e4, 0) / 1e4)
+          > 3.5
+    ORDER BY d.event_id
+    """,
+)
+def m_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection: flag events whose value
+    sits more than 3.5 robust z-scores from its type's median, scaled
+    by 1.4826·MAD — the outlier test that, unlike mean/stddev z-scores
+    (m_ts_zscore_roll), is not itself corrupted by the outliers it
+    hunts. Exact interpolated medians on both engines (Spark
+    `percentile` ≡ DuckDB `quantile_cont`); membership compares the
+    ROUNDED score in both engines so a 1-ulp divergence cannot flip a
+    row in or out (the m_ts_zscore_roll pin).
+
+    Scale: two aggregate passes keyed event_type (exact grouped median
+    sorts within each type's partition — at 100 TB swap
+    `approx_percentile` in, same plan shape) and two broadcast joins
+    of |types| rows; the flag filter is codegen. Nothing shuffles the
+    event stream beyond the two type-keyed aggregations.
+    """
+    e = table(spark, sf_dir, "events")
+    med = F.broadcast(
+        e.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.5)).alias("m")
+        )
+    )
+    dev = e.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = F.broadcast(
+        dev.groupBy("event_type").agg(
+            F.percentile("ad", F.lit(0.5)).alias("md")
+        )
+    )
+    rz = dround(
+        (F.col("value") - F.col("m")) / (1.4826 * F.col("md")), 4
+    )
+    return (
+        dev.join(mad, "event_type")
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) > 3.5)
+        .select("event_id", "event_type", "robust_z")
+        .orderBy("event_id")
+    )

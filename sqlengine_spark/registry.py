@@ -233,6 +233,8 @@ PRIORITY_ORDER = (
     "j_foreach_batch_upsert",
     "c_join_mark_exists",
     "l_hybrid_search",
+    "l_topic_cooccur",
+    "m_anomaly_mad",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_approx_distinct",

@@ -145,6 +145,7 @@ CARTESIAN_WHITELIST = {
                              # (the fact join itself is (key,salt)-keyed
                              # shuffled-hash — asserted below)
     "l_hybrid_search",       # 1-row query vector broadcast
+    "l_topic_cooccur",       # 1-row corpus-count broadcast
     "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
     "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
@@ -434,3 +435,18 @@ def test_hybrid_search_broadcast_and_topk(spark):
     plan = _plan(spark, "l_hybrid_search")
     assert "Broadcast" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_topic_cooccur_doc_keyed_not_allpairs(spark):
+    # pair generation must join on doc_id (inverted index), with df and
+    # N broadcast — no token-table cartesian
+    plan = _plan(spark, "l_topic_cooccur")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mad_broadcast_medians(spark):
+    # both median tables are |types|-sized broadcasts; the event stream
+    # itself never shuffles for the joins
+    plan = _plan(spark, "m_anomaly_mad")
+    assert plan.count("BroadcastHashJoin") >= 2
