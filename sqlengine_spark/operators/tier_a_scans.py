@@ -173,3 +173,40 @@ def a_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("l_extendedprice", "l_discount"):
         out = out.unionAll(stats(c))
     return out
+
+
+@query(
+    "a_scan_schema_merge",
+    oracle="""
+    SELECT n_nationkey, n_name, NULL AS n_comment FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, 'v2-' || n_name AS n_comment
+    FROM nation WHERE n_nationkey < 10
+    ORDER BY n_nationkey, n_comment NULLS FIRST
+    """,
+)
+def a_scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: snapshot v1 lacks a column that
+    snapshot v2 added (n_comment); reading the directory pair with
+    ``mergeSchema=true`` reconciles the footers into the union schema,
+    null-padding v1 rows — the additive-column evolution every
+    long-lived lakehouse table goes through, verified against the
+    explicit UNION ALL oracle.
+
+    Scale: schema merge is a FOOTER-only operation (one metadata pass;
+    Spark samples footers in parallel) — row data is never rewritten,
+    which is the point: at 100 TB an added column must cost zero
+    backfill. Production formats pin the merged schema in a catalog so
+    the per-read footer sampling also disappears.
+    """
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = _scratch("nation_evolving")
+    n.write.parquet(os.path.join(base, "v1"))
+    n.filter(F.col("n_nationkey") < 10).withColumn(
+        "n_comment", F.concat(F.lit("v2-"), F.col("n_name"))
+    ).write.parquet(os.path.join(base, "v2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
+        .orderBy("n_nationkey", F.col("n_comment").asc_nulls_first())
+    )

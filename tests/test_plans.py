@@ -174,6 +174,7 @@ LINT_SKIP = {
     "j_stream_join_static_stream",
     "c_join_dpp",  # stages the partitioned fact at build time
     "j_foreach_batch_upsert",  # runs the full foreachBatch stream at build
+    "a_scan_schema_merge",  # stages both snapshot dirs at build time
 }
 
 
