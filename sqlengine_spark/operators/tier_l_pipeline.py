@@ -820,3 +820,66 @@ def l_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "l_dataset_card",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, lang,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), vocab AS (
+        SELECT source, lang, COUNT(DISTINCT t) AS n_vocab,
+               COUNT(*) AS n_tokens
+        FROM tok GROUP BY source, lang
+    ), base AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(n_chars) * 100, 0) / 100 + 0 AS avg_chars,
+               ROUND(quantile_cont(n_chars, 0.5) * 100, 0) / 100 + 0
+                 AS p50_chars
+        FROM documents GROUP BY source, lang
+    )
+    SELECT b.source, b.lang, b.n_docs, b.total_chars, b.avg_chars,
+           b.p50_chars, v.n_tokens, v.n_vocab
+    FROM base b JOIN vocab v USING (source, lang)
+    ORDER BY b.source, b.lang
+    """,
+)
+def l_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: the per-(source, lang) corpus summary
+    every training-data release publishes — document and character
+    volumes, median length, token count and vocabulary size. One
+    scalar-aggregate pass plus one token pass, joined on the slice key.
+
+    Scale: the scalar aggregates partial-combine map-side; the token
+    pass is the only explode and feeds a (source, lang, token)-keyed
+    distinct — both shuffles carry group-sized rows. The slice key
+    space (|sources| x |langs|) is tiny, so the final join broadcasts.
+    At 100 TB, swap the exact vocabulary count for approx_count_distinct
+    (same plan, fixed-size HLL state) — the exact form here is what the
+    oracle can verify.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = tok.groupBy("source", "lang").agg(
+        F.countDistinct("t").alias("n_vocab"),
+        F.count("*").alias("n_tokens"),
+    )
+    base = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        dround(F.avg("n_chars"), 2).alias("avg_chars"),
+        dround(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50_chars"),
+    )
+    return (
+        base.join(F.broadcast(vocab), ["source", "lang"])
+        .select(
+            "source", "lang", "n_docs", "total_chars", "avg_chars",
+            "p50_chars", "n_tokens", "n_vocab",
+        )
+        .orderBy("source", "lang")
+    )

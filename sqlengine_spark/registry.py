@@ -236,6 +236,7 @@ PRIORITY_ORDER = (
     "l_topic_cooccur",
     "m_anomaly_mad",
     "a_scan_schema_merge",
+    "l_dataset_card",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_approx_distinct",
