@@ -600,3 +600,40 @@ def c_join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "c_lateral_topn",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def c_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-standard spelling of top-N-per-group. Catalyst decorrelates the
+    lateral into a window rank over one o_custkey shuffle — NOT a
+    per-customer re-execution of the inner query — so the declarative
+    lateral costs the same as the hand-written e_win_topk_group plan.
+
+    Scale: after decorrelation this is the WindowGroupLimit shape: one
+    shuffle on the correlation key, k rows per group survive the sort.
+    The lateral surface matters because users write it; the engine's
+    job is planning it to the same physical shape, which the plan
+    assertion checks.
+    """
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )

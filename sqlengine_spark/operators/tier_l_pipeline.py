@@ -883,3 +883,62 @@ def l_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "l_dedup_incremental",
+    oracle="""
+    WITH old AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    ), newb AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+    ), r AS (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM newb
+    )
+    SELECT r.doc_id,
+           CASE WHEN old.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM r LEFT JOIN old ON r.h = old.h
+    ORDER BY r.doc_id
+    """,
+)
+def l_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-vs-batch) dedup — the shape every
+    continuously-crawled corpus actually runs: a NEW batch (doc_id >=
+    250 stands in for the fresh crawl) checks against the ACCUMULATED
+    corpus hash index (doc_id < 250), never against the corpus text;
+    batch-internal duplicates resolve to their first occurrence. Each
+    new doc is classified kept / dup_of_corpus / dup_in_batch — the
+    decision log an idempotent ingest pipeline persists.
+
+    Scale: the corpus side is a 16-byte-hash index join (keyed or
+    bloom-pre-filtered; never a text rescan), so incremental cost is
+    |batch| + |index probe|, independent of accumulated corpus text
+    size; the in-batch ranking is one shuffle on the content hash.
+    """
+    d = table(spark, sf_dir, "documents")
+    old = (
+        d.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    newb = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    return (
+        newb.withColumn("rn", rn)
+        .join(old, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

@@ -237,6 +237,8 @@ PRIORITY_ORDER = (
     "m_anomaly_mad",
     "a_scan_schema_merge",
     "l_dataset_card",
+    "c_lateral_topn",
+    "l_dedup_incremental",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_approx_distinct",

@@ -451,3 +451,21 @@ def test_mad_broadcast_medians(spark):
     # itself never shuffles for the joins
     plan = _plan(spark, "m_anomaly_mad")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_lateral_decorrelates_to_window_limit(spark):
+    # the correlated LATERAL LIMIT must decorrelate to the window
+    # top-k shape (one shuffle + group-limit), never a re-executed
+    # per-row subquery or nested loop
+    plan = _plan(spark, "c_lateral_topn")
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_hash_index_join(spark):
+    # corpus side joins as a hash index (16-byte digests), batch
+    # ranking shuffles on the content hash — no text-side rescan join
+    plan = _plan(spark, "l_dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
