@@ -587,3 +587,48 @@ def d_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").cast("bigint").alias("est_customers"),
     )
     return per_nation.unionByName(merged).orderBy("scope_key")
+
+
+@query("d_agg_theta_setops")  # rows-only: Datasketches Theta binaries are engine-specific
+def d_agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra — the estimator HLL cannot be: distinct
+    AUDIENCE OVERLAP. Two customer segments (BUILDING-segment customers
+    and customers with a >300k order) each reduce to a fixed-size Theta
+    sketch; union, intersection, and difference cardinalities then come
+    from sketch algebra alone. HLL only unions; Theta's retained-hash
+    sample supports ∩ and \\ — the cross-segment audience question every
+    growth dashboard asks. pytest asserts all five estimates within 5%
+    of exact and the inclusion-exclusion identity |A|+|B| = |A∪B|+|A∩B|
+    on the estimates themselves (it holds exactly in Theta algebra).
+
+    Scale: each segment's sketch builds in one partial-agg pass over
+    its side (fixed-size state, mergeable across partitions); the set
+    algebra runs on two sketch binaries — O(sketch), zero data motion.
+    Storing per-(day, segment) sketches makes every pairwise overlap
+    query a metadata read at 100 TB.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    seg_a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    seg_b = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("k")
+    )
+    sk = (
+        seg_a.agg(F.theta_sketch_agg("k").alias("sa"))
+        .crossJoin(seg_b.agg(F.theta_sketch_agg("k").alias("sb")))
+    )
+    return sk.select(
+        F.theta_sketch_estimate(F.col("sa")).cast("bigint").alias("n_a"),
+        F.theta_sketch_estimate(F.col("sb")).cast("bigint").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union(F.col("sa"), F.col("sb")))
+        .cast("bigint")
+        .alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection(F.col("sa"), F.col("sb")))
+        .cast("bigint")
+        .alias("n_intersect"),
+        F.theta_sketch_estimate(F.theta_difference(F.col("sa"), F.col("sb")))
+        .cast("bigint")
+        .alias("n_a_only"),
+    )

@@ -241,6 +241,7 @@ PRIORITY_ORDER = (
     "l_dedup_incremental",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
+    "d_agg_theta_setops",
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
     "i_sample",

@@ -149,3 +149,22 @@ def test_hll_sketch_rollup_accuracy(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_theta_sketch_setops_accuracy(spark):
+    """All five Theta estimates within 5% of exact; inclusion-exclusion
+    holds on the estimates."""
+    row = all_queries()["d_agg_theta_setops"](spark, SF_DIR).collect()[0]
+    from sqlengine_spark.session import table as _t
+
+    c = _t(spark, SF_DIR, "customer")
+    o = _t(spark, SF_DIR, "orders")
+    a = {r["c_custkey"] for r in c.filter(F.col("c_mktsegment") == "BUILDING").collect()}
+    b = {r["o_custkey"] for r in o.filter(F.col("o_totalprice") > 300000).collect()}
+    exact = {
+        "n_a": len(a), "n_b": len(b), "n_union": len(a | b),
+        "n_intersect": len(a & b), "n_a_only": len(a - b),
+    }
+    for k, v in exact.items():
+        assert v > 0 and abs(row[k] - v) / v < 0.05, (k, row[k], v)
+    assert abs((row["n_a"] + row["n_b"]) - (row["n_union"] + row["n_intersect"])) <= 2
