@@ -668,3 +668,43 @@ def j_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_event_id").cast("bigint").alias("last_event_id"),
         "last_value",
     ).orderBy("user_id")
+
+
+@query(
+    "j_tumbling_append_watermark",
+    oracle="""
+    SELECT date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 13 MINUTES
+    GROUP BY w_end, event_type
+    """,
+)
+def j_tumbling_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation under a watermark — the mode
+    that only emits a window once it can never change again: a window
+    (end, type) row leaves the state store exactly when the watermark
+    (max event time − 13 min) passes its end. The streaming engine's
+    emitted set must therefore equal the batch aggregation restricted
+    to finalized windows — which is what the SQL oracle states, making
+    watermark-driven FINALIZATION itself the hash-checked semantics
+    (j_watermark_late_drop covers the drop side; this covers emission).
+
+    Scale: append mode is what downstream sinks (files, Kafka,
+    lakehouse appends) require — each window row is written exactly
+    once, state is bounded by the lateness horizon, and the final
+    no-data micro-batch flushes everything the watermark has passed.
+    """
+    src = stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "13 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.end").alias("w_end"), "event_type", "cnt")
+    )
+    rows, schema = run_stream_to_table(spark, stream, "append")
+    return spark.createDataFrame(rows, schema=schema)

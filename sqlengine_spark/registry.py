@@ -239,6 +239,7 @@ PRIORITY_ORDER = (
     "l_dataset_card",
     "c_lateral_topn",
     "l_dedup_incremental",
+    "j_tumbling_append_watermark",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

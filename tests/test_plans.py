@@ -176,6 +176,7 @@ LINT_SKIP = {
     "c_join_dpp",  # stages the partitioned fact at build time
     "j_foreach_batch_upsert",  # runs the full foreachBatch stream at build
     "a_scan_schema_merge",  # stages both snapshot dirs at build time
+    "j_tumbling_append_watermark",  # runs the append-mode stream at build
 }
 
 
