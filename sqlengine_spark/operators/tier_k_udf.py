@@ -169,3 +169,47 @@ def k_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         zscore, "c_custkey long, c_nationkey int, z double"
     )
     return out.select("c_custkey", "c_nationkey", dround(F.col("z"), 4).alias("z"))
+
+
+@query(
+    "k_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(text) AS n_chars_m
+    FROM documents ORDER BY doc_id
+    """,
+)
+def k_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native mapInArrow: partitions stream through Python as raw
+    ``pyarrow.RecordBatch`` objects and are transformed with pyarrow
+    compute kernels — no pandas materialization at all, the
+    lowest-overhead Python extension surface Spark has (the step below
+    the pandas UDFs in this tier). Token and character counts computed
+    with ``pc.count(pc.split_pattern(...))`` per batch.
+
+    Scale: map-only — no shuffle, batch-at-a-time memory bound, and
+    the Arrow columnar buffers cross the JVM<->Python boundary
+    zero-copy. This is the surface a vectorized tokenizer or a
+    C-backed scorer plugs into when even pandas conversion is too much
+    overhead.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def counts(batches):
+        for b in batches:
+            words = pc.split_pattern(b.column("text"), " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.list_value_length(words), pa.int64()),
+                    pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_chars_m"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        counts, "doc_id long, n_tokens long, n_chars_m long"
+    ).orderBy("doc_id")

@@ -240,6 +240,7 @@ PRIORITY_ORDER = (
     "c_lateral_topn",
     "l_dedup_incremental",
     "j_tumbling_append_watermark",
+    "k_map_in_arrow",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
