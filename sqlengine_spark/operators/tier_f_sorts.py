@@ -89,3 +89,32 @@ def f_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(10)
     )
+
+
+@query(
+    "f_sort_local",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    """,
+)
+def f_sort_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (sortWithinPartitions): orders rows inside
+    each partition WITHOUT a range-partitioning exchange — the row SET
+    is unchanged (the oracle proves it), only the physical layout
+    moves. This is the write-optimization primitive: sorting by a
+    filter column before writing parquet tightens per-row-group
+    min/max statistics, so later range predicates skip whole row
+    groups — clustering benefits without a global sort's shuffle.
+
+    Scale: zero data motion — each task sorts its own partition
+    (spillable external sort). A global orderBy would range-partition
+    100 TB first; for layout optimization that exchange buys nothing,
+    which is why every table-format OPTIMIZE ... ZORDER/SORT runs
+    exactly this local form per file group. Plan-asserted: Sort node
+    present, no exchange introduced.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.sortWithinPartitions("l_shipdate").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )

@@ -241,6 +241,7 @@ PRIORITY_ORDER = (
     "l_dedup_incremental",
     "j_tumbling_append_watermark",
     "k_map_in_arrow",
+    "f_sort_local",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

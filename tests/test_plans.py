@@ -471,3 +471,11 @@ def test_incremental_dedup_hash_index_join(spark):
     plan = _plan(spark, "l_dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_local_sort_no_exchange(spark):
+    # sortWithinPartitions must plan a Sort with NO exchange of any
+    # kind — the layout-optimization primitive is shuffle-free
+    plan = _plan(spark, "f_sort_local")
+    assert "Sort" in plan
+    assert "Exchange" not in plan
