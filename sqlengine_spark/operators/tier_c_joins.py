@@ -219,27 +219,20 @@ def c_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "c_join_asof",
-    oracle="""
-    SELECT e.event_id, e.user_id, o.o_orderdate AS last_orderdate
-    FROM events e
-    ASOF JOIN orders o
-      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-    """,
-)
-def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (no native batch ASOF in Spark SQL) via union-merge:
-    tag both sides, union on (user_id, time), and carry the latest order
-    date forward with a running max over (partition by user_id, order by
-    time, side) — order rows sort before event rows at equal timestamps
-    so ``ts >= o_orderdate`` is inclusive, matching DuckDB ASOF.
+def _asof_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared union-merge core of the as-of family: tag events (side=1)
+    and orders (side=0), union on (user_id, time), carry the latest
+    order date forward as ``last_od`` with a running max over
+    (partition by user_id, order by time, side). The invariants both
+    consumers rely on live here ONCE: order rows sort before event rows
+    at equal timestamps (side ordering makes ``ts >= o_orderdate``
+    inclusive, matching DuckDB ASOF), and the NULL columns are
+    explicitly typed so unionByName never coerces.
 
-    Scale: ONE shuffle on user_id and no row multiplication. The naive
-    idiom (equi-join + row_number()=1) materializes |events-per-user| x
-    |orders-per-user| intermediate rows, which explodes on power-law
-    users at 100 TB (flagged perf-weak in round 1); the union-merge is
-    the standard scale-safe formulation.
+    Scale: ONE shuffle on user_id and no row multiplication — the
+    equi-join + row_number()=1 idiom this replaces materializes
+    |events-per-user| x |orders-per-user| rows, which explodes on
+    power-law users (round-1 perf-weak finding).
     """
     ev = table(spark, sf_dir, "events").select(
         "user_id",
@@ -260,11 +253,26 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    return o.unionByName(ev).withColumn("last_od", F.max("ord_date").over(w))
+
+
+@query(
+    "c_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native batch ASOF in Spark SQL) via the shared
+    union-merge core (_asof_union_merge — scale notes there): inner
+    semantics, so events before their user's first order drop out."""
     return (
-        o.unionByName(ev)
-        .withColumn("last_orderdate", F.max("ord_date").over(w))
-        .filter((F.col("side") == 1) & F.col("last_orderdate").isNotNull())
-        .select("event_id", "user_id", "last_orderdate")
+        _asof_union_merge(spark, sf_dir)
+        .filter((F.col("side") == 1) & F.col("last_od").isNotNull())
+        .select("event_id", "user_id", F.col("last_od").alias("last_orderdate"))
     )
 
 
@@ -468,18 +476,13 @@ def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter needs no bucketing, no manual pre-join, and composes with
     AQE. At production scale the dim side exceeds the broadcast
     threshold naturally and Catalyst injects the filter on its own; the
-    sf0.01 test dim is broadcast-sized, so the broadcast threshold is
-    disabled ONLY for this query's logical optimization (forced and
-    cached via its QueryExecution, then the conf is restored — later
-    queries in the session keep their broadcasts; results are conf-
-    independent either way, as the oracle proves). The bloom thresholds
-    themselves are injection gates only; they never change results.
+    sf0.01 test dim is broadcast-sized, so the broadcast threshold AND
+    the bloom injection gates are set ONLY for this query's logical
+    optimization (forced and cached via its QueryExecution, then ALL
+    THREE confs restore in the finally — later queries in the session
+    keep their broadcasts and their bloom-free plans; results are
+    conf-independent either way, as the oracle proves).
     """
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
@@ -497,15 +500,25 @@ def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
     try:
         # Logical optimization (where InjectRuntimeFilter runs) is lazy
-        # AND cached per QueryExecution — force it under the scoped conf
+        # AND cached per QueryExecution — force it under the scoped confs
         # so the bloom probe lands, then restore before anyone else plans.
         out._jdf.queryExecution().optimizedPlan()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return out
 
 
@@ -534,32 +547,13 @@ def c_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation would need a range join and re-open the power-law
     fanout this idiom exists to avoid.
     """
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("ts").alias("t"),
-        "event_id",
-        F.lit(None).cast("timestamp").alias("ord_date"),
-        F.lit(1).alias("side"),
-    )
-    o = table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderdate").alias("ord_date"),
-        F.lit(0).alias("side"),
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("t", "side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    last_od = F.max("ord_date").over(w)
     return (
-        o.unionByName(ev)
+        _asof_union_merge(spark, sf_dir)
         .withColumn(
             "recent_orderdate",
             F.when(
-                F.col("t") <= last_od + F.expr("INTERVAL 30 DAYS"), last_od
+                F.col("t") <= F.col("last_od") + F.expr("INTERVAL 30 DAYS"),
+                F.col("last_od"),
             ),
         )
         .filter(F.col("side") == 1)

@@ -695,11 +695,21 @@ def j_tumbling_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouse appends) require — each window row is written exactly
     once, state is bounded by the lateness horizon, and the final
     no-data micro-batch flushes everything the watermark has passed.
+
+    Determinism note: the staged part files are NOT time-ordered and
+    FileStreamSource picks them by modification time, so per-file
+    triggering would let an unlucky file order advance the watermark
+    past still-unread early data and drop it (flaky vs the oracle).
+    All files therefore ingest in ONE micro-batch — the watermark only
+    advances AFTER a batch, so nothing can be dropped and the
+    finalization no-data batch emits exactly the windows the oracle
+    states, in any file order. The multi-batch late-DROP path is
+    j_watermark_late_drop's job, which stages its own explicitly
+    time-ordered chunks for that reason.
     """
     src = stage_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
         .parquet(src)
         .withWatermark("ts", "13 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

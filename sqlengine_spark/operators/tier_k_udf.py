@@ -186,7 +186,8 @@ def k_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute kernels — no pandas materialization at all, the
     lowest-overhead Python extension surface Spark has (the step below
     the pandas UDFs in this tier). Token and character counts computed
-    with ``pc.count(pc.split_pattern(...))`` per batch.
+    per row with ``pc.list_value_length(pc.split_pattern(...))`` and
+    ``pc.utf8_length`` per batch.
 
     Scale: map-only — no shuffle, batch-at-a-time memory bound, and
     the Arrow columnar buffers cross the JVM<->Python boundary
