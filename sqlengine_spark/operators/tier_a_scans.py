@@ -210,3 +210,61 @@ def a_scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
         .orderBy("n_nationkey", F.col("n_comment").asc_nulls_first())
     )
+
+
+@query(
+    "a_scan_csv_malformed",
+    # Input constructed = nation's 25 valid rows + EXACTLY 2 malformed
+    # lines, so the oracle can state the expected split from the clean
+    # source table alone.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def a_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingest: a CSV landing file with 2 malformed lines
+    (wrong arity, non-numeric key) reads under PERMISSIVE mode — bad
+    lines null-pad and land verbatim in ``_corrupt_record`` instead of
+    failing the job, and the good rows parse losslessly (key_sum
+    proves values, not just counts). This is the mode every production
+    ingest runs; FAILFAST (the debug alternative) is one option away.
+
+    Scale: corrupt-record capture is per-row logic inside the scan —
+    no extra pass, no driver involvement; quarantined rows are
+    typically filtered to a dead-letter sink in the same job.
+    """
+    n = table(spark, sf_dir, "nation")
+    path = _scratch("nation_malformed_csv")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    # append a malformed file alongside the clean parts
+    bad = os.path.join(path, "part-99999-malformed.csv")
+    with open(bad, "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        f.write("not_a_number,BADLAND,9\n")
+        f.write("1,TOO,MANY,COLUMNS,5\n")
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # cache before splitting on _corrupt_record (Spark requirement: the
+    # corrupt-record column may not be referenced on a raw csv scan
+    # without materializing the parse first)
+    df = df.cache()
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey")))
+        .cast("bigint")
+        .alias("key_sum"),
+    )

@@ -242,6 +242,7 @@ PRIORITY_ORDER = (
     "j_tumbling_append_watermark",
     "k_map_in_arrow",
     "f_sort_local",
+    "a_scan_csv_malformed",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -177,6 +177,7 @@ LINT_SKIP = {
     "j_foreach_batch_upsert",  # runs the full foreachBatch stream at build
     "a_scan_schema_merge",  # stages both snapshot dirs at build time
     "j_tumbling_append_watermark",  # runs the append-mode stream at build
+    "a_scan_csv_malformed",  # stages the landing csv at build time
 }
 
 
