@@ -640,3 +640,47 @@ def c_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+@query(
+    "c_join_null_safe",
+    oracle="""
+    SELECT a.n_nationkey AS k_a, b.n_nationkey AS k_b
+    FROM (SELECT n_nationkey, NULLIF(n_regionkey, 0) AS rk FROM nation) a
+    JOIN (SELECT n_nationkey, NULLIF(n_regionkey, 0) AS rk FROM nation) b
+      ON a.rk IS NOT DISTINCT FROM b.rk AND a.n_nationkey < b.n_nationkey
+    ORDER BY k_a, k_b
+    """,
+)
+def c_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` ≡ SQL ``IS NOT DISTINCT
+    FROM``): NULL keys match EACH OTHER instead of vanishing — the
+    semantics every dedup-on-nullable-key and CDC-diff join actually
+    needs (plain ``=`` silently drops the NULL partition). Derived
+    nullable key: region 0 mapped to NULL, so its nations pair with
+    each other through the null-safe match.
+
+    Scale: ``<=>`` remains a hashable equi key (NULL hashes like any
+    value under null-safe semantics), so this plans a hash join keyed
+    on the nullable column, never a residual-only nested loop. Note
+    the NULL bucket itself is a self-cartesian by SEMANTICS — at scale
+    a genuinely hot NULL key needs the same salting treatment as any
+    hot key (skew.salted_join).
+    """
+    n = table(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_nationkey").alias("k_a"),
+        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("rk_a"),
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("k_b"),
+        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("rk_b"),
+    )
+    return (
+        a.join(
+            b,
+            a.rk_a.eqNullSafe(b.rk_b) & (a.k_a < b.k_b),
+        )
+        .select("k_a", "k_b")
+        .orderBy("k_a", "k_b")
+    )

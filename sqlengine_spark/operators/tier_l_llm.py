@@ -1260,3 +1260,63 @@ def l_topic_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+@query(
+    "l_sim_search_batch",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.q_id, e.vec_id,
+               (SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id >= 10
+    )
+    SELECT q_id, vec_id,
+           ROUND(sim * 1e6, 0) / 1e6 + 0 AS sim
+    FROM (
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    ORDER BY q_id, sim DESC, vec_id
+    """,
+)
+def l_sim_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED vector search — the serving shape: top-5 neighbors for
+    EACH of 10 query vectors in ONE scan of the embedding table. The
+    query batch broadcasts (it is small by definition); every (query,
+    candidate) dot computes JVM-side; per-query top-5 is a
+    WindowGroupLimit rank, so only 5 rows per query survive the sort.
+
+    Scale: one table scan amortizes across the whole query batch —
+    the per-query cost of batched retrieval is 1/|batch| of a
+    single-query loop, which is why serving systems batch. The
+    embedding table never shuffles (broadcast side is the batch); at
+    warehouse scale the IVF probe filter (l_sim_search_ivf) composes
+    in front, cutting the scan per query to its probed buckets.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cand = e.filter(F.col("vec_id") >= 10)
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        vdot(F.col("embedding"), F.col("qe")).alias("sim_raw"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("sim_raw").desc(), "vec_id")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", dround(F.col("sim_raw"), 6).alias("sim"))
+        .orderBy("q_id", F.col("sim").desc(), "vec_id")
+    )

@@ -243,6 +243,8 @@ PRIORITY_ORDER = (
     "k_map_in_arrow",
     "f_sort_local",
     "a_scan_csv_malformed",
+    "l_sim_search_batch",
+    "c_join_null_safe",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -147,6 +147,7 @@ CARTESIAN_WHITELIST = {
     "l_hybrid_search",       # 1-row query vector broadcast
     "l_topic_cooccur",       # 1-row corpus-count broadcast
     "d_agg_theta_setops",    # two 1-row sketch aggregates joined
+    "l_sim_search_batch",    # 10-row query batch broadcast
     "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
     "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
@@ -480,3 +481,19 @@ def test_local_sort_no_exchange(spark):
     plan = _plan(spark, "f_sort_local")
     assert "Sort" in plan
     assert "Exchange" not in plan
+
+
+def test_batch_sim_search_group_limit(spark):
+    # per-query top-5 must group-limit; the embedding table is scanned
+    # once with the query batch broadcast
+    plan = _plan(spark, "l_sim_search_batch")
+    assert "WindowGroupLimit" in plan
+    assert "Broadcast" in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    # <=> keeps a hashable equi key: hash join, never a nested loop
+    plan = _plan(spark, "c_join_null_safe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
