@@ -690,3 +690,65 @@ def m_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "robust_z")
         .orderBy("event_id")
     )
+
+
+@query(
+    "m_rolling_wau",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), bounds AS (
+        SELECT MIN(d) AS lo, MAX(d) AS hi FROM days
+    ), contrib AS (
+        SELECT user_id, d + CAST(k.k AS INTEGER) AS target
+        FROM days, (SELECT unnest(range(0, 7)) AS k) k
+    )
+    SELECT CAST(target AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib, bounds
+    WHERE target BETWEEN bounds.lo AND bounds.hi
+    GROUP BY target
+    ORDER BY day
+    """,
+)
+def m_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per calendar day — the metric
+    COUNT(DISTINCT) OVER a sliding window cannot express in either
+    engine: a user active on day d contributes to the seven windows
+    ending d..d+6, so the distinct user-day set EXPLODES BY 7 and
+    re-distincts per target day. Both engines state the identical
+    contribution construction; the derived day projects as a string
+    (rule 3).
+
+    Scale: this is the scale-correct rolling-distinct plan — input is
+    |distinct user-days| (already collapsed from raw events by one
+    partial-agg distinct), the 7x explode is the window length (a
+    constant), and the final distinct-count shuffles keyed (day, user)
+    with map-side partials. The tempting alternative — a range
+    self-join of days x activity — is O(|days| x |users-per-week|)
+    with a weaker key; at 100 TB the contribution explode wins because
+    its volume is data-proportional with a constant factor, never
+    quadratic. For month windows swap k<30, or approx: per-day HLL
+    sketches unioned over the window (d_agg_hll_merge's algebra).
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    bounds = F.broadcast(days.agg(F.min("d").alias("lo"), F.max("d").alias("hi")))
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("k")).alias("target"))
+    return (
+        contrib.crossJoin(bounds)
+        .filter(F.col("target").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("target"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(
+            F.date_format("target", "yyyy-MM-dd").alias("day"),
+            F.col("wau").cast("bigint").alias("wau"),
+        )
+        .orderBy("day")
+    )

@@ -245,6 +245,7 @@ PRIORITY_ORDER = (
     "a_scan_csv_malformed",
     "l_sim_search_batch",
     "c_join_null_safe",
+    "m_rolling_wau",
     # -- rows-only operators (driver records err: no_oracle) ------------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -148,6 +148,7 @@ CARTESIAN_WHITELIST = {
     "l_topic_cooccur",       # 1-row corpus-count broadcast
     "d_agg_theta_setops",    # two 1-row sketch aggregates joined
     "l_sim_search_batch",    # 10-row query batch broadcast
+    "m_rolling_wau",         # 1-row date-bounds broadcast
     "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
     "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
