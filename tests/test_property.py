@@ -66,7 +66,12 @@ def test_random_filter_group_agg(spark, duck_small, preds, keys, acol):
         expr = {"<": F.col(col) < thr, ">=": F.col(col) >= thr,
                 "<=": F.col(col) <= thr, ">": F.col(col) > thr}[op]
         li = li.filter(expr)
-        conds_sql.append(f"{col} {op} {thr!r}")
+        # CAST('<repr>' AS DOUBLE): DuckDB types a bare >=16-sig-digit
+        # literal DECIMAL(18,17) whose decimal->double conversion can land
+        # on a DIFFERENT double than Python/Spark's parse of the same text
+        # (found by Hypothesis round 3: 0.09999999999999999). String->double
+        # parsing round-trips repr() exactly in both engines.
+        conds_sql.append(f"{col} {op} CAST('{thr!r}' AS DOUBLE)")
     sdf = li.groupBy(*keys).agg(
         F.count("*").alias("cnt"),
         dround(F.sum(acol), 2).alias("s"),
@@ -131,7 +136,8 @@ def test_random_join_shapes(spark, duck_joins, kind, frac, seg):
         SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
         FROM (SELECT * FROM customer WHERE c_mktsegment = '{seg}') c
         {JOIN_KINDS[kind]}
-             (SELECT * FROM orders WHERE o_totalprice >= {thr!r}) o
+             (SELECT * FROM orders
+              WHERE o_totalprice >= CAST('{thr!r}' AS DOUBLE)) o
           ON c.c_custkey = o.o_custkey
     """
     srows = [tuple(r) for r in sdf.collect()]

@@ -29,22 +29,56 @@ def test_queries_dict_iterates_in_priority_order():
     assert list(all_queries()) == list(PRIORITY_ORDER)
 
 
-def test_window_is_all_oracled():
+# Round-4 deliberate exception (round-3 verdict item 2): the three
+# rows-only ANN/dedup SCALE-PATH keys occupy the last 3 window slots so
+# the driver records at least a ran-clean row for them — they are the
+# 100 TB similarity paths and have never had any driver evidence.
+WINDOWED_ROWS_ONLY = {"l_sim_join_lsh", "l_sim_search_ivf", "l_dedup_near_minhash"}
+
+
+def test_window_is_oracled_except_declared_scale_paths():
     oracles = all_oracles()
     window = list(all_queries())[:WINDOW]
     rows_only = [k for k in window if k not in oracles]
-    assert not rows_only, f"rows-only ops burn driver window slots: {rows_only}"
+    assert set(rows_only) == WINDOWED_ROWS_ONLY, (
+        f"undeclared rows-only ops burn driver window slots: "
+        f"{sorted(set(rows_only) ^ WINDOWED_ROWS_ONLY)}"
+    )
+    # and they sit at the very END of the window, after every oracled slot
+    assert window[-len(WINDOWED_ROWS_ONLY):] == sorted(
+        rows_only, key=window.index
+    ), "windowed rows-only keys must be the last window slots"
 
 
 def test_window_covers_every_tier():
     window = list(all_queries())[:WINDOW]
     tiers = {k.split("_", 1)[0] for k in window}
-    assert tiers == set("abcdefghijkl"), f"tiers in window: {sorted(tiers)}"
+    assert tiers >= set("abcdefghijkl"), f"tiers in window: {sorted(tiers)}"
+
+
+def test_window_spends_slots_on_never_verified_keys():
+    """Slots 13-50 must be first-time-verified keys (no driver row in
+    r1-r3) — the whole point of the round-4 rotation. The r1-r3 green
+    set is frozen here from CORRECTNESS_r0{1,2,3}.json."""
+    import json
+    import pathlib
+
+    seen = set()
+    for rnd in (1, 2, 3):
+        p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r0{rnd}.json"
+        if p.exists():
+            seen |= set(json.loads(p.read_text()))
+    rotated = list(all_queries())[12:WINDOW]
+    stale = [k for k in rotated if k in seen]
+    assert not stale, f"window slots 13-50 wasted on already-verified: {stale}"
 
 
 def test_rows_only_sorted_last():
     oracles = all_oracles()
     keys = list(all_queries())
-    first_rows_only = min(i for i, k in enumerate(keys) if k not in oracles)
+    first_rows_only = min(
+        i for i, k in enumerate(keys)
+        if k not in oracles and k not in WINDOWED_ROWS_ONLY
+    )
     last_oracled = max(i for i, k in enumerate(keys) if k in oracles)
     assert first_rows_only > last_oracled
