@@ -194,18 +194,85 @@ def e_win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartiles + distribution ranks over customer balances. This is a
-    GLOBAL window (single partition after shuffle) — acceptable on a
-    1 500-row dim; the 100 TB formulation is approx_percentile bucketing
-    or a two-pass rank join, never a global sort window over a fact
-    table."""
+    """Quartiles + distribution ranks over customer balances, computed
+    SCALE-SHAPED: no global single-partition window anywhere in the
+    plan (round-3 verdict item 3 — the naive ntile/percent_rank over an
+    unpartitioned ORDER BY was the last executed single-partition sort
+    in the contract).
+
+    Distributed global-rank formulation (two-pass rank):
+
+    1. approxQuantile samples ~31 c_acctbal boundaries (driver-held
+       scalars, bounded — the standard RangePartitioner trick).
+    2. Each row gets a range bucket = #boundaries strictly below its
+       acctbal. Equal acctbal values always share a bucket, so the
+       custkey tiebreak never crosses buckets and bucket order is
+       consistent with the global (c_acctbal, c_custkey) order.
+    3. row_number over a window PARTITIONED by bucket — one keyed
+       shuffle, per-bucket sorts, never a single partition.
+    4. Per-bucket counts (≤32 rows) collect to the driver and prefix-sum
+       into offsets; global rank = bucket offset + local row_number.
+    5. ntile(4)/percent_rank/cume_dist are then pure arithmetic on the
+       global rank: the ORDER BY key is unique, so rank == row_number,
+       pr = (rn-1)/(n-1), cd = rn/n, and ntile's first (n mod 4) tiles
+       carry ceil(n/4) rows.
+
+    Skew note: bucket width follows the acctbal distribution; a heavily
+    duplicated sort value degrades toward fewer effective buckets but
+    never breaks correctness (ties stay co-bucketed by construction)."""
+    nb = 32
     c = table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    bounds = sorted(
+        set(
+            c.stat.approxQuantile(
+                "c_acctbal", [i / nb for i in range(1, nb)], 0.01
+            )
+        )
+    )
+    bkt = F.lit(0)
+    for b in bounds:
+        bkt = bkt + F.when(F.col("c_acctbal") > F.lit(b), 1).otherwise(0)
+    cb = c.select("c_custkey", "c_acctbal", bkt.alias("_bkt"))
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in cb.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    n, offsets = 0, []
+    for k in sorted(counts):
+        offsets.append((k, n))
+        n += counts[k]
+    if n == 0:
+        return cb.select(
+            "c_custkey",
+            F.lit(1).alias("tile"),
+            F.lit(0.0).alias("pr"),
+            F.lit(0.0).alias("cd"),
+        )
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_bkt int, _off long")
+    )
+    lw = W.partitionBy("_bkt").orderBy("c_acctbal", "c_custkey")
+    rn = (F.row_number().over(lw) + F.col("_off")).alias("_rn")
+    ranked = cb.join(off, "_bkt").select("c_custkey", rn)
+    base, rem = divmod(n, 4)
+    if base == 0:
+        tile = F.col("_rn")
+    else:
+        head = rem * (base + 1)
+        tile = F.when(
+            F.col("_rn") <= head,
+            F.ceil(F.col("_rn") / F.lit(base + 1)),
+        ).otherwise(rem + F.ceil((F.col("_rn") - head) / F.lit(base)))
+    pr = (
+        dround((F.col("_rn") - 1) / F.lit(float(n - 1)), 6)
+        if n > 1
+        else F.lit(0.0)
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("tile"),
-        dround(F.percent_rank().over(w), 6).alias("pr"),
-        dround(F.cume_dist().over(w), 6).alias("cd"),
+        tile.cast("int").alias("tile"),
+        pr.alias("pr"),
+        dround(F.col("_rn") / F.lit(float(n)), 6).alias("cd"),
     )
 
 

@@ -183,18 +183,91 @@ LINT_SKIP = {
 }
 
 
-def test_no_unexpected_cartesian_anywhere(spark):
+# Queries allowed an UNPARTITIONED (global, single-partition-sort)
+# WindowExec: input provably bounded before the window.
+GLOBAL_WINDOW_WHITELIST = {
+    "i_monotonic_id_rank",  # filter-bounded input, docstring-scoped
+}
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def plan_sweep(spark):
+    """One formatted plan per non-side-effecting query, computed once
+    and shared by every repo-wide lint below (planning 200 queries is
+    the expensive part, not the string checks)."""
+    return {
+        qid: _plan(spark, qid)
+        for qid in sorted(all_queries())
+        if qid not in LINT_SKIP
+    }
+
+
+def test_no_unexpected_cartesian_anywhere(plan_sweep):
     """Repo-wide scale lint: no operator may plan a CartesianProduct or
     BroadcastNestedLoopJoin unless its input is provably bounded and
     whitelisted above."""
     offenders = []
-    for qid in sorted(all_queries()):
-        if qid in CARTESIAN_WHITELIST or qid in LINT_SKIP:
+    for qid, plan in plan_sweep.items():
+        if qid in CARTESIAN_WHITELIST:
             continue
-        plan = _plan(spark, qid)
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(qid)
     assert not offenders, f"unbounded join shapes in: {offenders}"
+
+
+def _global_windows(plan: str) -> int:
+    """Count unpartitioned WindowExec nodes in a formatted plan. A
+    window's Arguments line prints up to three top-level bracket groups
+    — [funcs], [partition], [order] — and OMITS empty groups, so both a
+    global window ([funcs], [order]) and a partitioned-but-unordered
+    window ([funcs], [partition]) print two. They're told apart by the
+    second group: only an ORDER group carries ASC/DESC sort markers. A
+    single-group line ([funcs]) is a window with neither — also
+    single-partition."""
+    lines = plan.splitlines()
+    count = 0
+    for i, ln in enumerate(lines):
+        if not (ln.startswith("(") and ln.rstrip().endswith("Window")):
+            continue
+        for j in range(i + 1, min(i + 5, len(lines))):
+            if not lines[j].startswith("Arguments:"):
+                continue
+            depth, groups, cur = 0, [], []
+            for ch in lines[j]:
+                if ch == "[":
+                    if depth == 0:
+                        cur = []
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append("".join(cur))
+                if depth > 0:
+                    cur.append(ch)
+            if len(groups) == 1:
+                count += 1
+            elif len(groups) == 2 and (
+                " ASC" in groups[1] or " DESC" in groups[1]
+            ):
+                count += 1
+            break
+    return count
+
+
+def test_no_unpartitioned_window_anywhere(plan_sweep):
+    """Repo-wide scale lint (round-3 verdict item 3): a global window is
+    a single-partition sort of its whole input — the one executed
+    scale-killer the round-3 audit found (`e_win_ntile_pct`, since
+    rewritten as bucketed two-pass rank). Nothing outside the bounded
+    whitelist may plan one."""
+    offenders = [
+        qid
+        for qid, plan in plan_sweep.items()
+        if qid not in GLOBAL_WINDOW_WHITELIST and _global_windows(plan) > 0
+    ]
+    assert not offenders, f"unpartitioned WindowExec in: {offenders}"
 
 
 def test_range_bucketed_join_is_hash_join(spark):
