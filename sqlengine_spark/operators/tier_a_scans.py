@@ -246,17 +246,21 @@ def a_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write("not_a_number,BADLAND,9\n")
         f.write("1,TOO,MANY,COLUMNS,5\n")
     schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
-    df = (
+    raw = (
         spark.read.schema(schema)
         .option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
-    # cache before splitting on _corrupt_record (Spark requirement: the
-    # corrupt-record column may not be referenced on a raw csv scan
-    # without materializing the parse first)
-    df = df.cache()
+    # Spark requires the parse be materialized before _corrupt_record is
+    # referenced. Save-then-read (the documented alternative to cache)
+    # keeps the shared driver session free of leaked cached relations
+    # (round-3 advice): a .cache() here would pin the parse in the
+    # session's storage for the rest of the run.
+    parsed = _scratch("nation_malformed_parsed")
+    raw.write.mode("overwrite").parquet(parsed)
+    df = spark.read.parquet(parsed)
     return df.agg(
         F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
         .cast("bigint")

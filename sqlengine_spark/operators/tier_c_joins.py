@@ -506,9 +506,12 @@ def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     prev = {k: spark.conf.get(k, None) for k in scoped}
-    for k, v in scoped.items():
-        spark.conf.set(k, v)
     try:
+        # conf sets live INSIDE the try (round-3 advice): a set raising
+        # partway must still restore the ones already applied, or later
+        # queries inherit bloom/broadcast overrides session-wide.
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
         # Logical optimization (where InjectRuntimeFilter runs) is lazy
         # AND cached per QueryExecution — force it under the scoped confs
         # so the bloom probe lands, then restore before anyone else plans.

@@ -110,3 +110,23 @@ def test_explain_surface(spark):
     plan = eng.explain("b_filter_range")
     assert "PushedFilters" in plan
     assert "Exchange" not in plan  # a pure filter never shuffles
+
+
+def test_stream_staging_does_not_leak_per_engine(spark):
+    """Repeated engine construction + stream_events must reuse ONE
+    staged events dir per sf_dir (memoized, atexit-cleaned), not leak a
+    tempdir per instance (round-2/3 advice)."""
+    import glob
+    import tempfile
+
+    from sqlengine_spark.operators.tier_j_streaming import stage_events
+
+    before = set(glob.glob(f"{tempfile.gettempdir()}/sqlengine_events_stage_*"))
+    paths = set()
+    for _ in range(3):
+        eng = SQLEngine(sf_dir=SF_DIR_SMALL, spark=spark)
+        eng.stream_events()  # staging runs at build time
+        paths.add(stage_events(spark, SF_DIR_SMALL))
+    after = set(glob.glob(f"{tempfile.gettempdir()}/sqlengine_events_stage_*"))
+    assert len(paths) == 1, f"staging not memoized: {paths}"
+    assert len(after - before) <= 1, f"leaked staging dirs: {after - before}"
