@@ -571,3 +571,19 @@ def test_null_safe_join_is_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_3way_preagg_shuffle_hash(spark):
+    # Q3-shape eager aggregation: revenue pre-aggregates on the join
+    # key before the join (partial+final HashAggregate around one
+    # exchange), the dim broadcasts, the orderkey join is a shuffled
+    # hash join building on the filtered-orders side, and top-10 is
+    # TakeOrdered — no post-join aggregate, no global sort.
+    plan = _plan(spark, "c_join_3way")
+    assert "BroadcastHashJoin" in plan          # customer dim broadcast
+    assert "ShuffledHashJoin" in plan           # pinned fact-join strategy
+    assert "BuildLeft" in plan                  # build = filtered orders side
+    # exactly TWO HashAggregate nodes (partial+final pre-agg, nothing
+    # after the join); formatted mode prints each node twice
+    assert plan.count("HashAggregate") == 4
+    assert "TakeOrderedAndProject" in plan
