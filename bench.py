@@ -40,6 +40,7 @@ HEADLINE = [
     "h_explode",             # generator + agg
     "l_text_tfidf_top",      # two-agg + broadcast join + rank
     "l_multimodal_enrich",   # posexplode centroid pipeline
+    "l_sim_join_lsh",        # banded LSH vector join — the 100 TB ANN path
 ]
 # NOT benched: l_simjoin_jaccard / l_dedup_near_minhash at sf0.1 — the
 # synthetic corpus has a 31-token vocabulary, so the ANSWER itself is

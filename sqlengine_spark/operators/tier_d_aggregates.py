@@ -632,3 +632,86 @@ def d_agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_a_only"),
     )
+
+
+#: Misra-Gries capacity per partition. Correctness condition for the
+#: exact-recount pipeline: merged MG undercounts any item by at most
+#: n_partition_rows / capacity, so every item with true count >
+#: n / capacity survives to the candidate set. 64 counters >> the
+#: fixture's 31-token vocabulary (the sketch is lossless there) and at
+#: 100 TB bounds candidate-set size regardless of vocabulary size.
+MG_CAPACITY = 64
+HH_TOP_K = 10
+
+
+@query(
+    "d_agg_heavy_hitters",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+          FROM documents)
+    GROUP BY t
+    ORDER BY cnt DESC, t
+    LIMIT 10
+    """,
+)
+def d_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters with exact verification — the
+    two-phase sketch pipeline for top-k over streams too wide to fully
+    aggregate: (1) each partition runs a Misra-Gries summary (bounded
+    memory: MG_CAPACITY counters, one pass) over its token stream via
+    Arrow-batched mapInPandas; (2) the per-partition summaries (≤
+    capacity rows each — NOT the raw stream) merge into a candidate
+    set; (3) candidates alone are recounted EXACTLY with one filtered
+    aggregation, and the top-k of the recount is emitted. MG's
+    undercount bound (≤ n/capacity per item) guarantees the candidate
+    set contains every item whose frequency exceeds n/capacity, so for
+    k ≪ capacity the final top-k is provably the TRUE top-k — which is
+    why the oracle is the plain exact SQL and this hash-matches.
+
+    Scale: phase 1 is map-only with O(capacity) state per task; phase 2
+    shuffles ≤ capacity × partitions summary rows; phase 3's recount
+    filter (isin over ≤ capacity candidates) folds into the scan. The
+    raw stream is never globally shuffled by token — at 100 TB that is
+    the difference between this plan and d_agg/groupBy top-k whose
+    shuffle carries every distinct token."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["t"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[t] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in dead:
+                        del counters[k]
+                    for k in counters:
+                        counters[k] -= 1
+        if counters:
+            yield pd.DataFrame(
+                {"t": list(counters), "c": list(counters.values())}
+            )
+
+    summaries = tok.mapInPandas(mg_partition, "t string, c long")
+    candidates = [
+        r["t"]
+        for r in summaries.groupBy("t")
+        .agg(F.sum("c").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(MG_CAPACITY)
+        .collect()  # bounded: <= MG_CAPACITY candidate tokens (64)
+    ]
+    return (
+        tok.filter(F.col("t").isin(candidates))
+        .groupBy(F.col("t").alias("token"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(HH_TOP_K)
+    )

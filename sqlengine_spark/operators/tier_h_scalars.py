@@ -557,3 +557,96 @@ def h_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.array_sort(F.array_distinct(long_toks)), 1, 3), ",")
         .alias("top3_long"),
     )
+
+
+@query(
+    "h_try_funcs",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(CASE WHEN p_size % 3 = 0 THEN CAST(p_size AS VARCHAR)
+                         ELSE p_name END AS INT)              AS maybe_int,
+           ROUND(p_retailprice / (p_size - 25) * 100, 0) / 100 + 0
+                                                              AS safe_ratio,
+           string_split(p_name, ' ')[5]                       AS token5
+    FROM part
+    """,
+)
+def h_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family — the ANSI-mode escape hatches:
+    ``try_cast`` on a column that mixes parseable and unparseable
+    strings, ``try_divide`` with a denominator that hits zero (p_size =
+    25 rows), and ``try_element_at`` past the end of a token array.
+    Spark 4 runs ANSI mode by default, where the plain operators THROW
+    on these inputs — a 100 TB job that dies 6 hours in on one bad row
+    is the failure mode this family exists to prevent. DuckDB pins:
+    ``TRY_CAST`` is 1:1; double division by zero yields NULL (measured:
+    ``1.0/0.0 -> NULL``), matching try_divide; list indexing past the
+    end yields NULL, matching try_element_at.
+
+    Scale: pure codegen expressions in the scan projection — no
+    shuffle, no UDF, and (the point) no task retry storms from ANSI
+    exceptions on dirty data."""
+    p = table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_size") % 3 == 0, F.col("p_size").cast("string")
+    ).otherwise(F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "try_cast(CASE WHEN p_size % 3 = 0 THEN CAST(p_size AS STRING) "
+            "ELSE p_name END AS INT)"
+        ).alias("maybe_int"),
+        dround(F.try_divide(F.col("p_retailprice"), F.col("p_size") - 25), 2)
+        .alias("safe_ratio"),
+        F.try_element_at(F.split("p_name", " "), F.lit(5)).alias("token5"),
+    )
+
+
+@query(
+    "h_url_funcs",
+    oracle="""
+    WITH u AS (
+        SELECT n_nationkey,
+               'https://' || regexp_replace(lower(n_name), '[^a-z]', '', 'g')
+                   || '.example.com/nation/' || CAST(n_nationkey AS VARCHAR)
+                   || '?region=' || CAST(n_regionkey AS VARCHAR) || '&lang=en'
+               AS url
+        FROM nation
+    )
+    SELECT n_nationkey,
+           regexp_extract(url, 'https?://([^/]+)', 1)       AS host,
+           regexp_extract(url, '://[^/]+(/[^?#]*)', 1)      AS path,
+           regexp_extract(url, '\\?(.*)$', 1)               AS query,
+           regexp_extract(url, '[?&]region=([^&#]*)', 1)    AS region_param
+    FROM u
+    """,
+)
+def h_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (``parse_url`` HOST / PATH / QUERY / keyed QUERY
+    param) over synthesized-but-deterministic URLs — the provenance
+    column every web-crawl corpus carries; host extraction is the key
+    of per-domain dedup and domain-mix curation. The oracle states the
+    same ground truth via anchored regexp_extract (DuckDB has no URL
+    parser); hostnames are sanitized to [a-z] so Java's URI parser and
+    the regex agree on every row.
+
+    Scale: codegen string expressions in the projection — no shuffle;
+    at 100 TB this runs inside the scan exactly like any other scalar."""
+    n = table(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(F.lower("n_name"), "[^a-z]", ""),
+        F.lit(".example.com/nation/"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("?region="),
+        F.col("n_regionkey").cast("string"),
+        F.lit("&lang=en"),
+    )
+    u = n.select("n_nationkey", url.alias("url"))
+    return u.select(
+        "n_nationkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("region")).alias("region_param"),
+    )

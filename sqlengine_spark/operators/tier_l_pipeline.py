@@ -942,3 +942,168 @@ def l_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: BM25 ranking parameters (the Robertson/Sparck-Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("data", "join", "vector")
+
+
+@query(
+    "l_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (
+        SELECT COUNT(*) AS n,
+               CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM tok
+        WHERE t IN {BM25_TERMS!r} GROUP BY doc_id, t
+    ),
+    df AS (
+        SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE t IN {BM25_TERMS!r} GROUP BY t
+    ),
+    s AS (
+        SELECT tf.doc_id,
+               tf.t,
+               ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dl.dl / corpus.avgdl))
+                   AS sc
+        FROM tf
+        JOIN df ON tf.t = df.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corpus
+    ),
+    agg AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN t = 'data' THEN sc END), 0.0)
+               + COALESCE(MAX(CASE WHEN t = 'join' THEN sc END), 0.0)
+               + COALESCE(MAX(CASE WHEN t = 'vector' THEN sc END), 0.0)
+                   AS score
+        FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(score * 1e4, 0) / 1e4 + 0 AS score
+    FROM agg
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def l_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75): top-10 documents for a
+    fixed multi-term query — the sparse half of every RAG / retrieval
+    stack, complementing l_hybrid_search's dense+density blend with the
+    real probabilistic ranking function.
+
+    Float pins (CLAUDE.md rule 4): every BM25 input (tf, df, dl, N) is
+    an exact integer; avgdl is one exact-integer sum divided once in
+    DOUBLE; the per-term score states the formula in the identical
+    association order in both engines; and the per-doc sum is NOT a
+    SUM() over nondeterministically-ordered rows but a FIXED-ORDER
+    chain of the (at most 3) per-term scores pivoted to columns —
+    bit-identical before dround(4). LIMIT carries the (score, doc_id)
+    total-order tiebreak (rule 5).
+
+    Scale: tokenization explodes once; tf shuffles on (doc, term)
+    filtered to the query's terms BEFORE the shuffle (postings for 3
+    terms, not the whole corpus); df and corpus stats are tiny
+    broadcast sides; final top-10 is TakeOrdered. At 100 TB this is the
+    standard inverted-postings BM25 plan: cost follows the query terms'
+    posting lists, never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = d.count()
+    avgdl_row = dl.agg(
+        (F.sum("dl").cast("double") / F.lit(float(n))).alias("avgdl")
+    )
+    qtok = tok.filter(F.col("t").isin(*BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df_ = qtok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    s = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl_row))
+        .select(
+            "doc_id",
+            "t",
+            (
+                F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("sc"),
+        )
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("t") == t, F.col("sc"))), F.lit(0.0))
+        for t in BM25_TERMS
+    ]
+    score = per_term[0] + per_term[1] + per_term[2]
+    return (
+        s.groupBy("doc_id")
+        .agg(dround(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+#: Training-shard count for the deterministic global shuffle.
+N_SHARDS = 8
+
+
+@query(
+    "l_shuffle_shard",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':shuffle-42') AS skey
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substring(skey, 1, 8)) AS BIGINT) % {N_SHARDS}
+               AS shard,
+           row_number() OVER (
+               PARTITION BY CAST(('0x' || substring(skey, 1, 8)) AS BIGINT)
+                            % {N_SHARDS}
+               ORDER BY skey, doc_id) AS pos
+    FROM k
+    """,
+)
+def l_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step
+    between curation and training that de-correlates document order
+    (adjacent crawl/source records must not land in the same training
+    batch) and fixes each example's (shard, position) for reproducible,
+    resumable data loading. "Random" order is the md5 of the doc key
+    with a salt — reproducible across runs, engines, and ANY input
+    partitioning, which no RNG shuffle promises (same policy as
+    l_split_hash / i_sample_hash).
+
+    Scale: one shuffle keyed on the 8-way shard id, then a per-shard
+    sort for position — each shard sorts independently in parallel
+    (position is NOT a global row_number: no single-partition sort
+    anywhere). At 100 TB you raise N_SHARDS to O(total/shard-size) and
+    the plan is unchanged; writing shards then maps 1:1 onto
+    partitionBy('shard') with files pre-sorted by pos."""
+    d = table(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle-42")))
+    shard = (
+        F.conv(F.substring(F.col("skey"), 1, 8), 16, 10).cast("bigint") % N_SHARDS
+    )
+    k = d.select("doc_id", skey.alias("skey")).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return k.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )

@@ -752,3 +752,96 @@ def m_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "m_ts_interpolate",
+    oracle="""
+    WITH m AS (
+        SELECT event_id, user_id, epoch_us(ts) AS e,
+               CASE WHEN value >= 35.0 THEN value END AS mv
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, e, mv,
+               last_value(mv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_v,
+               last_value(CASE WHEN mv IS NOT NULL THEN e END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY e, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_e,
+               first_value(mv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY e, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_v,
+               first_value(CASE WHEN mv IS NOT NULL THEN e END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY e, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_e
+        FROM m
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN mv IS NOT NULL THEN mv
+                      ELSE prev_v + (next_v - prev_v)
+                           * (CAST(e - prev_e AS DOUBLE)
+                              / CAST(next_e - prev_e AS DOUBLE))
+                 END * 1e4, 0) / 1e4 + 0 AS interp
+    FROM w
+    """,
+)
+def m_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of masked gaps (the repair step between
+    ffill and model-grade imputation): values below the quality
+    threshold become NULL, then each gap row is reconstructed on the
+    straight line between its user's nearest surviving neighbors,
+    weighted by exact integer-microsecond time distance. Rows with no
+    surviving neighbor on one side stay NULL (strict interior
+    interpolation — no extrapolation).
+
+    Float pin: both engines compute prev + (next-prev) * (dt_num/dt_den)
+    in DOUBLE with epoch-microsecond BIGINT differences cast to double,
+    identical association order, then dround(4) (CLAUDE.md rule 4).
+    Total order pin: (ts, event_id) — ts alone can tie (rule 5).
+
+    Scale: one shuffle on user_id, two window passes over each
+    partition with O(1) carried state (last-seen / first-ahead value
+    and timestamp) — same shape as m_ts_ffill; no driver-side state,
+    no UDF."""
+    ev = table(spark, sf_dir, "events")
+    e = F.unix_micros(F.col("ts"))
+    mv = F.when(F.col("value") >= 35.0, F.col("value"))
+    base = ev.select(
+        "event_id", "user_id", e.alias("e"), mv.alias("mv")
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("e", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("e", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    me = F.when(F.col("mv").isNotNull(), F.col("e"))
+    w = base.select(
+        "event_id",
+        "user_id",
+        "e",
+        "mv",
+        F.last("mv", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(me, ignorenulls=True).over(wb).alias("prev_e"),
+        F.first("mv", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(me, ignorenulls=True).over(wf).alias("next_e"),
+    )
+    interp = F.when(F.col("mv").isNotNull(), F.col("mv")).otherwise(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (
+            (F.col("e") - F.col("prev_e")).cast("double")
+            / (F.col("next_e") - F.col("prev_e")).cast("double")
+        )
+    )
+    return w.select("event_id", "user_id", dround(interp, 4).alias("interp"))

@@ -250,6 +250,14 @@ PRIORITY_ORDER = (
     "f_sort_local",
     "a_scan_csv_malformed",
     "l_sim_search_batch",
+    # -- round-4 additions (oracled; window candidates for round 5) ----
+    "h_try_funcs",
+    "h_url_funcs",
+    "m_ts_interpolate",
+    "l_bm25_search",
+    "l_shuffle_shard",
+    "a_table_ctas_catalog",
+    "d_agg_heavy_hitters",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -152,6 +152,7 @@ CARTESIAN_WHITELIST = {
     "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
     "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
+    "l_bm25_search",            # 1-row corpus avgdl scalar broadcast
 }
 
 # Heavy side-effecting queries whose DataFrame construction executes
@@ -587,3 +588,57 @@ def test_3way_preagg_shuffle_hash(spark):
     # after the join); formatted mode prints each node twice
     assert plan.count("HashAggregate") == 4
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_filtered_postings_broadcast_topk(spark):
+    # BM25: query-term filter prunes postings BEFORE the tf shuffle,
+    # df/corpus stats broadcast, top-10 is TakeOrdered — never a full
+    # corpus-keyed aggregation shuffled by every distinct token.
+    plan = _plan(spark, "l_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "t#" in plan and "IN (data,join,vector" in plan.replace("'", ""), (
+        "query-term IN filter must appear (pushed before the tf shuffle)"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shard_partitioned_window(spark):
+    # position is per-shard row_number — the window partitions on the
+    # shard key; a global (unpartitioned) sort here would serialize the
+    # whole corpus through one task.
+    plan = _plan(spark, "l_shuffle_shard")
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_heavy_hitters_sketch_then_filtered_recount(spark):
+    # the returned plan is phase 3 (the sketch phases run eagerly to
+    # produce the candidate list): the recount must filter to the
+    # bounded candidate set BEFORE its aggregation shuffle (INSET ahead
+    # of the partial HashAggregate) and take the top-k as TakeOrdered.
+    plan = _plan(spark, "d_agg_heavy_hitters")
+    assert "INSET" in plan
+    assert plan.index("INSET") < plan.index("partial_count"), (
+        "candidate filter must precede the partial aggregation"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interpolate_single_user_shuffle(spark):
+    # both window passes (backward + forward) share ONE user_id
+    # exchange; a second exchange would mean the orderBy specs drifted.
+    plan = _plan(spark, "m_ts_interpolate")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, (
+        "backward/forward interpolation windows must share the user_id "
+        "shuffle (formatted mode prints each node at most twice)"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_try_funcs_scan_side_projection(spark):
+    # the try-family is pure codegen in the scan projection — no
+    # shuffle, no python worker.
+    plan = _plan(spark, "h_try_funcs")
+    assert "Exchange" not in plan
+    assert "Python" not in plan

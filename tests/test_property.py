@@ -94,6 +94,70 @@ def test_random_filter_group_agg(spark, duck_small, preds, keys, acol):
     assert s_canon == d_canon
 
 
+# Data-domain grid points where filter thresholds are most dangerous:
+# l_discount is generated on the 0.00..0.10 cent grid, l_quantity on
+# integers 1..50, l_tax on 0.00..0.08. A threshold exactly ON or one
+# ulp AROUND a grid value is where Spark-vs-DuckDB literal parsing
+# divergence flips row membership (the round-3 Hypothesis find was
+# nextafter(0.1, 0) reached via 0.9999999999999999 * 0.1).
+BOUNDARY_GRIDS = {
+    "l_discount": [k / 100.0 for k in range(0, 11)],
+    "l_tax": [k / 100.0 for k in range(0, 9)],
+    "l_quantity": [float(k) for k in range(1, 51)],
+}
+
+
+def _ulp_offset(x: float, steps: int) -> float:
+    import math as m
+
+    toward = m.inf if steps > 0 else -m.inf
+    for _ in range(abs(steps)):
+        x = m.nextafter(x, toward)
+    return x
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    col=st.sampled_from(sorted(BOUNDARY_GRIDS)),
+    idx=st.integers(min_value=0, max_value=49),
+    ulps=st.integers(min_value=-3, max_value=3),
+    op=st.sampled_from(OPS),
+)
+def test_boundary_ulp_thresholds(spark, duck_small, col, idx, ulps, op):
+    """Round-3 verdict item 8: fuzz thresholds AT and one-to-three ulps
+    around actual data-domain grid values through BOTH the Spark Column
+    path and the oracle-SQL path. Any literal-coercion divergence
+    (DECIMAL-typed literals, decimal->double vs text->double) flips
+    membership of the grid rows and fails the row-set compare."""
+    grid = BOUNDARY_GRIDS[col]
+    thr = _ulp_offset(grid[idx % len(grid)], ulps)
+    expr = {"<": F.col(col) < thr, ">=": F.col(col) >= thr,
+            "<=": F.col(col) <= thr, ">": F.col(col) > thr}[op]
+    sdf = (
+        table(spark, SF_DIR_SMALL, "lineitem")
+        .filter(expr)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), dround(F.sum(col), 2).alias("s"))
+    )
+    sql = f"""
+        SELECT l_returnflag, COUNT(*) AS cnt,
+               ROUND(SUM({col}) * 100, 0) / 100 AS s
+        FROM lineitem WHERE {col} {op} CAST('{thr!r}' AS DOUBLE)
+        GROUP BY l_returnflag
+    """
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_small.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    _, s_canon = canon_rows(list(sdf.columns), srows)
+    _, d_canon = canon_rows(dcols, drows)
+    assert s_canon == d_canon
+
+
 @pytest.fixture(scope="module")
 def duck_joins():
     con = duckdb.connect()
