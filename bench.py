@@ -40,8 +40,18 @@ HEADLINE = [
     "h_explode",             # generator + agg
     "l_text_tfidf_top",      # two-agg + broadcast join + rank
     "l_multimodal_enrich",   # posexplode centroid pipeline
-    "l_sim_join_lsh",        # banded LSH vector join — the 100 TB ANN path
+    "l_sim_join_gemm",       # blocked-GEMM exact vector join (sim tier)
 ]
+# The similarity tier's benched row is l_sim_join_gemm, not
+# l_sim_join_lsh: at this corpus's only non-vacuous threshold (τ=0.4;
+# max pairwise cosine is 0.60) a 2-bit LSH band has 4 possible
+# signatures, so EVERY pair collides in some band and banded LSH
+# degenerates to all-pairs (measured 30.6 s at sf0.1 — all of it
+# candidate-verify on ~2M pairs). That is a property of the τ regime,
+# not of the plan: LSH prunes at production thresholds (τ ≥ 0.9),
+# where this corpus's answer is empty. The GEMM join is the honest
+# scale path for moderate-τ exact joins and its candidates are
+# data-bounded (920 true pairs at sf0.1).
 # NOT benched: l_simjoin_jaccard / l_dedup_near_minhash at sf0.1 — the
 # synthetic corpus has a 31-token vocabulary, so the ANSWER itself is
 # quadratic: 7 098 809 of 12.5M possible pairs genuinely have J >= 0.6

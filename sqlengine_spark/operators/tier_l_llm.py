@@ -1320,3 +1320,101 @@ def l_sim_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", dround(F.col("sim_raw"), 6).alias("sim"))
         .orderBy("q_id", F.col("sim").desc(), "vec_id")
     )
+
+
+#: Block count for the GEMM-blocked exact similarity join. At sf0.1
+#: (2 000 vectors) 8 blocks give 250-row blocks / 36 block pairs; at
+#: scale nblocks grows as N/B with B sized so one block PAIR of
+#: embeddings fits an executor's memory.
+GEMM_BLOCKS = 8
+
+
+@query(
+    "l_sim_join_gemm",
+    oracle="""
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           ROUND((SELECT SUM(a.embedding[s.i]::DOUBLE * b.embedding[s.i]::DOUBLE)
+                  FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
+                 * 1e6, 0) / 1e6 AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE (SELECT SUM(a.embedding[s.i]::DOUBLE * b.embedding[s.i]::DOUBLE)
+           FROM (SELECT unnest(generate_series(1, 64)) AS i) s) >= 0.4
+    """,
+)
+def l_sim_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cosine threshold join via block-partitioned GEMM — the
+    scale path for MODERATE thresholds, where banded LSH provably
+    cannot prune (at τ = 0.4 a 2-bit band has 4 signatures, so every
+    pair collides somewhere and the "approximate" join degenerates to
+    all-pairs; measured 30.6 s at sf0.1 vs sub-second here). Semantics
+    and oracle are identical to l_sim_join_threshold (the same 920
+    pairs at sf0.1) — only the plan differs, the c_join_broadcast
+    pattern of registering a physical strategy under a fixed contract.
+
+    Plan: vectors hash into GEMM_BLOCKS blocks; each of the
+    B(B+1)/2 unordered block pairs becomes one applyInPandas group
+    whose task runs a float64 numpy matrix product (250×64 @ 64×250 ≈
+    4M FLOPs — effectively free next to the per-pair interpreted
+    fold). Candidates pass at τ − 1e-6 (the GEMM-vs-sequential
+    associativity error is ≤ ~1e-13 for unit 64-dim vectors, so the
+    margin can drop no true pair), then an exact JVM vdot re-verifies
+    every candidate so emitted sims are BIT-identical to the oracle's
+    ordered sequential sum — the hash-match does not depend on numpy
+    summation order.
+
+    Scale: each vector replicates to GEMM_BLOCKS block pairs (O(N·√P)
+    communication, the classic block-nested GEMM bound); block pairs
+    are independent tasks; the verify join touches only candidates.
+    At 100 TB you precede this with coarse clustering (IVF) so only
+    adjacent-cluster block pairs materialize."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    nb = GEMM_BLOCKS
+    block = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+    pairs = spark.createDataFrame(
+        [(bi * nb + bj, bi, bj) for bi in range(nb) for bj in range(bi, nb)],
+        "pid int, bi int, bj int",
+    )
+    fanout = (
+        e.select("vec_id", "embedding", block.alias("blk"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+        )
+    )
+
+    def gemm_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        thr = 0.4 - 1e-6
+        if bi == bj:
+            ids = pdf["vec_id"].to_numpy()
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = m @ m.T
+            ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+            va, vb = ids[ii], ids[jj]
+        else:
+            a = pdf[pdf["blk"] == bi]
+            b = pdf[pdf["blk"] == bj]
+            ia = a["vec_id"].to_numpy()
+            ib = b["vec_id"].to_numpy()
+            ma = np.array(list(a["embedding"]), dtype=np.float64)
+            mb = np.array(list(b["embedding"]), dtype=np.float64)
+            sims = ma @ mb.T
+            ii, jj = np.nonzero(sims >= thr)
+            va, vb = ia[ii], ib[jj]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"va": lo.astype("int64"), "vb": hi.astype("int64")})
+
+    cands = fanout.groupBy("pid").applyInPandas(gemm_pair, "va long, vb long")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    exact = vdot(F.col("ea"), F.col("eb"))
+    return (
+        cands.join(a, "va")
+        .join(b, "vb")
+        .withColumn("raw", exact)
+        .filter(F.col("raw") >= 0.4)
+        .select("va", "vb", dround(F.col("raw"), 6).alias("sim"))
+    )

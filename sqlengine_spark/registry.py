@@ -258,6 +258,7 @@ PRIORITY_ORDER = (
     "l_shuffle_shard",
     "a_table_ctas_catalog",
     "d_agg_heavy_hitters",
+    "l_sim_join_gemm",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -153,6 +153,9 @@ CARTESIAN_WHITELIST = {
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
     "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
     "l_bm25_search",            # 1-row corpus avgdl scalar broadcast
+    "l_sim_join_gemm",          # 36-row block-pair table broadcast (the
+                                # OR-condition fan-out join); the GEMM
+                                # itself is per-block-pair applyInPandas
 }
 
 # Heavy side-effecting queries whose DataFrame construction executes
@@ -642,3 +645,14 @@ def test_try_funcs_scan_side_projection(spark):
     plan = _plan(spark, "h_try_funcs")
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_gemm_join_block_pair_groups(spark):
+    # the GEMM join must fan out to per-block-pair Arrow groups
+    # (FlatMapGroupsInPandas keyed on pid) and verify candidates with
+    # hash joins — no CartesianProduct anywhere (the only nested-loop
+    # node is the 36-row broadcast block-pair fan-out).
+    plan = _plan(spark, "l_sim_join_gemm")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(pid" in plan
