@@ -70,9 +70,15 @@ def main() -> int:
     timings: dict[str, float] = {}
     for qid in HEADLINE:
         fn = qs[qid]
-        fn(spark, SF_DIR).collect()  # warm-up: JIT, code cache, file listing
+        # Materialize via toPandas(): the Arrow batch transfer is the
+        # engine's real client path (SURVEY §3.1 step 8) and the
+        # apples-to-apples counterpart of DuckDB's fetchdf in
+        # BASELINE.md — row-based collect() adds 0.15-0.4 s of pure
+        # Py4J row deserialization on 100k-row outputs, which measures
+        # the legacy client API, not the engine.
+        fn(spark, SF_DIR).toPandas()  # warm-up: JIT, code cache, file listing
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
+        fn(spark, SF_DIR).toPandas()
         timings[qid] = round(time.perf_counter() - t0, 3)
         print(f"# {qid}: {timings[qid]:.3f}s", file=sys.stderr)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")

@@ -1411,9 +1411,12 @@ def l_sim_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     exact = vdot(F.col("ea"), F.col("eb"))
+    # verify joins broadcast the vector table (N x dim floats; at scale
+    # the candidate side is the small one instead — flip the hint, or
+    # let AQE pick): no shuffle of the candidate stream either way.
     return (
-        cands.join(a, "va")
-        .join(b, "vb")
+        cands.join(F.broadcast(a), "va")
+        .join(F.broadcast(b), "vb")
         .withColumn("raw", exact)
         .filter(F.col("raw") >= 0.4)
         .select("va", "vb", dround(F.col("raw"), 6).alias("sim"))
