@@ -1107,3 +1107,199 @@ def l_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+@query(
+    "l_dedup_url",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey,
+               'https://cdn' || CAST(o_orderkey % 3 AS VARCHAR)
+                   || '.Example.COM/doc/' || CAST(o_custkey AS VARCHAR)
+                   || '?utm_source=s' || CAST(o_orderkey % 7 AS VARCHAR)
+                   || '&session=' || CAST(o_orderkey AS VARCHAR)
+               AS url
+        FROM orders
+    ),
+    c AS (
+        SELECT o_orderkey,
+               regexp_replace(
+                   lower(regexp_extract(url, 'https?://([^/?#]+)', 1)),
+                   '^cdn[0-9]+\\.', 'www.')
+               || regexp_extract(url, '://[^/?#]+([^?#]*)', 1)
+               AS canon
+        FROM u
+    )
+    SELECT canon, MIN(o_orderkey) AS keep_id, COUNT(*) AS n_copies
+    FROM c GROUP BY canon
+    """,
+)
+def l_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-pipeline first pass that
+    collapses the SAME page fetched under different tracking params,
+    mirror hosts, and case-variant hostnames: lowercase the host, fold
+    numbered CDN mirrors (cdn{N}. -> www.), DROP the query string
+    (utm_/session noise), keep path; then exact-dedup on the canonical
+    form keeping the smallest id. URLs are synthesized
+    deterministically from orders so both engines canonicalize
+    identical inputs: 3 mirror hosts x 7 utm variants x per-row session
+    ids all collapse to one canonical URL per customer (~1500 groups
+    from 150k rows at sf0.1 — a real many-to-one collapse, not a no-op).
+
+    Scale: canonicalization is codegen regexp in the scan; the dedup is
+    the same partial+final hash-agg shuffle as l_dedup_exact, keyed on
+    the canonical string — one shuffle whose cardinality is the number
+    of DISTINCT canonical URLs."""
+    o = table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://cdn"),
+        (F.col("o_orderkey") % 3).cast("string"),
+        F.lit(".Example.COM/doc/"),
+        F.col("o_custkey").cast("string"),
+        F.lit("?utm_source=s"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("&session="),
+        F.col("o_orderkey").cast("string"),
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"https?://([^/?#]+)", 1)),
+        r"^cdn[0-9]+\.",
+        "www.",
+    )
+    path = F.regexp_extract(url, r"://[^/?#]+([^?#]*)", 1)
+    canon = F.concat(host, path)
+    return (
+        o.select("o_orderkey", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("o_orderkey").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "l_corpus_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS call FROM tok GROUP BY t),
+    nall AS (SELECT COUNT(*) AS n, (SELECT COUNT(*) FROM vocab) AS v FROM tok),
+    langs AS (SELECT lang, COUNT(*) AS nl FROM tok GROUP BY lang),
+    cl AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+    grid AS (
+        SELECT l.lang, l.nl, v.t, v.call, COALESCE(cl.c, 0) AS c
+        FROM langs l CROSS JOIN vocab v
+        LEFT JOIN cl ON cl.lang = l.lang AND cl.t = v.t
+    )
+    SELECT g.lang,
+           ROUND(SUM(
+               ((g.c + 1.0) / (g.nl + nall.v))
+               * ln(((g.c + 1.0) / (g.nl + nall.v))
+                    / ((g.call + 1.0) / (nall.n + nall.v)))
+           ) * 1e6, 0) / 1e6 + 0 AS kl
+    FROM grid g CROSS JOIN nall
+    GROUP BY g.lang
+    """,
+)
+def l_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus slices: KL(P_lang || P_corpus)
+    over add-1-smoothed token unigram distributions — the curation
+    check that flags when one slice's language model diverges from the
+    mixture (domain imbalance, contamination, a bad crawl batch) before
+    it reaches training. Smoothing over the full corpus vocabulary so
+    zero-count tokens contribute mass in both distributions.
+
+    Formula pins: p = (c_lang+1)/(n_lang+V), q = (c_all+1)/(n_all+V),
+    natural log, identical association (p * ln(p/q) summed per lang),
+    dround(6) + the negative-zero guard (KL terms straddle zero for
+    over/under-represented tokens).
+
+    Scale: token counting is partial+final hash aggs; the scoring grid
+    is |slices| x |vocab| — vocabulary-bounded like l_topic_cooccur
+    (cap vocab to the top-K tokens by df at open-vocab scale), never
+    row-bounded; one broadcast of the corpus totals."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("call"))
+    v_n = vocab.count()
+    n_all = tok.count()
+    langs = tok.groupBy("lang").agg(F.count("*").alias("nl"))
+    cl = tok.groupBy("lang", "t").agg(F.count("*").alias("c"))
+    grid = (
+        langs.crossJoin(F.broadcast(vocab))
+        .join(cl, ["lang", "t"], "left")
+        .select(
+            "lang",
+            "nl",
+            "call",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    p = (F.col("c") + 1.0) / (F.col("nl") + F.lit(float(v_n)))
+    q = (F.col("call") + 1.0) / (F.lit(float(n_all)) + F.lit(float(v_n)))
+    return grid.groupBy("lang").agg(
+        dround(F.sum(p * F.log(p / q)), 6).alias("kl")
+    )
+
+
+@query(
+    "l_simjoin_containment",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        FROM tok x JOIN tok y ON x.t = y.t AND x.doc_id <> y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / ca.n * 1e6, 0) / 1e6 AS containment
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    WHERE i * 1.0 / ca.n >= 0.9
+    """,
+)
+def l_simjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join: ordered pairs (a, b) where ≥ 90% of
+    a's distinct tokens appear in b — the dedup relation Jaccard
+    misses: a short document quoted inside a longer one has low Jaccard
+    (union is large) but high containment, which is exactly the
+    quoted-article / boilerplate-inclusion case crawl dedup must catch.
+    C(a→b) = |A∩B| / |A| — directional, so both (a,b) and (b,a) are
+    evaluated and only the contained direction survives.
+
+    Scale: the same doc-keyed inverted-index shape as
+    l_simjoin_jaccard — postings join on the token key, pair-count
+    aggregation, threshold filter; candidate volume follows Σ df² over
+    the posting lists. The prefix-filter refinement applies per SIDE
+    (for containment the bound is on A's prefix only: keep
+    n_a − ⌈0.9·n_a⌉ + 1 of a's tokens), documented rather than applied
+    because this fixture's 31-token vocabulary makes every posting a
+    stopword (same degeneracy note as l_simjoin_jaccard/bench.py)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).distinct()
+    cnt = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = tok.select(F.col("doc_id").alias("doc_a"), "t")
+    y = tok.select(F.col("doc_id").alias("doc_b"), "t")
+    inter = (
+        x.join(y, "t")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n"))
+    c = F.col("i") / F.col("n")
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .filter(c >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(c, 6).alias("containment"),
+        )
+    )

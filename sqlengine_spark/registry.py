@@ -259,6 +259,9 @@ PRIORITY_ORDER = (
     "a_table_ctas_catalog",
     "d_agg_heavy_hitters",
     "l_sim_join_gemm",
+    "l_dedup_url",
+    "l_corpus_divergence",
+    "l_simjoin_containment",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
