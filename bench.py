@@ -46,13 +46,14 @@ HEADLINE = [
 # l_sim_join_lsh: at this corpus's only non-vacuous threshold (τ=0.4;
 # max pairwise cosine is 0.60) a 2-bit LSH band has 4 possible
 # signatures, so EVERY pair collides in some band and banded LSH
-# degenerates to all-pairs (measured 30.6 s at sf0.1 — all of it
-# candidate-verify on ~2M pairs). That is a property of the τ regime,
+# degenerates to all-pairs (17.4 s at sf0.1
+# even after ann.py's numpy-prefiltered verify; 30.6 s before it). That is a property of the τ regime,
 # not of the plan: LSH prunes at production thresholds (τ ≥ 0.9),
 # where this corpus's answer is empty. The GEMM join is the honest
 # scale path for moderate-τ exact joins and its candidates are
 # data-bounded (920 true pairs at sf0.1).
-# NOT benched: l_simjoin_jaccard / l_dedup_near_minhash at sf0.1 — the
+# NOT benched: l_simjoin_jaccard / l_simjoin_containment /
+# l_dedup_near_minhash at sf0.1 — the
 # synthetic corpus has a 31-token vocabulary, so the ANSWER itself is
 # quadratic: 7 098 809 of 12.5M possible pairs genuinely have J >= 0.6
 # at 5 000 docs (measured after prefix filtering landed — pruning cuts

@@ -109,11 +109,34 @@ def lsh_sim_join(
         .select("va", "vb")
         .distinct()
     )
-    # exact verification — the output is exact on the surviving pairs
+    # two-stage verification. Stage 1: Arrow-batched numpy row-wise dot
+    # PRE-FILTERS candidates at threshold - 1e-6 — the GEMM-vs-sequential
+    # associativity error is ~1e-13 for unit vectors, so the margin can
+    # drop no true pair, and it turns millions of interpreted
+    # higher-order-function folds (the dominant cost when a weak
+    # threshold makes most pairs candidates — measured 30.6 s -> see
+    # bench.py note) into one vectorized einsum per batch. Stage 2:
+    # exact JVM vdot on the survivors ONLY, so every EMITTED sim is the
+    # bit-pinned sequential double fold — callers' downstream oracles
+    # (l_dedup_embedding) never see a numpy-ordered sum.
     va = v.select(F.col("vid").alias("va"), F.col("vec").alias("vec_a"))
     vb = v.select(F.col("vid").alias("vb"), F.col("vec").alias("vec_b"))
+    paired = cands.join(va, "va").join(vb, "vb")
+
+    def dot_prefilter(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.array(list(pdf["vec_a"]), dtype=np.float64)
+            mb = np.array(list(pdf["vec_b"]), dtype=np.float64)
+            keep = np.einsum("ij,ij->i", ma, mb) >= threshold - 1e-6
+            yield pdf.loc[keep, ["va", "vb"]]
+
+    survivors = paired.mapInPandas(dot_prefilter, "va long, vb long")
     return (
-        cands.join(va, "va")
+        survivors.join(va, "va")
         .join(vb, "vb")
         .withColumn("sim", vdot(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)

@@ -1346,7 +1346,7 @@ def l_sim_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path for MODERATE thresholds, where banded LSH provably
     cannot prune (at τ = 0.4 a 2-bit band has 4 signatures, so every
     pair collides somewhere and the "approximate" join degenerates to
-    all-pairs; measured 30.6 s at sf0.1 vs sub-second here). Semantics
+    all-pairs; 17.4 s at sf0.1 even with the numpy-prefiltered verify, vs sub-second here). Semantics
     and oracle are identical to l_sim_join_threshold (the same 920
     pairs at sf0.1) — only the plan differs, the c_join_broadcast
     pattern of registering a physical strategy under a fixed contract.
