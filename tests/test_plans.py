@@ -156,6 +156,11 @@ CARTESIAN_WHITELIST = {
     "l_sim_join_gemm",          # 36-row block-pair table broadcast (the
                                 # OR-condition fan-out join); the GEMM
                                 # itself is per-block-pair applyInPandas
+    "l_corpus_divergence",      # |slices|x|vocab| smoothing grid:
+                                # langs (5 rows) x broadcast vocab agg —
+                                # vocabulary-bounded like l_topic_cooccur
+                                # (docstring: cap vocab to top-K by df at
+                                # open-vocab scale), never row-bounded
 }
 
 # Heavy side-effecting queries whose DataFrame construction executes
