@@ -322,3 +322,131 @@ def a_table_ctas_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("ctas_nation_balance")
+
+
+@query(
+    "a_sink_zorder",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice) * 100, 0) / 100 + 0 AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 8
+    """,
+)
+def a_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout optimization: rewrite lineitem clustered on the
+    Morton (bit-interleaved) curve over (l_partkey, l_suppkey), then
+    answer a 2-D box query from the rewritten copy. Sorting on a plain
+    (partkey, suppkey) composite key clusters only the LEADING column;
+    the Z-curve interleaves the two keys' bits so rows close in BOTH
+    dimensions land in the same files, and every file's parquet
+    min/max footer stats become narrow in BOTH columns — a 2-D box
+    predicate then skips most files/row groups at scan time instead of
+    just pruning on the first sort key. This is the layout trick
+    behind Delta/Iceberg OPTIMIZE ZORDER, built from nothing but
+    codegen bit arithmetic + repartitionByRange.
+
+    Mechanics: each key scales into [0, 2^10) by its max (two bounded
+    footer-stat scalars — at scale these come free from table/column
+    stats, no data pass), the 20-bit z-value interleaves them with
+    unrolled shift/mask expressions (pure whole-stage codegen), and
+    repartitionByRange(zval) + sortWithinPartitions(zval) writes
+    range-disjoint z-runs. File-level 2-D locality is asserted in
+    tests/test_scale_techniques.py by reading the written footers.
+
+    Scale: one range shuffle (sampled boundaries) + local sorts —
+    identical cost shape to any global sort; the payoff at 100 TB is
+    every subsequent box scan reading a tiny file subset. The oracle
+    states the box answer from the ORIGINAL table, proving the rewrite
+    is lossless.
+    """
+    bits = 10
+    li = table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    max_pk, max_sk = int(mx[0]), int(mx[1])
+
+    def scaled(col: str, mx_v: int):
+        return F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(F.col(col) * (1 << bits) / F.lit(float(mx_v + 1))).cast(
+                "bigint"
+            ),
+        )
+
+    x, y = scaled("l_partkey", max_pk), scaled("l_suppkey", max_sk)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    path = _scratch("lineitem_zorder")
+    (
+        li.withColumn("zval", z)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(50, 150) & F.col("l_suppkey").between(2, 8)
+    )
+    from sqlengine_spark.functions import dround
+
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dround(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "a_maintenance_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(o_totalprice) * 100, 0) / 100 + 0 AS price_sum
+    FROM orders
+    """,
+)
+def a_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/incremental sink needs: a landing directory fragmented
+    into 64 tiny part-files (staged here from orders) is rewritten
+    into size-targeted files (total_bytes / 8 MiB target, >= 1), and
+    the checksum aggregate over the compacted copy must equal the
+    source — compaction may move rows between files but never change
+    them. The file-count collapse itself is asserted in
+    tests/test_scale_techniques.py.
+
+    Why it matters at 100 TB: scan parallelism is per-file-split, but
+    each file costs a listing entry, an open/seek, a footer parse and
+    its own columnar metadata — a million 100 KB files turns a scan
+    into a metadata storm and breaks row-group-level pruning (one row
+    group per tiny file, stats too fragmented to skip). Target-sized
+    files (128 MB-1 GB on a real cluster; 8 MiB here at toy scale)
+    restore sequential reads. The byte-count planning pass reads FILE
+    METADATA only (driver-side listing here; the FileSystem API /
+    table stats on a cluster) — never row data — and the rewrite
+    itself is one round-robin repartition: no sort, no key shuffle,
+    pure re-bin-packing.
+    """
+    import glob
+    import math
+
+    small = _scratch("orders_smallfiles")
+    o = table(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(small)
+    files = glob.glob(os.path.join(small, "part-*"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (8 * 1024 * 1024)))
+    compacted = _scratch("orders_compacted")
+    spark.read.parquet(small).repartition(n_out).write.mode("overwrite").parquet(
+        compacted
+    )
+    from sqlengine_spark.functions import dround
+
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        dround(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )

@@ -706,3 +706,86 @@ def c_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k_a", "k_b")
         .orderBy("k_a", "k_b")
     )
+
+
+@query(
+    "c_join_interval",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey,
+               date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS s_a,
+               date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                   + o_orderkey % 5 AS e_a
+        FROM orders
+    ),
+    b AS (
+        SELECT n_nationkey AS win_id,
+               n_nationkey * 96 AS s_b,
+               n_nationkey * 96 + 44 AS e_b
+        FROM nation
+    )
+    SELECT a.o_orderkey, b.win_id,
+           CAST(LEAST(a.e_a, b.e_b) - GREATEST(a.s_a, b.s_b) + 1 AS BIGINT)
+               AS overlap_days
+    FROM a JOIN b ON a.s_a <= b.e_b AND b.s_b <= a.e_a
+    """,
+)
+def c_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join with NO equi key (order activity windows x
+    audit windows) via two-sided bucketization — the generalization of
+    c_join_range_bucketed from point-vs-band to interval-vs-interval.
+    A bare ``a.start <= b.end AND b.start <= a.end`` condition has no
+    hashable key, so Spark would plan BroadcastNestedLoopJoin; instead
+    both sides explode to the fixed-width time buckets they COVER
+    (``sequence(floor(s/W), floor(e/W))``) and equi-join on the bucket.
+    Duplicate matches (a pair overlapping across several shared
+    buckets) are eliminated WITHOUT a distinct: a pair is emitted only
+    in the canonical bucket ``floor(greatest(s_a, s_b)/W)`` — the
+    bucket containing the overlap's left edge — so each qualifying
+    pair appears exactly once and no post-join dedup shuffle exists.
+
+    Scale: replication factor per row is ceil(len/W)+1 (here <= 2 per
+    side with W=64 days >= both max interval lengths); the join is a
+    keyed hash shuffle whose per-bucket work follows temporal density,
+    never |A| x |B|. This is the standard interval-join decomposition
+    (the batch analogue of Spark's own stream-stream time-interval
+    join state keying). Plan-asserted hash join, no nested loop
+    (tests/test_plans.py lint).
+    """
+    W = 64  # days; >= max interval length on either side -> <=2 buckets/row
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    a = o.select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("timestamp")).alias(
+            "s_a"
+        ),
+    ).withColumn("e_a", F.col("s_a") + F.col("o_orderkey") % 5)
+    b = n.select(
+        F.col("n_nationkey").alias("win_id"),
+        (F.col("n_nationkey") * 96).alias("s_b"),
+        (F.col("n_nationkey") * 96 + 44).alias("e_b"),
+    )
+    a2 = a.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(F.col("s_a") / W), F.floor(F.col("e_a") / W))),
+    )
+    b2 = b.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(F.col("s_b") / W), F.floor(F.col("e_b") / W))),
+    )
+    return (
+        a2.join(b2, "bucket")
+        .filter(
+            (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+            & (F.col("bucket") == F.floor(F.greatest("s_a", "s_b") / W))
+        )
+        .select(
+            "o_orderkey",
+            "win_id",
+            (F.least("e_a", "e_b") - F.greatest("s_a", "s_b") + 1)
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )

@@ -715,3 +715,77 @@ def d_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(HH_TOP_K)
     )
+
+
+@query(
+    "d_agg_countmin",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    keyed AS (
+        SELECT c.t, c.n, r.j,
+               CAST(('0x' || substring(
+                         md5(c.t || '#' || CAST(r.j AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 64 AS bucket
+        FROM cnt c CROSS JOIN range(4) r(j)
+    ),
+    grid AS (SELECT j, bucket, SUM(n) AS cell FROM keyed GROUP BY j, bucket)
+    SELECT k.t, MIN(k.n) AS exact_n, CAST(MIN(g.cell) AS BIGINT) AS cm_est
+    FROM keyed k JOIN grid g ON k.j = g.j AND k.bucket = g.bucket
+    GROUP BY k.t
+    """,
+)
+def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch: token frequencies compressed into a fixed
+    4 x 64 counter grid (depth d rows of width w, cell[j][h_j(t)] +=
+    count), point-estimated back as min over depths — the mergeable
+    frequency sketch that answers "how often does X occur" in O(d*w)
+    state regardless of stream size, complementing d_agg_heavy_hitters'
+    Misra-Gries (which finds WHICH keys are frequent; CM answers
+    point queries for ANY key, with one-sided overestimate error
+    <= 2N/w at probability 1 - 2^-d). Hashes are the repo's
+    cross-engine md5 idiom, so the whole sketch - including its
+    collision overestimates - is bit-reproducible and hash-verified
+    against DuckDB; the output carries exact_n alongside cm_est so the
+    overestimate-only invariant is visible in the result itself.
+
+    Scale: the insert pass is a partial+final hash agg on the token
+    (|vocab| rows), the grid build a second agg on (depth, bucket)
+    (d*w = 256 rows), and the estimate join broadcasts the 256-cell
+    grid - every structure past the first agg is CONSTANT-sized, which
+    is the entire point of a sketch at 100 TB: per-partition grids
+    merge by cell-wise SUM (demonstrated here by the two-level agg),
+    ship in kilobytes, and never depend on row count.
+    """
+    depth, width = 4, 64
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count("*").alias("n"))
+    keyed = cnt.select(
+        "t",
+        "n",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("t"), F.lit("#"), F.col("j").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width,
+    )
+    grid = keyed.groupBy("j", "bucket").agg(F.sum("n").alias("cell"))
+    return (
+        keyed.join(F.broadcast(grid), ["j", "bucket"])
+        .groupBy("t")
+        .agg(
+            F.min("n").alias("exact_n"),
+            F.min("cell").cast("bigint").alias("cm_est"),
+        )
+    )

@@ -262,6 +262,10 @@ PRIORITY_ORDER = (
     "l_dedup_url",
     "l_corpus_divergence",
     "l_simjoin_containment",
+    "c_join_interval",
+    "d_agg_countmin",
+    "a_sink_zorder",
+    "a_maintenance_compaction",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -189,6 +189,8 @@ LINT_SKIP = {
     "a_scan_schema_merge",  # stages both snapshot dirs at build time
     "j_tumbling_append_watermark",  # runs the append-mode stream at build
     "a_scan_csv_malformed",  # stages the landing csv at build time
+    "a_sink_zorder",  # stats scalars + clustered rewrite at build time
+    "a_maintenance_compaction",  # stages + compacts files at build time
 }
 
 
