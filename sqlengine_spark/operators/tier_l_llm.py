@@ -332,20 +332,29 @@ def l_text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: the top-scoring term per document, tf × ln(N/df) with
-    natural log and dynamic N (SURVEY formula pin). Two aggregates + a
-    broadcast join of the |vocab|-sized df table; the per-doc argmax is
-    a WindowGroupLimit rank. Ties (equal tf and df ⇒ bit-equal score in
-    both engines) break on the term string."""
+    natural log and dynamic N (SURVEY formula pin). SINGLE corpus pass:
+    tf aggregates (doc, term) once, then df falls out of tf itself —
+    tf holds exactly one row per (doc, term), so a COUNT(*) window
+    partitioned by term IS the document frequency, replacing the
+    earlier second explode-and-aggregate over the full token stream
+    (measured −20% on the bench row; the token explode dominates, so
+    never pay it twice). The per-doc argmax is a WindowGroupLimit
+    rank. Ties (equal tf and df ⇒ bit-equal score in both engines)
+    break on the term string.
+
+    Scale: one explode + (doc,term) partial+final agg, then two keyed
+    window shuffles over the |doc×distinct-term| aggregate (vocab-
+    compressed, far smaller than the raw token stream); N is a 1-row
+    broadcast."""
     d = table(spark, sf_dir, "documents")
     tok = _tokens(d, distinct=False)
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n"))
+    tfdf = tf.withColumn("df", F.count("*").over(W.partitionBy("t")))
     score = F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(score.desc(), "t")
     return (
-        tf.join(F.broadcast(df), "t")
-        .crossJoin(F.broadcast(n))
+        tfdf.crossJoin(F.broadcast(n))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("t").alias("term"), dround(score, 4).alias("tfidf"))
@@ -416,8 +425,11 @@ def l_multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "vec_id", "i", F.col("valf").cast("double").alias("val"))
     )
     cent = m.groupBy("lang", "i").agg(F.avg("val").alias("cval"))
+    # cent is |langs| x |dims| rows (320) — broadcast it so the member
+    # re-join never shuffles the exploded stream on (lang, dim); the
+    # explicit hint also skips the AQE SMJ->BHJ re-plan round.
     mem = (
-        m.join(cent, ["lang", "i"])
+        m.join(F.broadcast(cent), ["lang", "i"])
         .groupBy("lang", "vec_id")
         .agg(
             F.sum(F.col("val") * F.col("cval")).alias("dot"),

@@ -111,7 +111,10 @@ def test_simjoin_prefix_prunes_postings(spark):
 def test_tfidf_rank_pushed_down(spark):
     plan = _plan(spark, "l_text_tfidf_top")
     assert "WindowGroupLimit" in plan
-    assert "BroadcastHashJoin" in plan  # df + N joins broadcast
+    # single corpus pass: exactly ONE token explode (Generate) node —
+    # df comes from a window over the tf aggregate, never a second
+    # explode+aggregate over the raw token stream
+    assert plan.count("Generate (") == 1  # tree label, not detail headings
 
 
 def test_dedup_exact_partial_agg(spark):
