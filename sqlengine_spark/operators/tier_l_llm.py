@@ -1334,11 +1334,16 @@ def l_sim_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Block count for the GEMM-blocked exact similarity join. At sf0.1
-#: (2 000 vectors) 8 blocks give 250-row blocks / 36 block pairs; at
-#: scale nblocks grows as N/B with B sized so one block PAIR of
-#: embeddings fits an executor's memory.
-GEMM_BLOCKS = 8
+#: Target rows per block for the GEMM-blocked exact similarity join:
+#: nblocks = clamp(ceil(N / GEMM_BLOCK_ROWS), 2, 64), so the block
+#: count GROWS with the table while one block pair (2 x target x dim
+#: float64) stays bounded in task memory. Fixed block COUNT would be
+#: wrong in both directions: at toy N the per-group scheduling/Arrow
+#: overhead dominates the (trivial) GEMM — measured at sf0.1, 8 blocks
+#: = 1.05-1.46 s vs 2 blocks = 0.89 s — while at large N a fixed count
+#: blows the per-task memory bound. 2 500 x 64 doubles ≈ 1.3 MB/side
+#: here; on a real cluster size this to ~10^4-10^5 rows per block.
+GEMM_BLOCK_ROWS = 2500
 
 
 @query(
@@ -1363,18 +1368,20 @@ def l_sim_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs at sf0.1) — only the plan differs, the c_join_broadcast
     pattern of registering a physical strategy under a fixed contract.
 
-    Plan: vectors hash into GEMM_BLOCKS blocks; each of the
-    B(B+1)/2 unordered block pairs becomes one applyInPandas group
-    whose task runs a float64 numpy matrix product (250×64 @ 64×250 ≈
-    4M FLOPs — effectively free next to the per-pair interpreted
-    fold). Candidates pass at τ − 1e-6 (the GEMM-vs-sequential
+    Plan: vectors hash into ceil(N / GEMM_BLOCK_ROWS) blocks (block
+    COUNT scales with N, block SIZE — and so per-task memory — stays
+    fixed; see the constant's note for the measured toy-scale tuning);
+    each of the B(B+1)/2 unordered block pairs becomes one
+    applyInPandas group whose task runs a float64 numpy matrix product
+    (2500×64 @ 64×2500 ≈ 0.8 GFLOP — cheap next to the per-pair
+    interpreted fold). Candidates pass at τ − 1e-6 (the GEMM-vs-sequential
     associativity error is ≤ ~1e-13 for unit 64-dim vectors, so the
     margin can drop no true pair), then an exact JVM vdot re-verifies
     every candidate so emitted sims are BIT-identical to the oracle's
     ordered sequential sum — the hash-match does not depend on numpy
     summation order.
 
-    Scale: each vector replicates to GEMM_BLOCKS block pairs (O(N·√P)
+    Scale: each vector replicates to nblocks block pairs (O(N·√P)
     communication, the classic block-nested GEMM bound); block pairs
     are independent tasks; the verify join touches only candidates.
     At 100 TB you precede this with coarse clustering (IVF) so only
@@ -1383,7 +1390,8 @@ def l_sim_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
-    nb = GEMM_BLOCKS
+    # footer-stat row count (metadata-only job) sizes the block grid
+    nb = max(2, min(64, -(-e.count() // GEMM_BLOCK_ROWS)))
     block = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
     pairs = spark.createDataFrame(
         [(bi * nb + bj, bi, bj) for bi in range(nb) for bj in range(bi, nb)],
