@@ -450,3 +450,105 @@ def a_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         dround(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+@query(
+    "a_dq_audit",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS rng,
+               SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) AS st,
+               COUNT(DISTINCT o_orderkey) AS dk
+        FROM orders
+    ),
+    fk AS (
+        SELECT COUNT(*) AS viol
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT 'not_null:o_custkey' AS rule, CAST(n AS BIGINT) AS n_checked,
+           CAST(nn AS BIGINT) AS n_violations FROM s
+    UNION ALL
+    SELECT 'range:o_totalprice>0', CAST(n AS BIGINT), CAST(rng AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus', CAST(n AS BIGINT),
+           CAST(st AS BIGINT) FROM s
+    UNION ALL
+    SELECT 'unique:o_orderkey', CAST(n AS BIGINT), CAST(n - dk AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'fk:orders.o_custkey->customer', CAST(s.n AS BIGINT),
+           CAST(fk.viol AS BIGINT) FROM s, fk
+    """,
+)
+def a_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the validation pass (dbt tests / Great
+    Expectations / Deequ) every production table runs before
+    downstream jobs consume it: NOT NULL, value range, accepted
+    values, key uniqueness, and referential integrity, reported as one
+    row per rule with checked/violation counts (all-zero violations on
+    this dataset; the shape is the contract).
+
+    Scale: the four single-table rules fold into ONE conditional
+    aggregation pass over the fact scan (SUM(CASE...) per rule plus a
+    count-distinct — never one scan per rule; the rule rows then
+    explode from the single 1-row aggregate, metadata-only), and the
+    FK rule is a left-anti join against the broadcast dimension key.
+    This is how Deequ executes rule sets at scale: rule *evaluation*
+    rides one shared scan, per-rule cost is one counter column.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.isnull("o_custkey").cast("int")).cast("bigint").alias("nn"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int")).cast("bigint").alias("rng"),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("int"))
+        .cast("bigint")
+        .alias("st"),
+        F.countDistinct("o_orderkey").alias("dk"),
+    )
+    rules = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("not_null:o_custkey").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("nn").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("range:o_totalprice>0").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("rng").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("accepted_values:o_orderstatus").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("st").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("unique:o_orderkey").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    (F.col("n") - F.col("dk")).alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_checked", "r.n_violations")
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    fk_row = (
+        s.select("n")
+        .crossJoin(orphans)
+        .select(
+            F.lit("fk:orders.o_custkey->customer").alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col("n_violations"),
+        )
+    )
+    return rules.unionByName(fk_row)

@@ -266,6 +266,7 @@ PRIORITY_ORDER = (
     "d_agg_countmin",
     "a_sink_zorder",
     "a_maintenance_compaction",
+    "a_dq_audit",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -159,6 +159,8 @@ CARTESIAN_WHITELIST = {
     "l_sim_join_gemm",          # 36-row block-pair table broadcast (the
                                 # OR-condition fan-out join); the GEMM
                                 # itself is per-block-pair applyInPandas
+    "a_dq_audit",               # 1-row stats agg x 1-row orphan-count
+                                # agg assembling the FK rule row
     "l_corpus_divergence",      # |slices|x|vocab| smoothing grid:
                                 # langs (5 rows) x broadcast vocab agg —
                                 # vocabulary-bounded like l_topic_cooccur
