@@ -69,15 +69,26 @@ def main() -> int:
     spark = get_spark("sqlengine_bench")
     qs = all_queries()
     timings: dict[str, float] = {}
+    # Materialize via toPandas(): the Arrow batch transfer is the
+    # engine's real client path (SURVEY §3.1 step 8) and the
+    # apples-to-apples counterpart of DuckDB's fetchdf in
+    # BASELINE.md — row-based collect() adds 0.15-0.4 s of pure
+    # Py4J row deserialization on 100k-row outputs, which measures
+    # the legacy client API, not the engine.
+    #
+    # Warm-up is a FULL pass over the suite before any timing starts
+    # (not one interleaved warm run per query): C2 JIT compilation of
+    # the shared codegen/shuffle/Arrow paths accumulates across
+    # queries, so with interleaved warm-ups the first queries are
+    # timed against a half-warm JVM and pay ~0.5 s of compiler time
+    # that later queries don't — measured: q1-pricing times at 1.09 s
+    # as the suite opener vs 0.46 s steady-state. The timed pass then
+    # measures every query against the same steady-state JVM, which
+    # is the regime a long-lived cluster session actually runs in.
+    for qid in HEADLINE:
+        qs[qid](spark, SF_DIR).toPandas()  # JIT, code cache, file listing
     for qid in HEADLINE:
         fn = qs[qid]
-        # Materialize via toPandas(): the Arrow batch transfer is the
-        # engine's real client path (SURVEY §3.1 step 8) and the
-        # apples-to-apples counterpart of DuckDB's fetchdf in
-        # BASELINE.md — row-based collect() adds 0.15-0.4 s of pure
-        # Py4J row deserialization on 100k-row outputs, which measures
-        # the legacy client API, not the engine.
-        fn(spark, SF_DIR).toPandas()  # warm-up: JIT, code cache, file listing
         t0 = time.perf_counter()
         fn(spark, SF_DIR).toPandas()
         timings[qid] = round(time.perf_counter() - t0, 3)

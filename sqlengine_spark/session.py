@@ -46,15 +46,14 @@ def get_spark(app_name: str = "sqlengine_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions below 8 MiB into one task:
-        # at small SF every shuffle stage otherwise schedules 32 tasks
-        # of a few KB each, and the per-stage AQE scheduling rounds
-        # dominate sub-second queries (measured on c_join_3way at
-        # sf0.1: 0.81s -> 0.62s). At cluster scale 8 MiB is still far
-        # below the 64-128 MiB advisory target, so this only merges
-        # genuinely tiny partitions and never constrains parallelism
-        # on real data volumes.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
+        # minPartitionSize stays at Spark's 1 MiB default. An 8 MiB
+        # override was tried mid-round-4 (single-task coalescing of
+        # tiny shuffles to cut AQE stage rounds) but interleaved A/B
+        # at sf0.1 showed it LOSES 10-20% on the expand-based
+        # multi-distinct, tf-idf, and centroid pipelines — those
+        # shuffles carry 10-30 MiB and want the parallelism. The
+        # one-off win it was adopted on (c_join_3way 0.81->0.62) did
+        # not reproduce under paired measurement; host noise.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

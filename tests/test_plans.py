@@ -111,10 +111,12 @@ def test_simjoin_prefix_prunes_postings(spark):
 def test_tfidf_rank_pushed_down(spark):
     plan = _plan(spark, "l_text_tfidf_top")
     assert "WindowGroupLimit" in plan
-    # single corpus pass: exactly ONE token explode (Generate) node —
-    # df comes from a window over the tf aggregate, never a second
-    # explode+aggregate over the raw token stream
-    assert plan.count("Generate (") == 1  # tree label, not detail headings
+    # dual-branch form (fastest of the three measured shapes — see the
+    # operator docstring): tf and df branches each explode the corpus
+    # once and run in PARALLEL stages; the df table is |vocab|-sized
+    # and joins back by broadcast, never a shuffle join at this scale
+    assert plan.count("Generate (") == 2  # tree labels, not detail headings
+    assert "BroadcastHashJoin" in plan
 
 
 def test_dedup_exact_partial_agg(spark):
