@@ -349,6 +349,36 @@ def test_tpch_q20_semi_join_membership(spark):
     assert "LeftSemi" in plan
 
 
+def test_tpch_q9_six_way_broadcast_dims(spark):
+    # the 6-way join tree: every dim side broadcasts (nation hinted,
+    # part/supplier/orders under the threshold), profit is computed
+    # per-row BEFORE the partial agg so the one shuffle carries
+    # (nation, year) partials — never a cartesian, never a sort-merge
+    # of the fact against a dim
+    plan = _plan(spark, "t_q09_product_profit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2         # partial+final
+    assert "sum_profit" in plan
+
+
+def test_tpch_q21_decorrelated_exists_pair_reuses_exchange(spark):
+    # Q21's EXISTS / NOT-EXISTS pair is decorrelated into two keyed
+    # aggregations over the same (l_orderkey, l_suppkey) aggregate —
+    # the static plan shows two branches, but at runtime AQE must
+    # collapse them onto ONE physical exchange (ReusedExchange), so
+    # lineitem⋈orders is shuffled once, not twice. Top-20 is
+    # TakeOrdered, nation broadcasts.
+    static = _plan(spark, "t_q21_waiting_supplier")
+    assert "TakeOrderedAndProject" in static
+    assert "CartesianProduct" not in static
+    assert "BroadcastHashJoin" in static
+    df = all_queries()["t_q21_waiting_supplier"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
 # ---- training-pipeline scale shapes -----------------------------------
 
 def test_dedup_prefix_partial_agg(spark):
