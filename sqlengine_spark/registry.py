@@ -267,6 +267,7 @@ PRIORITY_ORDER = (
     "a_sink_zorder",
     "a_maintenance_compaction",
     "a_dq_audit",
+    "c_join_bucketed_colocated",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

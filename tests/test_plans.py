@@ -349,6 +349,16 @@ def test_tpch_q20_semi_join_membership(spark):
     assert "LeftSemi" in plan
 
 
+def test_bucketed_colocated_join_zero_exchange(spark):
+    # the pre-paid shuffle: both sides bucketed on the join key, so
+    # the sort-merge join AND the per-order aggregation run with ZERO
+    # Exchange nodes, and the scans show bucket selection
+    plan = _plan(spark, "c_join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "SelectedBucketsCount" in plan
+
+
 def test_tpch_q9_six_way_broadcast_dims(spark):
     # the 6-way join tree: every dim side broadcasts (nation hinted,
     # part/supplier/orders under the threshold), profit is computed
