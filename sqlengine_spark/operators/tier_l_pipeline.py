@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sqlengine_spark.functions import dround
+from sqlengine_spark.functions import dround, vdot
 from sqlengine_spark.registry import query
 from sqlengine_spark.session import table
 
@@ -1303,3 +1303,125 @@ def l_simjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(c, 6).alias("containment"),
         )
     )
+
+
+@query(
+    "l_graph_pagerank",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+    flat AS (SELECT vec_id, label, s.i, embedding[s.i]::DOUBLE AS v
+             FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+        FROM (SELECT f1.vec_id AS src, f2.vec_id AS dst,
+                     ROUND(SUM(f1.v * f2.v) * 1e9) / 1e9 AS sim
+              FROM flat f1
+              JOIN flat f2 ON f1.i = f2.i AND f1.label = f2.label
+                          AND f1.vec_id <> f2.vec_id
+              GROUP BY 1, 2)
+      ) WHERE rn <= 3
+    ),
+    r0 AS (SELECT vec_id, ROUND(1.0 / n * 1e12) / 1e12 AS r
+           FROM embeddings CROSS JOIN nn),
+    r1 AS (SELECT e.vec_id,
+                  ROUND((0.15 / nn.n + 0.85 * COALESCE(m.mass, 0)) * 1e12) / 1e12 AS r
+           FROM embeddings e CROSS JOIN nn
+           LEFT JOIN (SELECT dst, SUM(r / 3.0) AS mass
+                      FROM edges JOIN r0 ON src = vec_id GROUP BY dst) m
+             ON e.vec_id = m.dst),
+    r2 AS (SELECT e.vec_id,
+                  ROUND((0.15 / nn.n + 0.85 * COALESCE(m.mass, 0)) * 1e12) / 1e12 AS r
+           FROM embeddings e CROSS JOIN nn
+           LEFT JOIN (SELECT dst, SUM(r / 3.0) AS mass
+                      FROM edges JOIN r1 ON src = vec_id GROUP BY dst) m
+             ON e.vec_id = m.dst),
+    r3 AS (SELECT e.vec_id,
+                  ROUND((0.15 / nn.n + 0.85 * COALESCE(m.mass, 0)) * 1e12) / 1e12 AS r
+           FROM embeddings e CROSS JOIN nn
+           LEFT JOIN (SELECT dst, SUM(r / 3.0) AS mass
+                      FROM edges JOIN r2 ON src = vec_id GROUP BY dst) m
+             ON e.vec_id = m.dst)
+    SELECT vec_id, ROUND(r * 1e8) / 1e8 AS rank FROM r3
+    """,
+)
+def l_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the label-blocked 3-NN similarity graph — the
+    link-authority signal crawl-corpus pipelines (CommonCrawl-style)
+    use to weight document quality before sampling training data,
+    computed here over the embedding kNN graph in lieu of hyperlinks.
+
+    Graph construction: candidate pairs come from a LABEL-BLOCKED
+    equi-join (la = lb), never an all-pairs cartesian — blocking is the
+    same move the partitioned-ANN tier makes (IVF cells, LSH buckets):
+    at 100 TB the blocking key is the coarse-quantizer cell and the
+    per-cell kNN is an equi-join on cell id, linear in Σ cell². Each
+    node keeps its top-3 neighbors (sim DESC, dst tiebreak); sims are
+    rounded to 9 dp on BOTH engines before ranking so the comparison
+    never depends on sub-rounding float noise (the vdot double-fold
+    keeps the unrounded values bit-identical anyway; rounding makes the
+    ordering robust rather than fragile).
+
+    Iteration: 3 unrolled Jacobi steps of r = 0.15/N + 0.85·Σ r(in)/3,
+    uniform start, every intermediate rank rounded to 12 dp in both
+    engines (association-order noise in the in-edge SUM is ~1e-16;
+    the 1e-12 grid absorbs it — CLAUDE.md rule 4 applied to an
+    ITERATED value, where drift would otherwise compound). Nodes whose
+    label block has <4 members emit <3 edges and leak the residual
+    mass, identically in both engines (standard dangling treatment).
+
+    Scale: each iteration is one keyed join (edges ⋈ ranks on src,
+    both shuffle-partitioned on the key) + one groupBy(dst) partial+
+    final agg — the textbook distributed PageRank shape. The unrolled
+    lineage grows O(iterations²) in plan size; a production run
+    checkpoints `ranks` every few iterations to truncate lineage
+    (same note as l_dedup_cluster's HashMin loop), which changes no
+    semantics. Edge list and rank vector stay distributed end-to-end;
+    the only driver-side scalar is N."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst"))
+    ).withColumn("sim", dround(vdot(F.col("ea"), F.col("eb")), 9))
+    wn = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    ndf = e.agg(F.count("*").cast("double").alias("n"))
+    ranks = (
+        e.select("vec_id")
+        .crossJoin(F.broadcast(ndf))
+        .withColumn("r", dround(F.lit(1.0) / F.col("n"), 12))
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.select(F.col("vec_id").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / 3.0).alias("mass"))
+        )
+        ranks = (
+            ranks.select("vec_id", "n")
+            .join(contrib, ranks.vec_id == contrib.dst, "left")
+            .withColumn(
+                "r",
+                dround(
+                    F.lit(0.15) / F.col("n")
+                    + 0.85 * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    12,
+                ),
+            )
+            .select("vec_id", "n", "r")
+        )
+    return ranks.select("vec_id", dround(F.col("r"), 8).alias("rank"))

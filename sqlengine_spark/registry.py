@@ -268,6 +268,7 @@ PRIORITY_ORDER = (
     "a_maintenance_compaction",
     "a_dq_audit",
     "c_join_bucketed_colocated",
+    "l_graph_pagerank",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

