@@ -232,3 +232,74 @@ def n_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "valid_from", "o_orderpriority")
     )
+
+
+_VERSIONS_STAGED: set[tuple[str, str]] = set()
+
+
+@query(
+    "n_time_travel",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           CASE WHEN p_brand = 'Brand#13'
+                THEN ROUND(p_retailprice * 1.05 * 100, 0) / 100 + 0
+                ELSE p_retailprice END AS p_retailprice
+    FROM part
+    """,
+)
+def n_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (``SELECT ... VERSION AS OF 1``): the DML
+    tier's copy-on-write rewrites naturally produce a VERSION CHAIN —
+    v0 = the original part table, v1 = v0 + UPDATE (5% price raise for
+    Brand#13), v2 = v1 + DELETE (p_size > 40) — each committed as an
+    immutable snapshot directory recorded in a JSON manifest (version →
+    path, the minimal form of a Delta/Iceberg transaction log). The
+    query resolves "AS OF version 1" THROUGH the manifest and returns
+    that snapshot: the update is visible, the later delete is not. The
+    oracle replays only the v1 statement over the original table.
+
+    Scale: time travel costs nothing at read time — resolving the
+    manifest is O(versions) driver-side metadata, and the chosen
+    snapshot reads like any parquet table (pushdown/pruning intact).
+    The storage cost is copy-on-write amplification, which production
+    tables bound with partition-level rewrites + VACUUM horizons; the
+    manifest here is one JSON file because a single writer commits —
+    a real log needs atomic rename/optimistic concurrency, which is
+    exactly what Delta/Iceberg add on top of this layout."""
+    import json
+    import os
+
+    from sqlengine_spark.operators.tier_a_scans import SCRATCH
+
+    base = os.path.join(
+        SCRATCH,
+        f"part_tt_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}",
+    )
+    app = spark.sparkContext.applicationId
+    manifest = os.path.join(base, "_versions.json")
+    if (app, sf_dir) not in _VERSIONS_STAGED or not os.path.exists(manifest):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        p0 = table(spark, sf_dir, "part")
+        v1 = dml.update(
+            p0,
+            F.col("p_brand") == "Brand#13",
+            {"p_retailprice": dround(F.col("p_retailprice") * 1.05, 2)},
+        )
+        v2 = dml.delete(v1, F.col("p_size") > 40)
+        log = {}
+        for ver, snap in ((0, p0), (1, v1), (2, v2)):
+            path = os.path.join(base, f"v{ver}")
+            snap.write.mode("overwrite").parquet(path)
+            log[str(ver)] = path
+        with open(manifest, "w") as fh:
+            json.dump(log, fh)
+        _VERSIONS_STAGED.add((app, sf_dir))
+    with open(manifest) as fh:
+        log = json.load(fh)
+    as_of = spark.read.parquet(log["1"])  # VERSION AS OF 1
+    return as_of.select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )

@@ -269,6 +269,7 @@ PRIORITY_ORDER = (
     "a_dq_audit",
     "c_join_bucketed_colocated",
     "l_graph_pagerank",
+    "n_time_travel",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -81,3 +81,31 @@ def test_engine_insert_into_matches_by_name(spark):
     assert out.count() == base + 1
     got = out.filter(F.col("s_suppkey") == 99901).collect()[0]
     assert (got.s_name, got.s_nationkey, got.s_acctbal) == ("XTRA", 3, 1.5)
+
+
+def test_time_travel_version_chain(spark):
+    """The manifest must expose all three immutable snapshots with the
+    right containment relations: v0 pristine, v1 = update only, v2 =
+    update + delete (strictly fewer rows)."""
+    import json
+    import os
+
+    from sqlengine_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    v1 = all_queries()["n_time_travel"](spark, SF_DIR)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_")
+    from sqlengine_spark.operators.tier_a_scans import SCRATCH
+
+    with open(os.path.join(SCRATCH, f"part_tt_{sf}", "_versions.json")) as fh:
+        log = json.load(fh)
+    assert sorted(log) == ["0", "1", "2"]
+    v0 = spark.read.parquet(log["0"])
+    v2 = spark.read.parquet(log["2"])
+    n0, n1, n2 = v0.count(), v1.count(), v2.count()
+    assert n0 == n1                       # update rewrites, never drops
+    assert n2 < n0                        # delete shrank the snapshot
+    assert v2.filter(F.col("p_size") > 40).count() == 0
+    # v0 remains pristine: no Brand#13 price differs from the source
+    src = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    assert v0.exceptAll(src).count() == 0
