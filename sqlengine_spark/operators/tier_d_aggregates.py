@@ -14,6 +14,7 @@ drift cannot flip the driver's value hash.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
@@ -787,5 +788,107 @@ def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("n").alias("exact_n"),
             F.min("cell").cast("bigint").alias("cm_est"),
+        )
+    )
+
+
+@query(
+    "d_agg_quantile_rollup",
+    oracle="""
+    WITH sk AS (
+      SELECT n_regionkey AS rk, n_nationkey AS nk,
+             CAST(LEAST(FLOOR((c_acctbal + 1000.0) / 343.75), 31) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    merged AS (SELECT rk, bin, SUM(cnt) AS cnt FROM sk GROUP BY 1, 2),
+    cum AS (SELECT rk, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY rk ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY rk) AS total
+            FROM merged),
+    pick AS (SELECT rk, bin, cnt, cum, total,
+                    row_number() OVER (PARTITION BY rk ORDER BY bin) AS rn
+             FROM cum WHERE cum >= total / 2.0),
+    ex AS (SELECT n_regionkey AS rk, quantile_cont(c_acctbal, 0.5) AS m
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1)
+    SELECT r_name,
+           CAST(total AS BIGINT) AS n_customers,
+           ROUND((-1000.0 + bin * 343.75
+                  + 343.75 * (total / 2.0 - (cum - cnt)) / cnt) * 10000, 0)
+             / 10000 + 0 AS p50_est,
+           ROUND(m * 100, 0) / 100 + 0 AS p50_exact
+    FROM pick
+    JOIN region ON rk = r_regionkey
+    JOIN ex USING (rk)
+    WHERE rn = 1
+    """,
+)
+def d_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HISTOGRAM quantile rollup: per-nation 32-bin
+    equi-width count sketches of customer balance are MERGED up to
+    region level (bin-wise sum — the associative sketch-union), and
+    the region p50 is interpolated from the merged counts; the exact
+    interpolated median runs alongside so the estimate's error is
+    visible in the output (bounded by one bin width, pinned in
+    tests/test_sketches.py). This is the deterministic member of the
+    sketch family (HLL / Theta / Count-Min / Misra-Gries are all
+    rows-only by nature): every arithmetic step — FLOOR binning on
+    exactly-representable 343.75-wide bins over the pinned
+    [-1000, 10000) domain, integer counts, one double interpolation —
+    is bit-reproducible in both engines, so the rollup itself is
+    hash-verified, not just accuracy-asserted.
+
+    Scale: the pre-aggregated sketch table is |groups|×|bins| rows —
+    the same two-level pattern as d_agg_hll_merge (store per-shard
+    sketches once, re-merge for any coarser grouping without touching
+    the raw data). Merging is a keyed partial+final SUM; the
+    interpolation runs on |groups| rows. At 100 TB the raw scan
+    happens once to build the sketch table; every subsequent quantile
+    query over any rollup level reads only sketches. Fixed-width bins
+    keep the sketch mergeable with no re-binning; production systems
+    grade to t-digest/KLL when domains are unbounded."""
+    width = 11000.0 / 32  # 343.75, exactly representable
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey)
+    sketch = (
+        joined.groupBy(
+            F.col("n_regionkey").alias("rk"),
+            F.col("n_nationkey").alias("nk"),
+            F.least(
+                F.floor((F.col("c_acctbal") + 1000.0) / width), F.lit(31)
+            ).alias("bin"),
+        ).agg(F.count("*").alias("cnt"))
+    )
+    merged = sketch.groupBy("rk", "bin").agg(F.sum("cnt").alias("cnt"))
+    w_cum = W.partitionBy("rk").orderBy("bin")
+    w_all = W.partitionBy("rk")
+    cum = merged.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+    pick = (
+        cum.filter(F.col("cum") >= F.col("total") / 2.0)
+        .withColumn("rn", F.row_number().over(w_cum))
+        .filter(F.col("rn") == 1)
+    )
+    est = (
+        F.lit(-1000.0)
+        + F.col("bin") * width
+        + width * (F.col("total") / 2.0 - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    exact = joined.groupBy(F.col("n_regionkey").alias("rk")).agg(
+        dround(F.percentile("c_acctbal", F.lit(0.5)), 2).alias("p50_exact")
+    )
+    return (
+        pick.join(r, F.col("rk") == F.col("r_regionkey"))
+        .join(exact, "rk")
+        .select(
+            "r_name",
+            F.col("total").cast("bigint").alias("n_customers"),
+            dround(est, 4).alias("p50_est"),
+            "p50_exact",
         )
     )

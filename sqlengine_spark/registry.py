@@ -270,6 +270,7 @@ PRIORITY_ORDER = (
     "c_join_bucketed_colocated",
     "l_graph_pagerank",
     "n_time_travel",
+    "d_agg_quantile_rollup",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -97,3 +97,16 @@ def test_interval_join_matches_naive_and_dedups(spark):
         for r in naive.collect()
     }
     assert got == want
+
+
+def test_quantile_rollup_error_bounded_by_bin_width(spark):
+    """The merged-histogram p50 estimate must land within one bin width
+    (343.75) of the exact interpolated median — the histogram sketch's
+    worst-case interpolation error."""
+    from sqlengine_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["d_agg_quantile_rollup"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["p50_est"] - r["p50_exact"]) <= 343.75
