@@ -845,3 +845,54 @@ def m_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return w.select("event_id", "user_id", dround(interp, 4).alias("interp"))
+
+
+@query(
+    "m_ts_seasonal",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, AVG(value) AS a
+        FROM events GROUP BY 1
+    ),
+    seas AS (
+        SELECT hour(ts) AS hod, AVG(value) AS s
+        FROM events GROUP BY 1
+    )
+    SELECT h,
+           ROUND(a * 10000, 0) / 10000 + 0 AS hourly_avg,
+           ROUND(s * 10000, 0) / 10000 + 0 AS seasonal_avg,
+           ROUND((a - s) * 10000, 0) / 10000 + 0 AS residual
+    FROM hourly JOIN seas ON hour(h) = hod
+    """,
+)
+def m_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition (hour-of-day profile): the seasonal
+    component is the all-history average for each of the 24 clock
+    hours; each observed hour's residual = its hourly average minus
+    its clock-hour baseline — the de-seasonalized signal anomaly
+    detectors should score INSTEAD of the raw series (a 3am spike and
+    a 3pm spike differ only after the daily cycle is removed; the
+    classical-decomposition moving-average variant adds a trend pass).
+    Residuals straddle zero, so every rounded output applies the
+    negative-zero pin (dround / ``+ 0``, CLAUDE.md rule 5b).
+
+    Scale: two independent partial+final aggregations over one events
+    scan family — |hours| and 24 groups respectively — then the dense
+    hourly series joins the 24-row seasonal profile by BROADCAST;
+    nothing here ever shuffles more than the hourly aggregate. The
+    seasonal profile is trivially incremental (count+sum per clock
+    hour), which is how the streaming variant would maintain it."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.avg("value").alias("a")
+    )
+    seas = ev.groupBy(F.hour("ts").alias("hod")).agg(F.avg("value").alias("s"))
+    return (
+        hourly.join(F.broadcast(seas), F.hour(F.col("h")) == F.col("hod"))
+        .select(
+            "h",
+            dround(F.col("a"), 4).alias("hourly_avg"),
+            dround(F.col("s"), 4).alias("seasonal_avg"),
+            dround(F.col("a") - F.col("s"), 4).alias("residual"),
+        )
+    )

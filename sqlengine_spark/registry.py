@@ -271,6 +271,7 @@ PRIORITY_ORDER = (
     "l_graph_pagerank",
     "n_time_travel",
     "d_agg_quantile_rollup",
+    "m_ts_seasonal",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
