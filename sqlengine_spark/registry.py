@@ -272,6 +272,7 @@ PRIORITY_ORDER = (
     "n_time_travel",
     "d_agg_quantile_rollup",
     "m_ts_seasonal",
+    "l_embedding_pca",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

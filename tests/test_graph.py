@@ -41,3 +41,25 @@ def test_blocked_outdegree(spark):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     sizes = {r["label"]: r["cnt"] for r in e.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
     assert all(v >= 4 for v in sizes.values()), "fixture labels big enough for 3-NN"
+
+
+def test_pca_captures_top_variance(spark):
+    """The 8-step power iteration must capture >=90% of the top
+    eigenvalue's variance (numpy eigendecomposition as ground truth) —
+    the honest convergence bound on this deliberately flat spectrum
+    (lambda1/lambda2 = 1.013)."""
+    import numpy as np
+
+    scores = {
+        r["vec_id"]: r["pc1_score"]
+        for r in all_queries()["l_embedding_pca"](spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    Xc = X - X.mean(0)
+    C = Xc.T @ Xc
+    w = np.linalg.eigvalsh(C)
+    s = np.array([scores[r["vec_id"]] for r in emb])
+    # scores are Xc @ v with ||v|| = 1 (rounded), so s.s approximates
+    # the Rayleigh quotient v'Cv
+    assert (s @ s) / w[-1] >= 0.90
