@@ -1545,3 +1545,86 @@ def l_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(dround(F.sum(F.col("c") * F.col("v")), 6).alias("pc1_score"))
     )
+
+
+#: BPE training steps for l_bpe_train (merge rules learned).
+BPE_STEPS = 5
+
+
+@query("l_bpe_train")
+def l_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE (byte-pair-encoding) merge-rule training — the
+    tokenizer-training step of every LLM data pipeline, expressed as
+    pure Catalyst iterations with NO Python in the data path.
+
+    Algorithm (Sennrich et al.'s word-frequency formulation): the
+    corpus collapses to (distinct word, count) once — BPE statistics
+    are invariant to word multiplicity beyond the count, so the
+    iteration runs on |vocab| rows, not the corpus. Each step:
+    (1) adjacent symbol pairs via slice+arrays_zip+explode, weighted by
+    word count; (2) the argmax pair (count DESC, pair ASC tiebreak) —
+    ONE driver-side row per step, the same bounded-state sanction as
+    l_kmeans_assign/l_embedding_pca; (3) the merge applied as a
+    SEQUENTIAL LEFT FOLD (``F.aggregate``): append each symbol unless
+    the accumulator tail equals the pair's left and the symbol its
+    right — which reproduces left-to-right non-overlapping merge
+    semantics exactly (on "aaaa" with pair (a,a): [aa, aa], never
+    [aa, a, a] or overlap). tests/test_graph.py re-derives the merge
+    sequence AND the final segmentation with a pure-Python reference
+    and asserts identity — the rows-only check for an operator whose
+    sequential fold has no DuckDB equivalent.
+
+    Output: the learned segmentation of the vocabulary after
+    BPE_STEPS merges (word, corpus count, space-joined segments) —
+    the artifact a tokenizer actually ships (serialized scalars, no
+    raw arrays, CLAUDE.md rule 2).
+
+    Scale: pair counting is explode + partial+final agg keyed on the
+    pair — Σ|word|·|vocab| cells, corpus-size-independent after the
+    initial word count; the argmax is a 1-row TakeOrdered; the merge
+    is a map-only fold. Real tokenizer training runs thousands of
+    merges — production would checkpoint the symbolization every ~50
+    steps to truncate lineage, changing no semantics."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    sym = words.select("w", "n", F.split("w", "(?!$)").alias("sym"))
+    for _ in range(BPE_STEPS):
+        pairs = (
+            sym.select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("sym", 1, F.size("sym") - 1),
+                        F.slice("sym", 2, F.size("sym") - 1),
+                    )
+                ).alias("p"),
+            ).select("n", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        merge_step = F.aggregate(
+            "sym",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        sym = sym.select("w", "n", merge_step.alias("sym"))
+    return sym.select(
+        "w", "n", F.array_join("sym", " ").alias("segments")
+    )

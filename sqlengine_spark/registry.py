@@ -285,6 +285,7 @@ PRIORITY_ORDER = (
     "l_dedup_simhash",
     "l_multimodal_decode",
     "l_kmeans_assign",
+    "l_bpe_train",
 )
 
 
