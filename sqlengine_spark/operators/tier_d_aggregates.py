@@ -892,3 +892,36 @@ def d_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_exact",
         )
     )
+
+
+@query(
+    "d_agg_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.9) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentile (PERCENTILE_DISC ... WITHIN GROUP, the
+    SQL:2003 inverse-distribution form, via the SQL entry point): picks
+    an ACTUAL data value (smallest value whose cumulative distribution
+    ≥ p) rather than interpolating — the variant audits want when the
+    reported quantile must be a real observed row. Spark's
+    percentile_disc ≡ DuckDB quantile_disc (verified value-identical on
+    this data; no rounding needed since outputs are raw data values —
+    the only float-safe unrounded aggregate besides MIN/MAX).
+
+    Scale: same partial+final percentile aggregation as
+    d_agg_percentile_exact — per-group sorted digest, |groups| output
+    rows."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        FROM orders GROUP BY o_orderstatus
+        """
+    )

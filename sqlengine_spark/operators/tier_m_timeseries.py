@@ -896,3 +896,73 @@ def m_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("a") - F.col("s"), 4).alias("residual"),
         )
     )
+
+
+@query(
+    "m_ts_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(AVG(value) * 1e6) / 1e6 AS x
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, ROUND(AVG(x) * 1e6) / 1e6 AS mean
+        FROM hourly GROUP BY 1
+    ),
+    cs AS (
+        SELECT h.event_type, h.h,
+               SUM(x - mean) OVER (PARTITION BY h.event_type ORDER BY h.h) AS cusum,
+               COUNT(*) OVER (PARTITION BY h.event_type) AS n_hours
+        FROM hourly h JOIN m ON h.event_type = m.event_type
+    )
+    SELECT event_type, h AS changepoint_hour,
+           ROUND(cusum * 10000, 0) / 10000 + 0 AS cusum_peak,
+           n_hours
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY ABS(cusum) DESC, h) AS rn
+          FROM cs)
+    WHERE rn = 1
+    """,
+)
+def m_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: per event type, the hour where the
+    cumulative sum of (hourly mean − series mean) peaks in magnitude —
+    the classical level-shift locator (a drifting series piles up
+    signed deviation; the |CUSUM| apex is the most likely change
+    point). Output: the detected hour, its CUSUM value, series length.
+
+    Determinism: hourly means and the series mean are rounded to 6 dp
+    FIRST, so both engines feed identical doubles into the prefix sum —
+    and ordered window prefix sums are evaluated SEQUENTIALLY in ts
+    order by both Spark's WindowExec and DuckDB, so the running values
+    are bit-identical (no association-order drift to absorb, unlike
+    grouped SUMs); the apex tiebreak is the earlier hour.
+
+    Scale: one hourly partial+final agg, a |types|-row broadcast of
+    means, ONE window shuffle on event_type for the prefix sum +
+    ranking. Series length per key is calendar-bounded (hours), so the
+    per-partition window state stays small at any ingest volume."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        dround(F.avg("value"), 6).alias("x")
+    )
+    means = hourly.groupBy("event_type").agg(dround(F.avg("x"), 6).alias("mean"))
+    w_run = W.partitionBy("event_type").orderBy("h")
+    w_all = W.partitionBy("event_type")
+    cs = (
+        hourly.join(F.broadcast(means), "event_type")
+        .withColumn("cusum", F.sum(F.col("x") - F.col("mean")).over(w_run))
+        .withColumn("n_hours", F.count("*").over(w_all))
+    )
+    w_rank = W.partitionBy("event_type").orderBy(F.abs("cusum").desc(), "h")
+    return (
+        cs.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("changepoint_hour"),
+            dround(F.col("cusum"), 4).alias("cusum_peak"),
+            "n_hours",
+        )
+    )

@@ -273,6 +273,8 @@ PRIORITY_ORDER = (
     "d_agg_quantile_rollup",
     "m_ts_seasonal",
     "l_embedding_pca",
+    "m_ts_changepoint",
+    "d_agg_percentile_disc",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
