@@ -875,3 +875,88 @@ def c_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+#: Spatial ε-join radius (grid cell width = ε, the classic choice).
+SPATIAL_EPS = 0.02
+
+
+@query(
+    "c_join_spatial_grid",
+    oracle=f"""
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           ROUND(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                 * 1e6, 0) / 1e6 + 0 AS dist
+    FROM (SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+          FROM embeddings) a
+    JOIN (SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+          FROM embeddings) b
+      ON a.vec_id < b.vec_id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {SPATIAL_EPS} * {SPATIAL_EPS}
+    """,
+)
+def c_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D spatial ε-join via GRID BLOCKING — the geohash-bucketing
+    pattern every geospatial pipeline uses (points within ε of each
+    other; here the first two embedding dims stand in for lon/lat).
+    A naive distance predicate has no equi key → BroadcastNestedLoop
+    O(N²). Instead each point maps to a grid cell of width ε; side A
+    replicates to its 3×3 cell NEIGHBORHOOD, side B keeps its home
+    cell, and the equi-join on cell id finds every qualifying ordered
+    pair EXACTLY once (the A-replica of p lands in q's home cell — one
+    cell, one match; the a<b filter then keeps one orientation), so no
+    post-join distinct is needed — the same canonical-assignment trick
+    as c_join_interval, lifted to 2-D. The exact distance predicate
+    filters the residual; the emitted distance is computed with
+    identical double arithmetic in both engines.
+
+    Scale: 9× replication of one side buys a keyed hash shuffle in
+    place of N²; per-cell candidate population follows data density ×
+    ε², so the worst case is a dense cell — at production scale the
+    standard fixes are smaller ε with multi-round neighbor scans or
+    density-based cell splitting (quadtree), both preserving this
+    plan shape. Plan-asserted hash join, no nested loop
+    (tests/test_plans.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    eps = SPATIAL_EPS
+    pts = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    ).withColumn("cx", F.floor(F.col("x") / eps)).withColumn(
+        "cy", F.floor(F.col("y") / eps)
+    )
+    nbr = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    a = pts.select(
+        F.col("vec_id").alias("va"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        "cx",
+        "cy",
+        nbr.alias("d"),
+    ).select(
+        "va",
+        "xa",
+        "ya",
+        (F.col("cx") + F.col("d.dx")).alias("gx"),
+        (F.col("cy") + F.col("d.dy")).alias("gy"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("vb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("gx"),
+        F.col("cy").alias("gy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["gx", "gy"])
+        .filter((F.col("va") < F.col("vb")) & (d2 <= eps * eps))
+        .select("va", "vb", dround(F.sqrt(d2), 6).alias("dist"))
+    )

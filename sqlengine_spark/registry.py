@@ -275,6 +275,7 @@ PRIORITY_ORDER = (
     "l_embedding_pca",
     "m_ts_changepoint",
     "d_agg_percentile_disc",
+    "c_join_spatial_grid",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

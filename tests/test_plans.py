@@ -349,6 +349,15 @@ def test_tpch_q20_semi_join_membership(spark):
     assert "LeftSemi" in plan
 
 
+def test_spatial_grid_join_hash_not_nested_loop(spark):
+    # the 9-cell replication must buy a keyed hash join — a distance
+    # predicate alone would plan BroadcastNestedLoopJoin O(N^2)
+    plan = _plan(spark, "c_join_spatial_grid")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
 def test_bucketed_colocated_join_zero_exchange(spark):
     # the pre-paid shuffle: both sides bucketed on the join key, so
     # the sort-merge join AND the per-order aggregation run with ZERO
