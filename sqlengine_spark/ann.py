@@ -222,3 +222,103 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    n_train: int = 256,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION approximate top-k (Jégou et al.'s PQ): the
+    memory-compression path of the ANN family — vectors are stored as
+    ``m`` sub-space code IDs (here 8 codes × 4 bits of codebook = 8
+    bytes vs 256 bytes raw, 32×), and queries score against codes via
+    an ADC lookup table without ever touching raw vectors.
+
+    Training: a deterministic seeded sample (smallest ``xxhash64(id,
+    seed)``, the ivf_topk idiom) of ``n_train`` vectors; per sub-space
+    k-means with fixed init (first ``ksub`` sample rows) and a fixed
+    iteration count — no RNG anywhere, so codebooks, codes, and scores
+    are bit-reproducible run to run (asserted in tests/test_ann.py).
+    Codebooks are m·ksub·(dim/m) floats of bounded driver state (the
+    l_kmeans_assign sanction).
+
+    Encoding: ONE Arrow-batched mapInPandas pass; each batch argmins
+    against the broadcast codebooks with a vectorized numpy distance —
+    at ingest scale this is the one-off compression pass whose output
+    (the code table) is what a 100 TB deployment actually stores.
+
+    Query (ADC): the per-sub-space lookup table query·centroid is
+    m×ksub driver-side scalars, folded into the plan as LITERALS; the
+    approximate score is a pure-codegen sum of array lookups over the
+    code table — map-only + TakeOrdered, no shuffle, no Python on the
+    query path."""
+    import numpy as np
+    import pandas as pd
+
+    from sqlengine_spark.functions import dround
+
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    train_rows = (
+        v.select("vid", "vec", F.xxhash64(F.col("vid"), F.lit(seed)).alias("h"))
+        .orderBy("h", "vid")
+        .limit(n_train)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["vec"]] for r in train_rows], dtype=np.float64)
+    dim = X.shape[1]
+    dsub = dim // m
+    books = []  # m arrays of (ksub, dsub)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        cents = sub[:ksub].copy()  # deterministic init: first ksub samples
+        for _ in range(kmeans_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(0)
+        books.append(cents)
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = V[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"vid": pdf["vid"], "codes": list(codes.tolist())})
+
+    coded = v.mapInPandas(encode, "vid long, codes array<int>")
+
+    qrow = v.filter(F.col("vid") == query_id).first()
+    if qrow is None:
+        raise ValueError(f"pq_topk: query id {query_id} not found")
+    q = np.array([float(x) for x in qrow["vec"]], dtype=np.float64)
+    # ADC table: inner product of the query sub-vector with every centroid
+    lut = [
+        [float(q[j * dsub : (j + 1) * dsub] @ books[j][c]) for c in range(ksub)]
+        for j in range(m)
+    ]
+    score = sum(
+        F.element_at(
+            F.array(*[F.lit(x) for x in lut[j]]),
+            F.element_at("codes", j + 1) + 1,
+        )
+        for j in range(m)
+    )
+    return (
+        coded.filter(F.col("vid") != query_id)
+        .select(F.col("vid").alias("vec_id"), dround(score, 6).alias("score_pq"))
+        .orderBy(F.desc("score_pq"), "vec_id")
+        .limit(k)
+    )

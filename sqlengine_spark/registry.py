@@ -289,6 +289,7 @@ PRIORITY_ORDER = (
     "l_multimodal_decode",
     "l_kmeans_assign",
     "l_bpe_train",
+    "l_sim_search_pq",
 )
 
 

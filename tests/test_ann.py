@@ -129,3 +129,22 @@ def test_ivf_partial_probe_recall(spark):
     for vid in hits:
         assert ivf[vid] == exact[vid]
     assert len(hits) >= 5, f"IVF recall collapsed: {len(hits)}/10"
+
+
+def test_pq_rerank_recall_and_determinism(spark):
+    """PQ + exact re-rank: final top-10 must recover >=80% of the exact
+    top-10 (measured 100% on this data; floor leaves data-drift
+    headroom), and two runs must be bit-identical (no RNG anywhere in
+    training/encoding)."""
+    from sqlengine_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    q = all_queries()["l_sim_search_pq"]
+    got1 = [(r["vec_id"], r["sim"]) for r in q(spark, SF_DIR).collect()]
+    got2 = [(r["vec_id"], r["sim"]) for r in q(spark, SF_DIR).collect()]
+    assert got1 == got2
+    exact = [
+        r["vec_id"]
+        for r in all_queries()["l_sim_search_topk"](spark, SF_DIR).collect()
+    ]
+    assert len(set(v for v, _ in got1) & set(exact)) >= 8

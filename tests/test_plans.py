@@ -166,6 +166,11 @@ CARTESIAN_WHITELIST = {
     "l_corpus_divergence",      # |slices|x|vocab| smoothing grid:
                                 # langs (5 rows) x broadcast vocab agg —
                                 # vocabulary-bounded like l_topic_cooccur
+    "l_graph_pagerank",         # 1-row N-count broadcast seeding the
+                                # uniform rank vector; edge join and
+                                # iterations are keyed shuffles
+    "l_sim_search_pq",          # 1-row query vector broadcast for the
+                                # exact re-rank of 100 PQ candidates
                                 # (docstring: cap vocab to top-K by df at
                                 # open-vocab scale), never row-bounded
 }
