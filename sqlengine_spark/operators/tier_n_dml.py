@@ -303,3 +303,44 @@ def n_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of.select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
     )
+
+
+@query(
+    "n_merge_on_read_delete",
+    oracle="""
+    SELECT * FROM orders
+    WHERE NOT (o_orderpriority = '5-LOW'
+               AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+    """,
+)
+def n_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete — the other half of the DML design space
+    from the copy-on-write tier (n_delete_rewrite): instead of
+    rewriting the snapshot, the DELETE commits only a DELETE-VECTOR
+    sidecar (the matching rows' keys, Iceberg-v2 position/equality
+    deletes in spirit), and the READ path reconstructs the logical
+    table as ``base LEFT ANTI JOIN deletes`` on the key. Write cost is
+    O(|deleted|) instead of O(|table|) — the right trade for frequent
+    small deletes (GDPR erasure streams) — paid back with an anti-join
+    on every read until compaction folds the vectors into a new base
+    (which is exactly n_delete_rewrite, making compaction = COW
+    applied lazily). The oracle states the logical result as the
+    complement filter.
+
+    Scale: the delete vector is keys-only (8 B/row); at 100 TB the
+    anti-join broadcasts while deletes are sparse and degrades to a
+    keyed shuffle join past the broadcast threshold — both fine
+    because the base scan still prunes columns/partitions normally
+    (the anti-join adds no scan width). The a_maintenance_compaction
+    operator is the bin-packing twin that would fold sidecars in."""
+    o = table(spark, sf_dir, "orders")
+    base_path = _scratch("orders_mor_base")
+    del_path = _scratch("orders_mor_deletes")
+    o.write.mode("overwrite").parquet(base_path)
+    condition = (F.col("o_orderpriority") == "5-LOW") & (
+        F.col("o_orderdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp")
+    )
+    o.filter(condition).select("o_orderkey").write.mode("overwrite").parquet(del_path)
+    base = spark.read.schema(o.schema).parquet(base_path)
+    dv = spark.read.parquet(del_path)
+    return base.join(dv, "o_orderkey", "left_anti")
