@@ -423,7 +423,16 @@ def l_multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid on (lang, dim) — no UDF, no collect, shuffle keyed on
     (lang, dim) then (lang, vec_id). Binary media columns follow the
     same plumbing (opaque bytes + typed metadata), with decode stubs in
-    sqlengine_spark/streaming-free Pandas UDFs — see tier tests."""
+    sqlengine_spark/streaming-free Pandas UDFs — see tier tests.
+
+    Measured alternative, rejected: a no-explode array formulation
+    (64 per-position AVG aggregates reassembled into a centroid array,
+    member cosines as vdot folds) LOOKS cheaper but times 1.3-1.5 s
+    per fresh execution vs ~1.0 s for this plan at sf0.1 — the 64-wide
+    aggregate recompiles a huge codegen method on every new plan
+    instance, swamping the explode it saves. (Its 0.1 s "hot" reading
+    came from re-collecting the SAME DataFrame object, which reuses
+    shuffle map outputs — not a shape a fresh driver call ever gets.)"""
     e = table(spark, sf_dir, "embeddings")
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     m = (
