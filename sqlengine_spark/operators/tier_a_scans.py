@@ -552,3 +552,63 @@ def a_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules.unionByName(fk_row)
+
+
+_BINFILE_STAGED: set[tuple[str, str]] = set()
+
+
+@query(
+    "a_scan_binaryfile",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.bin' AS fname,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def a_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingest via the ``binaryFile`` source — how image/audio/
+    video corpora actually enter a Spark pipeline: a directory of opaque
+    files becomes (path, modificationTime, length, content BINARY) rows
+    with NO decoding, feeding the multimodal tier
+    (sqlengine_spark/multimodal.py) downstream. The harness stages 20
+    asset files whose bytes are the UTF-8 text of documents 0-19, so
+    the oracle can state the ground truth FROM THE TABLE: file name,
+    byte length, and sha256 must round-trip bit-exactly through the
+    filesystem and the binary column (DuckDB strlen/sha256 operate on
+    the same UTF-8 bytes Spark hashes from the BINARY content — a real
+    cross-engine content check, not a self-referential one).
+
+    Scale: binaryFile lists and reads files in parallel tasks
+    (maxPartitionBytes-sized splits of the listing; one file never
+    splits), so a billion-asset corpus ingests as a normal distributed
+    scan; pair it with ``pathGlobFilter``/``recursiveFileLookup`` for
+    lake layouts, and budget small-file pressure with
+    a_maintenance_compaction's bin-packing once decoded features are
+    re-materialized columnar."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app = spark.sparkContext.applicationId
+    stage = os.path.join(SCRATCH, f"binassets_{sf}")
+    if (app, sf_dir) not in _BINFILE_STAGED or not os.path.isdir(stage):
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        # bounded harness staging: 20 rows, the media files a crawler
+        # would have landed; production data arrives already on DFS
+        rows = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(stage, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        _BINFILE_STAGED.add((app, sf_dir))
+    raw = spark.read.format("binaryFile").load(stage)
+    return raw.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("sha"),
+    )

@@ -277,6 +277,7 @@ PRIORITY_ORDER = (
     "d_agg_percentile_disc",
     "c_join_spatial_grid",
     "n_merge_on_read_delete",
+    "a_scan_binaryfile",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
