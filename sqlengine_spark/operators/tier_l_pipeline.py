@@ -1628,3 +1628,85 @@ def l_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.select(
         "w", "n", F.array_join("sym", " ").alias("segments")
     )
+
+
+@query(
+    "l_pipeline_end2end",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(regexp_replace(lower(text),
+                                                  '[^a-z0-9 ]', '', 'g'),
+                                   '  +', ' ', 'g')) AS ntext
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, ntext,
+               len(string_split(ntext, ' ')) AS n_tok
+        FROM norm
+        WHERE len(string_split(ntext, ' ')) >= 30
+    ),
+    dedup AS (
+        SELECT doc_id, lang, n_tok,
+               row_number() OVER (PARTITION BY md5(ntext)
+                                  ORDER BY doc_id) AS rn
+        FROM quality
+    ),
+    split AS (
+        SELECT lang, n_tok,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'val'
+                    WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM dedup WHERE rn = 1
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_tok) * 100, 0) / 100 + 0 AS avg_tokens
+    FROM split GROUP BY split, lang
+    """,
+)
+def l_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus-preparation pipeline — normalize → quality
+    filter → exact dedup → deterministic split → dataset summary — as
+    ONE declarative plan, demonstrating that the tier-L stages (each
+    individually oracled: l_text_normalize, l_text_quality,
+    l_dedup_exact, l_split_hash, l_dataset_card) COMPOSE without
+    materialization barriers: Catalyst fuses normalize + tokenize +
+    filter into the scan's codegen stage, the dedup window is the one
+    content-hash shuffle, the split is a map expression, and the
+    summary is a partial+final agg — the corpus is read ONCE end to
+    end. The oracle replays the identical chain as nested CTEs.
+
+    Scale: this is the actual production shape — pipelines that chain
+    stage-by-stage through materialized intermediates pay a full
+    write+read of the corpus between every stage; declared as one plan,
+    the only data-volume barrier is the dedup shuffle (keyed on the
+    16-byte content hash, carrying doc_id/lang/n_tok — the TEXT never
+    shuffles because the hash already stands in for it, and column
+    pruning drops ntext after the hash is computed)."""
+    d = table(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), "  +", " "
+        )
+    )
+    norm = d.select("doc_id", "lang", ntext.alias("ntext"))
+    quality = norm.withColumn("n_tok", F.size(F.split("ntext", " "))).filter(
+        F.col("n_tok") >= 30
+    )
+    w = Window.partitionBy(F.md5("ntext")).orderBy("doc_id")
+    dedup = quality.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    hx = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(hx < "0d", "val").when(hx < "1a", "test").otherwise("train")
+    )
+    return (
+        dedup.select(split.alias("split"), "lang", "n_tok")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dround(F.avg("n_tok"), 2).alias("avg_tokens"),
+        )
+    )

@@ -278,6 +278,7 @@ PRIORITY_ORDER = (
     "c_join_spatial_grid",
     "n_merge_on_read_delete",
     "a_scan_binaryfile",
+    "l_pipeline_end2end",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
