@@ -1710,3 +1710,104 @@ def l_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("n_tok"), 2).alias("avg_tokens"),
         )
     )
+
+
+@query(
+    "l_triplet_mine",
+    oracle="""
+    WITH flat AS (SELECT vec_id, label, s.i, embedding[s.i]::DOUBLE AS v
+                  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+    pos AS (
+      SELECT anchor, pos_id, sim FROM (
+        SELECT f1.vec_id AS anchor, f2.vec_id AS pos_id,
+               ROUND(SUM(f1.v * f2.v) * 1e9) / 1e9 AS sim,
+               row_number() OVER (
+                   PARTITION BY f1.vec_id
+                   ORDER BY ROUND(SUM(f1.v * f2.v) * 1e9) / 1e9 DESC,
+                            f2.vec_id) AS rn
+        FROM flat f1
+        JOIN flat f2 ON f1.i = f2.i AND f1.label = f2.label
+                    AND f1.vec_id <> f2.vec_id
+        GROUP BY f1.vec_id, f2.vec_id
+      ) WHERE rn = 1
+    ),
+    pool AS (
+      SELECT vec_id AS cand, label AS cand_label
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 50
+    ),
+    neg AS (
+      SELECT anchor, neg_id FROM (
+        SELECT e.vec_id AS anchor, p.cand AS neg_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY md5(CAST(e.vec_id AS VARCHAR) || '_'
+                                || CAST(p.cand AS VARCHAR)), p.cand) AS rn
+        FROM embeddings e JOIN pool p ON e.label <> p.cand_label
+      ) WHERE rn = 1
+    )
+    SELECT pos.anchor, pos.pos_id,
+           ROUND(pos.sim * 1e6, 0) / 1e6 + 0 AS pos_sim,
+           neg.neg_id
+    FROM pos JOIN neg ON pos.anchor = neg.anchor
+    """,
+)
+def l_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive TRIPLET mining — the training-pair preparation step
+    for embedding fine-tuning (anchor, positive, negative): the
+    positive is the anchor's nearest SAME-label neighbor (hard
+    positive, label-blocked equi-join — the l_graph_pagerank edge
+    plan, never all-pairs), and the negative is drawn from a 50-vector
+    GLOBAL POOL (smallest md5(vec_id) — the deterministic stand-in for
+    in-batch negatives, which is how contrastive training actually
+    samples them) by per-anchor md5 ranking over pool members with a
+    DIFFERENT label. No RNG anywhere: re-runs, reshards, and the
+    DuckDB oracle all agree on every triplet.
+
+    Scale: positives cost the blocked kNN join (Σ block², the
+    IVF-cell bound); negatives cost |V|×50 against a broadcast pool —
+    LINEAR, the reason pool/in-batch sampling exists at all (per-anchor
+    ranking over all other-label vectors would be |V|² for no training
+    benefit). Output carries ids + the positive's 9-dp-rounded
+    similarity (6 dp in the projection)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("pos_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("anchor") != F.col("pos_id"))
+    ).withColumn("sim", dround(vdot(F.col("ea"), F.col("eb")), 9))
+    w_pos = Window.partitionBy("anchor").orderBy(F.col("sim").desc(), "pos_id")
+    pos = (
+        pairs.withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select("anchor", "la", "pos_id", "sim")
+    )
+    pool = (
+        e.select(F.col("vec_id").alias("cand"), F.col("label").alias("cand_label"))
+        .orderBy(F.md5(F.col("cand").cast("string")), "cand")
+        .limit(50)
+    )
+    w_neg = Window.partitionBy("anchor").orderBy(
+        F.md5(F.concat(F.col("anchor").cast("string"), F.lit("_"),
+                       F.col("cand").cast("string"))),
+        "cand",
+    )
+    neg = (
+        pos.select("anchor", "la")
+        .join(F.broadcast(pool), F.col("la") != F.col("cand_label"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select("anchor", F.col("cand").alias("neg_id"))
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor", "pos_id", dround(F.col("sim"), 6).alias("pos_sim"), "neg_id"
+    )

@@ -279,6 +279,7 @@ PRIORITY_ORDER = (
     "n_merge_on_read_delete",
     "a_scan_binaryfile",
     "l_pipeline_end2end",
+    "l_triplet_mine",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -171,6 +171,9 @@ CARTESIAN_WHITELIST = {
                                 # iterations are keyed shuffles
     "l_sim_search_pq",          # 1-row query vector broadcast for the
                                 # exact re-rank of 100 PQ candidates
+    "l_triplet_mine",           # 50-row global negative pool broadcast
+                                # (label-inequality join = |V|x50 linear;
+                                # the positive side is label-blocked)
                                 # (docstring: cap vocab to top-K by df at
                                 # open-vocab scale), never row-bounded
 }
