@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import load_tables, table
 
 
 @query(
@@ -649,4 +649,41 @@ def h_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("region")).alias("region_param"),
+    )
+
+
+@query(
+    "h_sql_params",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 400000.0 AND o_orderstatus = 'F'
+    """,
+)
+def h_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (named-parameter binding, ``spark.sql(query,
+    args=...)``): values travel to the engine as TYPED literals, never
+    as interpolated text — the injection-safe client API, and the fix
+    class for a real cross-engine bug this repo hit: a float threshold
+    serialized as SQL text (``0.09999999999999999``) parses to a
+    DIFFERENT double in an engine that types bare decimal literals as
+    DECIMAL (DuckDB) than in one that parses to double (Spark/Python),
+    silently flipping boundary comparisons (round-3 property-test
+    finding; tests/test_property.py fuzzes the class). Binding the
+    value as a parameter sidesteps text parsing entirely. The oracle
+    writes the same constants as literals — safe HERE because 400000.0
+    is exactly representable; the operator exists so callers never
+    have to reason about which literals are.
+
+    Scale: parameter binding is plan-side metadata (Catalyst folds the
+    literal); identical plan to the hand-written filter, pushdown
+    included."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        """,
+        args={"min_price": 400000.0, "status": "F"},
     )

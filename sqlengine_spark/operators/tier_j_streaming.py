@@ -718,3 +718,70 @@ def j_tumbling_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows, schema = run_stream_to_table(spark, stream, "append")
     return spark.createDataFrame(rows, schema=schema)
+
+
+def run_stream_available_now(spark: SparkSession, stream_df, output_mode: str):
+    """Like run_stream_to_table, but executed under
+    ``Trigger.AvailableNow``: the query plans a BOUNDED set of
+    micro-batches covering everything available at start, runs them,
+    and TERMINATES ITSELF — no processAllAvailable polling loop. This
+    is the scheduled-backfill trigger (run every N hours over whatever
+    landed, with full streaming fault-tolerance and rate limits via
+    maxFilesPerTrigger), vs the always-on trigger the other streaming
+    ops exercise."""
+    ckpt_base = tempfile.mkdtemp(prefix="sqlengine_stream_ckpt_")
+    sink = f"stream_sink_{os.getpid()}_{int(time.time() * 1e6)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(ckpt_base, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()  # self-terminates after the planned batches
+        out = spark.table(sink)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(ckpt_base, ignore_errors=True)
+    return rows, schema
+
+
+@query(
+    "j_tumbling_available_now",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value) * 100, 0) / 100 AS sum_value
+    FROM events GROUP BY h, event_type
+    """,
+)
+def j_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly aggregation executed under ``Trigger.AvailableNow`` —
+    the INCREMENTAL-BATCH operating mode between the always-on stream
+    (j_tumbling_1h_stream) and the pure batch query (j_tumbling_1h):
+    the engine plans bounded micro-batches over everything currently
+    landed (still rate-limited by maxFilesPerTrigger, still
+    checkpointed and exactly-once) and then terminates, which is how
+    production pipelines run streaming jobs on a schedule instead of
+    holding a cluster 24/7. Final state hash-matches the same batch
+    oracle as both siblings.
+
+    Scale: identical state/shuffle shape to j_tumbling_1h_stream; the
+    trigger only changes scheduling — each scheduled run resumes from
+    the checkpoint and processes the delta since the last run."""
+    src = stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("h"), "event_type", "cnt", "sum_value")
+    )
+    rows, schema = run_stream_available_now(spark, stream, "complete")
+    return spark.createDataFrame(rows, schema=schema)

@@ -280,6 +280,8 @@ PRIORITY_ORDER = (
     "a_scan_binaryfile",
     "l_pipeline_end2end",
     "l_triplet_mine",
+    "h_sql_params",
+    "j_tumbling_available_now",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
