@@ -250,7 +250,15 @@ PRIORITY_ORDER = (
     "f_sort_local",
     "a_scan_csv_malformed",
     "l_sim_search_batch",
-    # -- round-4 additions (oracled; window candidates for round 5) ----
+    # -- round-4 additions (oracled; window candidates for round 5).
+    # ROUND-5 ROTATION NOTE: rebuild slots 13-50 from keys with no
+    # driver row in ANY round — everything from "h_try_funcs" down to
+    # "j_tumbling_available_now" below has only local sim evidence;
+    # prioritize c_join_bucketed_colocated, l_graph_pagerank,
+    # n_time_travel, d_agg_quantile_rollup, l_embedding_pca,
+    # c_join_spatial_grid, l_pipeline_end2end, l_triplet_mine,
+    # a_scan_binaryfile, h_sql_params, j_tumbling_available_now, then
+    # the earlier round-4 batch; keep the 12 tier anchors. ----------
     "h_try_funcs",
     "h_url_funcs",
     "m_ts_interpolate",
