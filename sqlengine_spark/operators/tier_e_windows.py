@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import load_tables, table
 
 
 @query(
@@ -388,4 +388,53 @@ def e_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("len").alias("active_days"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "e_win_named_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           ROUND(SUM(o_totalprice) OVER w * 100, 0) / 100 + 0 AS running_total,
+           ROUND(ROUND(SUM(o_totalprice) OVER w * 100, 0) / 100
+                 / COUNT(*) OVER w * 100, 0) / 100 + 0 AS running_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def e_win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard named WINDOW clause (``WINDOW w AS (...)``) through
+    the SQL entry point: three window functions SHARE one declared
+    spec, which is both the ergonomic surface (declare the frame once)
+    and a planner guarantee — identical specs resolve to ONE Window
+    node over one exchange+sort, never three (same exchange-sharing
+    contract n_scd2_history exercises from the DataFrame side).
+
+    Scale: one o_custkey window shuffle; the running frame is the
+    default RANGE UNBOUNDED PRECEDING..CURRENT ROW in both engines
+    (ties share totals — o_orderdate ties are broken by o_orderkey in
+    the ORDER BY, making the frame row-unique and deterministic).
+
+    Float pin (found at sf0.1): the running average is DERIVED from
+    the ROUNDED running sum — ROUND(sum,2)/count re-rounded — not from
+    AVG OVER w and not from the raw sum either. Measured: DuckDB
+    evaluates window SUMs through a segment tree, so the RAW prefix
+    sums differ from Spark's in the last ulp, and this data lands
+    sum/20 exactly on a x.705 ROUND-half boundary (.70 vs .71 at 2 dp).
+    Rounding the sum first is safe for 2-dp money (sum×100 is
+    near-integer, never near .5), and division of the now-identical
+    doubles by the integer count is bit-identical everywhere."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               ROUND(SUM(o_totalprice) OVER w * 100, 0) / 100 + 0
+                 AS running_total,
+               ROUND(ROUND(SUM(o_totalprice) OVER w * 100, 0) / 100
+                     / COUNT(*) OVER w * 100, 0) / 100 + 0 AS running_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
     )

@@ -933,11 +933,17 @@ def m_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     point). Output: the detected hour, its CUSUM value, series length.
 
     Determinism: hourly means and the series mean are rounded to 6 dp
-    FIRST, so both engines feed identical doubles into the prefix sum —
-    and ordered window prefix sums are evaluated SEQUENTIALLY in ts
-    order by both Spark's WindowExec and DuckDB, so the running values
-    are bit-identical (no association-order drift to absorb, unlike
-    grouped SUMs); the apex tiebreak is the earlier hour.
+    FIRST, so both engines feed identical doubles into the prefix sum.
+    The running values are NOT assumed bit-identical — DuckDB evaluates
+    window SUMs through a segment tree, so its association order
+    differs from Spark's sequential accumulation (measured on
+    e_win_named_window, where the raw ulp gap straddled a ROUND-half
+    boundary) — but here the ≤ ~1e-13 tree-vs-sequential drift on
+    ≤720-term sums of 6-dp inputs is absorbed by the 4-dp output
+    rounding, and the |CUSUM| apex comparison would only flip if two
+    hours' peaks were within that drift of EQUAL, in which case the
+    earlier-hour tiebreak is reached through values both engines agree
+    on after rounding. Verified at sf0.01 and sf0.1.
 
     Scale: one hourly partial+final agg, a |types|-row broadcast of
     means, ONE window shuffle on event_type for the prefix sum +

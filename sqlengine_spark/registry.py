@@ -290,6 +290,7 @@ PRIORITY_ORDER = (
     "l_triplet_mine",
     "h_sql_params",
     "j_tumbling_available_now",
+    "e_win_named_window",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
