@@ -1811,3 +1811,70 @@ def l_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(neg, "anchor").select(
         "anchor", "pos_id", dround(F.col("sim"), 6).alias("pos_sim"), "neg_id"
     )
+
+
+@query(
+    "l_stratified_split",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents
+    ),
+    assigned AS (
+        SELECT lang,
+               CASE WHEN rn <= FLOOR(cnt * 0.8) THEN 'train'
+                    WHEN rn <= FLOOR(cnt * 0.9) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ranked
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def l_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED deterministic train/val/test split: within every
+    stratum (lang), documents rank by md5(doc_id) and the 80/10/10
+    boundaries are taken at exact per-stratum counts — so each
+    language's proportions are EXACT (floor(cnt·0.8) train rows per
+    lang, not 80%-in-expectation), unlike the global hash-range split
+    (l_split_hash) where a small stratum can land lopsided. This is
+    the split evaluation sets actually need: per-language val/test
+    populations that are never starved by hash luck. Still RNG-free —
+    re-runs, reshards, and the oracle agree on every assignment.
+
+    Determinism pins: the md5 rank breaks ties on doc_id; the
+    boundary is FLOOR(cnt * 0.8) computed in double — exact for any
+    cnt < 2^51 since 0.8·cnt is only consulted through FLOOR and both
+    engines evaluate the identical double product (measured-pin rule:
+    Spark floor returns BIGINT, DuckDB DOUBLE — compared to rn after
+    implicit widening identically).
+
+    Scale: one window shuffle keyed on the stratum; the rank and both
+    counts come off the same sorted run. At 100 TB with billions of
+    rows per stratum this stays a single keyed sort — and if a stratum
+    outgrows a partition, the two-pass distributed-rank formulation
+    from e_win_ntile_pct applies unchanged per stratum."""
+    d = table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    w_all = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
+    split = (
+        F.when(F.col("rn") <= F.floor(F.col("cnt") * 0.8), "train")
+        .when(F.col("rn") <= F.floor(F.col("cnt") * 0.9), "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

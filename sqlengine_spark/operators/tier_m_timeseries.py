@@ -972,3 +972,112 @@ def m_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
         )
     )
+
+
+#: LTTB downsampling target buckets (besides the two endpoints).
+LTTB_BUCKETS = 48
+
+
+@query(
+    "m_ts_lttb",
+    oracle=f"""
+    WITH pts AS (
+        SELECT date_trunc('hour', ts) AS h,
+               ROUND(AVG(value) * 1e6) / 1e6 AS y
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM pts),
+    idx AS (
+        SELECT h, y,
+               CAST((epoch(h) - epoch(mn)) / 3600 AS BIGINT) AS i,
+               CAST((epoch(mx) - epoch(mn)) / 3600 AS BIGINT) AS n
+        FROM pts CROSS JOIN bounds
+    ),
+    binned AS (
+        SELECT h, y,
+               CASE WHEN i = 0 THEN -1
+                    WHEN i = n THEN {LTTB_BUCKETS}
+                    ELSE CAST(FLOOR((i - 1) * {LTTB_BUCKETS}
+                                    / (n - 1.0)) AS BIGINT) END AS b
+        FROM idx
+    ),
+    extremes AS (
+        SELECT h, y, b FROM (
+            SELECT h, y, b,
+                   row_number() OVER (PARTITION BY b
+                                      ORDER BY ABS(y - avg_y) DESC, h) AS rk
+            FROM (SELECT h, y, b,
+                         AVG(y) OVER (PARTITION BY b) AS avg_y
+                  FROM binned WHERE b >= 0 AND b < {LTTB_BUCKETS})
+        ) WHERE rk = 1
+    )
+    SELECT h, y FROM extremes
+    UNION ALL
+    SELECT h, y FROM binned WHERE b = -1 OR b = {LTTB_BUCKETS}
+    """,
+)
+def m_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampling for visualization, LTTB-style (largest deviation
+    per bucket): the hourly series collapses to ≤ LTTB_BUCKETS + 2
+    points — both endpoints always kept, and from each equal-WIDTH
+    TIME bucket the point FARTHEST from its bucket's mean (the
+    shape-preserving pick; classic LTTB uses the largest triangle
+    against the previous selection, which is inherently sequential —
+    the per-bucket max-deviation variant keeps the same visual intent
+    while staying one parallel window pass, the trade a distributed
+    dashboard backend makes). Deterministic: y values are 6-dp-rounded
+    hourly means, deviation ties break on the earlier hour.
+
+    Plan shape: the bucket id derives from the hour OFFSET against a
+    broadcast 1-row (min, max) bounds aggregate — a map expression,
+    NO global index window (an earlier row_number()-over-everything
+    formulation would have been the repo's only new single-partition
+    sort; the time-width bucketing removes it and is the more standard
+    time-series binning anyway). The only window partitions by the 48
+    bucket ids.
+
+    Float pin: |y − bucket_mean| compares values derived from AVGs of
+    6-dp inputs; a flip would need two deviations within ~1e-15 of
+    equal AND straddling differently — both engines see identical
+    inputs, so equal rounded inputs give equal deviations and fall to
+    the hour tiebreak together. Bucket ids are FLOOR of an identical
+    double product; hour offsets are exact integers.
+
+    Scale: bucket assignment is map-side; one 48-key window pass picks
+    extremes. |points| is calendar-bounded (hours), and the downsample
+    is why the chart never ships the raw series."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        dround(F.avg("value"), 6).alias("y")
+    )
+    bounds = pts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    idx = pts.crossJoin(F.broadcast(bounds)).select(
+        "h", "y",
+        ((F.unix_timestamp("h") - F.unix_timestamp("mn")) / 3600)
+        .cast("bigint").alias("i"),
+        ((F.unix_timestamp("mx") - F.unix_timestamp("mn")) / 3600)
+        .cast("bigint").alias("n"),
+    )
+    b = (
+        F.when(F.col("i") == 0, -1)
+        .when(F.col("i") == F.col("n"), LTTB_BUCKETS)
+        .otherwise(
+            F.floor((F.col("i") - 1) * LTTB_BUCKETS / (F.col("n") - 1.0))
+        )
+    )
+    binned = idx.select("h", "y", b.alias("b"))
+    mid = binned.filter((F.col("b") >= 0) & (F.col("b") < LTTB_BUCKETS))
+    w_bucket = W.partitionBy("b")
+    w_pick = W.partitionBy("b").orderBy(
+        F.abs(F.col("y") - F.col("avg_y")).desc(), "h"
+    )
+    extremes = (
+        mid.withColumn("avg_y", F.avg("y").over(w_bucket))
+        .withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select("h", "y")
+    )
+    ends = binned.filter(
+        (F.col("b") == -1) | (F.col("b") == LTTB_BUCKETS)
+    ).select("h", "y")
+    return extremes.unionAll(ends)

@@ -291,6 +291,8 @@ PRIORITY_ORDER = (
     "h_sql_params",
     "j_tumbling_available_now",
     "e_win_named_window",
+    "l_stratified_split",
+    "m_ts_lttb",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

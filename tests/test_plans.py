@@ -174,6 +174,8 @@ CARTESIAN_WHITELIST = {
     "l_triplet_mine",           # 50-row global negative pool broadcast
                                 # (label-inequality join = |V|x50 linear;
                                 # the positive side is label-blocked)
+    "m_ts_lttb",                # 1-row (min,max) bounds broadcast for
+                                # the map-side time-bucket assignment
                                 # (docstring: cap vocab to top-K by df at
                                 # open-vocab scale), never row-bounded
 }
