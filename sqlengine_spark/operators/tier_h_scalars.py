@@ -687,3 +687,51 @@ def h_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 400000.0, "status": "F"},
     )
+
+
+@query(
+    "h_xml_funcs",
+    oracle="""
+    SELECT r_regionkey,
+           r_name AS x_name,
+           CAST(r_regionkey * 10 AS BIGINT) AS x_score,
+           CAST(len(string_split(r_name, '_')) AS INT) AS n_parts
+    FROM region
+    """,
+)
+def h_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML extraction (``xpath_string`` / ``xpath_long`` / ``xpath``) —
+    the scalar family for XML-bearing columns (feeds, SOAP payloads,
+    config blobs), exercised the only honest way available without an
+    XML fixture column: each row CONSTRUCTS a document from its own
+    values, the xpath functions extract them back, and the oracle
+    states the expected values from the source columns directly — so
+    the check verifies real build→parse→extract round-trips, not
+    pre-agreed constants. ``xpath`` (node-set) returns an array,
+    projected as its size (rule 2: never raw arrays).
+
+    Scale: per-row codegen string build + an XML parse per row — the
+    parse is the cost, same class as from_json (h_json_extract); at
+    100 TB you parse once and materialize the extracted columns, never
+    re-parse per query."""
+    r = table(spark, sf_dir, "region")
+    xml = F.concat(
+        F.lit("<region><name>"),
+        F.col("r_name"),
+        F.lit("</name><score>"),
+        (F.col("r_regionkey") * 10).cast("string"),
+        F.lit("</score><parts>"),
+        F.concat_ws(
+            "", F.transform(
+                F.split("r_name", "_"),
+                lambda p: F.concat(F.lit("<p>"), p, F.lit("</p>")),
+            )
+        ),
+        F.lit("</parts></region>"),
+    )
+    return r.select(
+        "r_regionkey",
+        F.xpath_string(xml, F.lit("/region/name")).alias("x_name"),
+        F.xpath_long(xml, F.lit("/region/score")).alias("x_score"),
+        F.size(F.xpath(xml, F.lit("/region/parts/p/text()"))).alias("n_parts"),
+    )

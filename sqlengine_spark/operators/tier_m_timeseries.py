@@ -1081,3 +1081,60 @@ def m_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b") == -1) | (F.col("b") == LTTB_BUCKETS)
     ).select("h", "y")
     return extremes.unionAll(ends)
+
+
+@query(
+    "m_ts_calendar_dim",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                      CAST(MAX(ts) AS DATE) AS hi
+               FROM events),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+             FROM b)
+    SELECT CAST(d AS VARCHAR) AS day,
+           year(d) AS yr, month(d) AS mo, day(d) AS dom,
+           quarter(d) AS qtr, weekofyear(d) AS wk,
+           dayofyear(d) AS doy,
+           dayofweek(d) + 1 AS dow,
+           (dayofweek(d) + 1 IN (1, 7)) AS is_weekend,
+           (d = last_day(d)) AS is_month_end
+    FROM days
+    """,
+)
+def m_ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR DIMENSION generation — the date-spine table every
+    warehouse joins facts against (fiscal rollups, weekend flags,
+    month-end close): one row per day spanning the events range, with
+    the standard attributes. Generated, not stored: sequence() over
+    the data's own min/max dates, so the spine always covers the facts
+    exactly.
+
+    Pins: Spark dayofweek = DuckDB dayofweek + 1 (measured rule);
+    weekofyear is ISO week in BOTH engines (verified on 2024-01-01..06,
+    both yield week 1); day is projected as a STRING because derived
+    DATE dtypes diverge in pandas canonicalization (CLAUDE.md rule 3).
+
+    Scale: |days| is calendar-bounded (~365/year) — the generator is a
+    1-row bounds aggregate exploded map-side; a decade of spine is 3.7k
+    rows. Join it broadcast to any fact table (m_ts_gapfill shows the
+    dense-grid variant at hour granularity)."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    return days.select(
+        F.col("d").cast("string").alias("day"),
+        F.year("d").alias("yr"),
+        F.month("d").alias("mo"),
+        F.dayofmonth("d").alias("dom"),
+        F.quarter("d").alias("qtr"),
+        F.weekofyear("d").alias("wk"),
+        F.dayofyear("d").alias("doy"),
+        F.dayofweek("d").alias("dow"),
+        F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    )

@@ -293,6 +293,8 @@ PRIORITY_ORDER = (
     "e_win_named_window",
     "l_stratified_split",
     "m_ts_lttb",
+    "m_ts_calendar_dim",
+    "h_xml_funcs",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
