@@ -925,3 +925,47 @@ def d_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "d_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def d_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable BITMAPS (Spark 3.5+'s
+    ``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_count``): each integer key
+    sets one bit in a fixed-width bucket bitmap, per-(group, bucket)
+    bitmaps OR together associatively, and popcounts sum to the exact
+    NDV. This is the EXACT counterpart of the HLL family
+    (d_agg_approx_distinct / d_agg_hll_merge): same mergeable-sketch
+    algebra — store per-shard bitmaps once, re-OR for any rollup
+    without rescanning — but bit-exact, which is why warehouses use it
+    for integer keys (user ids, order keys) and HLL only where keys
+    are unbounded. The oracle is plain COUNT(DISTINCT): the bitmap
+    pipeline must reproduce it exactly, not approximately.
+
+    Scale: the shuffle carries (group, bucket) bitmaps — 4 KB per
+    32768-key bucket regardless of row count, with map-side partial
+    OR-ing; versus COUNT(DISTINCT)'s expand/shuffle of every distinct
+    (group, key) pair. At a billion users per group that is the
+    difference between shipping ~125 K bitmap rows and a billion key
+    rows; the bitmap table is also INCREMENTAL (new data ORs in).
+    Key-space cost is the trade: dense bitmaps want compression
+    (roaring) when key domains are sparse."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_distinct FROM (
+            SELECT event_type,
+                   bitmap_count(
+                       bitmap_construct_agg(bitmap_bit_position(user_id))
+                   ) AS cnt
+            FROM events
+            GROUP BY event_type, bitmap_bucket_number(user_id)
+        ) GROUP BY event_type
+        """
+    )
