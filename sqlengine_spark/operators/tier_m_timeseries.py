@@ -1138,3 +1138,74 @@ def m_ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("d").isin(1, 7).alias("is_weekend"),
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
     )
+
+
+#: Cross-correlation lags (hours) for m_ts_crosscorr.
+XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@query(
+    "m_ts_crosscorr",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               ROUND(AVG(CASE WHEN event_type = 'view' THEN value END)
+                     * 1e6) / 1e6 AS v,
+               ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END)
+                     * 1e6) / 1e6 AS p
+        FROM events GROUP BY 1
+    )
+    SELECT lag_h,
+           ROUND(corr(a.v, b.p) * 1e4) / 1e4 + 0 AS xcorr,
+           COUNT(*) AS n_pairs
+    FROM (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag_h) lags
+    JOIN hourly a ON TRUE
+    JOIN hourly b ON b.h = a.h + to_hours(lag_h)
+    WHERE a.v IS NOT NULL AND b.p IS NOT NULL
+    GROUP BY lag_h
+    """,
+)
+def m_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation between two event streams (does
+    purchase activity follow view activity, and at what delay?):
+    corr(view_t, purchase_{t+k}) for k ∈ ±3 hours — the lead-lag
+    diagnostic behind attribution windows and demand forecasting,
+    generalizing m_ts_autocorr from one series to a pair.
+
+    Plan shape: the shifted alignment is an EQUI-JOIN of the hourly
+    series against itself on h = h + k (the shift folded into the join
+    key) — deliberately NOT a global lead/lag window, which would be
+    the repo's only new single-partition sort (same move as m_ts_lttb);
+    the 7 lags come from a tiny exploded literal array joined first,
+    so one plan computes all lags. Hourly means are 6-dp-rounded
+    before corr; corr itself matches DuckDB at 4 dp (the d_agg_stats
+    pin), and corr values straddle zero → negative-zero guard.
+
+    Scale: one events scan + hourly partial+final agg; the self-join
+    is |hours|×|lags| on an equi key — calendar-bounded both sides.
+    n_pairs differs per lag at the series edges (honest boundary
+    accounting, no padding)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        dround(F.avg(F.when(F.col("event_type") == "view", F.col("value"))), 6)
+        .alias("v"),
+        dround(
+            F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 6
+        ).alias("p"),
+    )
+    lags = spark.createDataFrame([(k,) for k in XCORR_LAGS], "lag_h int")
+    a = hourly.select(F.col("h").alias("ha"), "v")
+    bside = hourly.select(F.col("h").alias("hb"), "p")
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            bside,
+            F.col("hb")
+            == F.col("ha") + F.col("lag_h") * F.expr("INTERVAL 1 HOUR"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("p").isNotNull())
+    )
+    return joined.groupBy("lag_h").agg(
+        dround(F.corr("v", "p"), 4).alias("xcorr"),
+        F.count("*").alias("n_pairs"),
+    )

@@ -296,6 +296,7 @@ PRIORITY_ORDER = (
     "m_ts_calendar_dim",
     "h_xml_funcs",
     "d_agg_bitmap_distinct",
+    "m_ts_crosscorr",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

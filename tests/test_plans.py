@@ -176,6 +176,9 @@ CARTESIAN_WHITELIST = {
                                 # the positive side is label-blocked)
     "m_ts_lttb",                # 1-row (min,max) bounds broadcast for
                                 # the map-side time-bucket assignment
+    "m_ts_crosscorr",           # 7-row lag-literal broadcast; the
+                                # shifted alignment itself is an
+                                # equi-join on the hour key
                                 # (docstring: cap vocab to top-K by df at
                                 # open-vocab scale), never row-bounded
 }
