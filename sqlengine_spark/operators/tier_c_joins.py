@@ -960,3 +960,102 @@ def c_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("va") < F.col("vb")) & (d2 <= eps * eps))
         .select("va", "vb", dround(F.sqrt(d2), 6).alias("dist"))
     )
+
+
+@query(
+    "c_join_pit_features",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey AS user_id, o_orderdate AS t,
+               o_totalprice AS price, CAST(NULL AS BIGINT) AS event_id,
+               0 AS side, o_orderkey AS tie
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts, CAST(NULL AS DOUBLE), event_id, 1, event_id
+        FROM events
+    ),
+    carried AS (
+        SELECT user_id, t, event_id, side,
+               last_value(price IGNORE NULLS) OVER w AS last_price,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER w
+                    AS BIGINT) AS n_orders,
+               ROUND(SUM(CASE WHEN side = 0 THEN price ELSE 0 END) OVER w
+                     * 100, 0) / 100 + 0 AS ltv
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, side, tie
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, last_price, n_orders, ltv
+    FROM carried WHERE side = 1
+    """,
+)
+def c_join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join — the feature-store pattern: each
+    event row is enriched with several features whose values are
+    exactly as they stood AT event time (no leakage from the future):
+    the user's latest order price, their order count so far, and
+    their lifetime order value so far. All three features come out of
+    ONE union-merge pass (the c_join_asof core generalized from one
+    carried column to a feature VECTOR): orders and events union on
+    (user_id, time), running ignore-nulls last / count / sum carry
+    the state forward, event rows project it. Training-serving skew
+    dies here — the same plan that builds the training table serves
+    backfills.
+
+    Float pin: the lifetime value is a RUNDOWN of a raw window SUM —
+    rule 9 applies, but rounding sum×100 of 2-dp money is
+    near-integer, never near the ROUND-half boundary, so the 2-dp
+    projection is boundary-safe (the e_win_named_window analysis;
+    stress-verified at sf0.1).
+
+    Determinism: same-date orders are PEERS under (t, side) alone and
+    ``last_value`` is frame-order-sensitive, so the window order adds a
+    per-side tiebreak (o_orderkey / event_id) making the carried-last
+    total-ordered — "latest price" = the same-date order with the
+    largest key, identically in both engines (found at sf0.1, where
+    same-user same-date order pairs exist).
+
+    Scale: ONE shuffle on user_id, zero row multiplication,
+    |features| scales by adding carried columns (not passes) — versus
+    the per-feature as-of join a naive feature store runs N times.
+    Order rows sort before event rows at equal timestamps (side key),
+    making same-instant features inclusive, as DuckDB ASOF is."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("double").alias("price"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("tie"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).alias("side"),
+        F.col("o_orderkey").alias("tie"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "side", "tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        o.unionByName(ev)
+        .withColumn("last_price", F.last("price", ignorenulls=True).over(w))
+        .withColumn(
+            "n_orders",
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).over(w).cast("bigint"),
+        )
+        .withColumn(
+            "ltv",
+            dround(
+                F.sum(F.when(F.col("side") == 0, F.col("price")).otherwise(0.0)).over(w),
+                2,
+            ),
+        )
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "last_price", "n_orders", "ltv"
+    )

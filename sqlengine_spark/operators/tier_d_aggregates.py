@@ -969,3 +969,34 @@ def d_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY event_type
         """
     )
+
+
+@query(
+    "d_agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def d_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping_id()`` — the BITMASK that tells cube/rollup consumers
+    WHICH aggregation level each output row belongs to (0 = detail,
+    3 = grand total here), the standard dispatch key when one cube
+    feeds several downstream reports. DuckDB 1.0 has no grouping_id
+    function, so the oracle reconstructs the identical bitmask from
+    per-column GROUPING() flags (2·g(a) + g(b)) — pinning the bit
+    ORDER (left group key = high bit), which is the part that varies
+    across engines and burns people.
+
+    Scale: same Expand-based plan as d_agg_cube; the id is free
+    metadata on each output row."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus").agg(
+            F.grouping_id().alias("gid"), F.count("*").alias("cnt")
+        )
+    ).select("l_returnflag", "l_linestatus", "gid", "cnt")

@@ -297,6 +297,8 @@ PRIORITY_ORDER = (
     "h_xml_funcs",
     "d_agg_bitmap_distinct",
     "m_ts_crosscorr",
+    "d_agg_grouping_id",
+    "c_join_pit_features",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
