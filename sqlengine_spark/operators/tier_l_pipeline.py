@@ -1878,3 +1878,91 @@ def l_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+#: Winnowing parameters: k-gram size and window width (MOSS defaults
+#: scaled down to the fixture's ~120-token documents).
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+@query(
+    "l_fingerprint_winnow",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    kg AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(t) - {WINNOW_K} + 1),
+                   i -> md5(array_to_string(t[i:i + {WINNOW_K} - 1], ' '))
+               ) AS h
+        FROM toks WHERE len(t) >= {WINNOW_K}
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, unnest(
+            list_transform(
+                generate_series(1, len(h) - {WINNOW_W} + 1),
+                i -> list_aggregate(h[i:i + {WINNOW_W} - 1], 'min')
+            )
+        ) AS f
+        FROM kg WHERE len(h) >= {WINNOW_W}
+    )
+    SELECT f AS fingerprint, COUNT(*) AS df
+    FROM fp GROUP BY f
+    ORDER BY df DESC, fingerprint
+    LIMIT 20
+    """,
+)
+def l_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-gram, then keep the MINIMUM hash of
+    each w-wide sliding window — the fingerprint set that GUARANTEES
+    any shared substring of length ≥ w+k−1 tokens produces at least
+    one shared fingerprint (the detection guarantee rolling-hash
+    sampling like l_text_fingerprint's 0-mod-p selection cannot give),
+    while storing only ~2/(w+1) of all k-gram hashes. Output: the 20
+    most document-frequent fingerprints — the boilerplate detector's
+    work queue (shared headers/footers surface at the top), bounded
+    regardless of how quadratic the underlying share-graph is on this
+    degenerate corpus.
+
+    Everything is Catalyst array algebra: k-grams and window minima
+    are ``transform`` over ``sequence`` with ``slice`` + ``array_min``
+    — no explode until the final distinct-per-doc fingerprint set, no
+    UDF; hashes are md5 STRINGS compared lexicographically, identical
+    in both engines.
+
+    Scale: per-row array work is O(|tokens|·w); the only shuffle is
+    the (doc, fingerprint)-distinct + fingerprint count — postings-
+    shaped, like l_text_tokenize_tf. The candidate-pair join a dedup
+    pass would add on top buckets by fingerprint (never all-pairs),
+    with the guarantee bounding what it can miss."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t")).filter(
+        F.size("t") >= WINNOW_K
+    )
+    kg = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - WINNOW_K + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, WINNOW_K))),
+        ).alias("h"),
+    ).filter(F.size("h") >= WINNOW_W)
+    fp = kg.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - WINNOW_W + 1),
+                lambda i: F.array_min(F.slice("h", i, WINNOW_W)),
+            )
+        ).alias("f"),
+    ).distinct()
+    return (
+        fp.groupBy(F.col("f").alias("fingerprint"))
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "fingerprint")
+        .limit(20)
+    )

@@ -299,6 +299,7 @@ PRIORITY_ORDER = (
     "m_ts_crosscorr",
     "d_agg_grouping_id",
     "c_join_pit_features",
+    "l_fingerprint_winnow",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
