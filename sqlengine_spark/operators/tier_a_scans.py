@@ -612,3 +612,58 @@ def a_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.lower(F.sha2(F.col("content"), 256)).alias("sha"),
     )
+
+
+_GLOB_STAGED: set[tuple[str, str]] = set()
+
+
+@query(
+    "a_scan_recursive_glob",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey IN (0, 1)
+    """,
+)
+def a_scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-layout discovery: ``recursiveFileLookup`` +
+    ``pathGlobFilter`` — how an engine ingests a lake directory that
+    is NOT hive-partitioned (vendor drops, log trees, crawler output):
+    nation rows are staged as parquet under
+    ``region=<k>/batch=<b>/`` subtrees MIXED with ``.json`` decoys and
+    an extra region, and the read must (a) find parquet files at any
+    depth, (b) skip non-parquet files via the glob, and (c) the
+    region-2 subtree is excluded by the LOAD PATHS (two explicit
+    roots), proving multi-root reads compose with recursive lookup.
+    The oracle states the surviving rows from the source table.
+
+    Scale: file listing is driver/executor-parallelized over
+    directories; the glob prunes BEFORE footers are opened. The
+    trade vs hive layout: recursive lookup cannot partition-prune by
+    value (no key=value in the path contract), which is why
+    a_sink_parquet_partitioned's layout wins for predicate-heavy
+    access and this one for ingest-what-landed."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app = spark.sparkContext.applicationId
+    base = os.path.join(SCRATCH, f"glob_tree_{sf}")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    if (app, sf_dir) not in _GLOB_STAGED or not os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)
+        for rk in (0, 1, 2):
+            sub = n.filter(F.col("n_regionkey") == rk)
+            # two nested batch levels per region
+            sub.filter(F.col("n_nationkey") % 2 == 0).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(base, f"region={rk}", "batch=a", "depth2"))
+            sub.filter(F.col("n_nationkey") % 2 == 1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(base, f"region={rk}", "batch=b"))
+            # decoy non-parquet file the glob must skip
+            with open(os.path.join(base, f"region={rk}", "notes.json"), "w") as fh:
+                fh.write('{"decoy": true}')
+        _GLOB_STAGED.add((app, sf_dir))
+    return (
+        spark.read.schema(n.schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(base, "region=0"), os.path.join(base, "region=1"))
+    )

@@ -1966,3 +1966,57 @@ def l_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "fingerprint")
         .limit(20)
     )
+
+
+@query(
+    "l_tokens_zipf_fit",
+    oracle="""
+    WITH freq AS (
+        SELECT t, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rnk
+        FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(regr_slope(ln(c), ln(rnk)) * 1e6, 0) / 1e6 + 0 AS zipf_slope,
+           ROUND(regr_r2(ln(c), ln(rnk)) * 1e6, 0) / 1e6 + 0 AS r2
+    FROM ranked
+    """,
+)
+def l_tokens_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the token frequency distribution: OLS slope of
+    ln(frequency) against ln(rank) plus its R² — the corpus-health
+    diagnostic every pretraining QA pass runs (natural language sits
+    near slope −1 with high R²; template/boilerplate corpora — like
+    this 31-token synthetic one — deviate hard, which is exactly what
+    the check is for). One number pair replaces eyeballing the log-log
+    plot.
+
+    The rank window is GLOBAL but VOCABULARY-bounded (|distinct
+    tokens|, 31 here, ~10⁵-10⁶ on natural corpora after the frequency
+    aggregation collapses the token stream) — the same bounded-input
+    class as the PMI C(V,2) grid, whitelisted with that justification
+    in tests/test_plans.py; at web-scale vocabularies the two-pass
+    bucketed rank from e_win_ntile_pct substitutes unchanged.
+
+    Scale: token counting is the postings partial+final agg; the fit
+    is regr_* over |vocab| rows — one pass, mergeable moments."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "t")
+    ranked = freq.select("c", F.row_number().over(w).alias("rnk"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        dround(F.regr_slope(F.log("c"), F.log("rnk")), 6).alias("zipf_slope"),
+        dround(F.regr_r2(F.log("c"), F.log("rnk")), 6).alias("r2"),
+    )

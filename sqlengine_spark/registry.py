@@ -300,6 +300,8 @@ PRIORITY_ORDER = (
     "d_agg_grouping_id",
     "c_join_pit_features",
     "l_fingerprint_winnow",
+    "l_tokens_zipf_fit",
+    "a_scan_recursive_glob",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

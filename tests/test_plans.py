@@ -218,6 +218,10 @@ LINT_SKIP = {
 # WindowExec: input provably bounded before the window.
 GLOBAL_WINDOW_WHITELIST = {
     "i_monotonic_id_rank",  # filter-bounded input, docstring-scoped
+    "l_tokens_zipf_fit",    # vocabulary-bounded rank (|distinct tokens|
+                            # after the frequency agg — the PMI C(V,2)
+                            # bounded-input class); two-pass bucketed
+                            # rank substitutes at web-scale vocabularies
 }
 
 import pytest
