@@ -438,3 +438,54 @@ def e_win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """
     )
+
+
+@query(
+    "e_win_pct_of_total",
+    oracle="""
+    WITH nat AS (
+        SELECT n_name,
+               ROUND(SUM(o_totalprice) * 100, 0) / 100 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    ),
+    tot AS (SELECT SUM(revenue) AS t FROM nat)
+    SELECT n_name, revenue,
+           ROUND(revenue / t * 1e6, 0) / 1e6 + 0 AS pct_of_total
+    FROM nat CROSS JOIN tot
+    """,
+)
+def e_win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution (each nation's share of global
+    revenue) — the BI staple behind every treemap/pareto view. The
+    denominator is a 1-row aggregate of the ALREADY-AGGREGATED
+    |nations| rows, broadcast back — deliberately NOT an unpartitioned
+    SUM() OVER () window, which plans a single-partition WindowExec
+    (the repo lint forbids it); the re-aggregate + broadcast form is
+    plan-equivalent in output and scale-safe.
+
+    Float pins: per-nation revenue rounds to 2 dp BEFORE the total and
+    the share (rule-9 discipline: no derived value from a raw grouped
+    sum); the total is a 25-term sum of 2-dp values rounded identically
+    by construction on both sides; shares round at 6 dp with the
+    negative-zero guard.
+
+    Scale: fact shuffle for the per-nation agg (dims broadcast), then
+    |nations|-row arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    tot = nat.agg(F.sum("revenue").alias("t"))
+    return nat.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "revenue",
+        dround(F.col("revenue") / F.col("t"), 6).alias("pct_of_total"),
+    )

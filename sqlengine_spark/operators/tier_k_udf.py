@@ -13,6 +13,8 @@ way (SURVEY §5.4 R1).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -214,3 +216,40 @@ def k_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         counts, "doc_id long, n_tokens long, n_chars_m long"
     ).orderBy("doc_id")
+
+
+@query(
+    "k_udf_pandas_iter",
+    oracle="""
+    SELECT event_id,
+           ROUND((value * 1.07 + 2.5) * 1e6, 0) / 1e6 + 0 AS scored
+    FROM events
+    """,
+)
+def k_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form Pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``, SCALAR_ITER eval type) — the eval mode
+    whose whole reason to exist is EXPENSIVE PER-WORKER INIT: the
+    function body runs once per Python worker, loads its "model"
+    (here a stand-in linear scorer; in production a tokenizer or an
+    ONNX session) BEFORE the batch loop, then streams Arrow batches
+    through it — versus the plain scalar pandas_udf, which gives the
+    framework no place to hoist one-time setup out of the per-batch
+    path. This completes tier K's eval-type matrix: row UDF, scalar
+    pandas, SCALAR_ITER, grouped agg, grouped map, UDTF, mapInPandas,
+    mapInArrow.
+
+    Scale: same Arrow batching as the scalar form, plus amortized
+    init — at 1000 executors a 5 s model load happens once per worker
+    instead of once per batch; the oracle pins the arithmetic."""
+    @pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-worker "model load" happens HERE, outside the loop
+        weight, bias = 1.07, 2.5
+        for s in batches:
+            yield s * weight + bias
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", dround(score(F.col("value")), 6).alias("scored")
+    )

@@ -302,6 +302,8 @@ PRIORITY_ORDER = (
     "l_fingerprint_winnow",
     "l_tokens_zipf_fit",
     "a_scan_recursive_glob",
+    "k_udf_pandas_iter",
+    "e_win_pct_of_total",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",

@@ -179,6 +179,9 @@ CARTESIAN_WHITELIST = {
     "m_ts_crosscorr",           # 7-row lag-literal broadcast; the
                                 # shifted alignment itself is an
                                 # equi-join on the hour key
+    "e_win_pct_of_total",       # 1-row grand-total broadcast over the
+                                # |nations|-row aggregate (the window-
+                                # free percent-of-total form)
                                 # (docstring: cap vocab to top-K by df at
                                 # open-vocab scale), never row-bounded
 }
