@@ -735,3 +735,42 @@ def h_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_long(xml, F.lit("/region/score")).alias("x_score"),
         F.size(F.xpath(xml, F.lit("/region/parts/p/text()"))).alias("n_parts"),
     )
+
+
+@query(
+    "h_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')::INT AS k,
+           CAST(NULL AS VARCHAR) AS miss,
+           (json_extract_string(props, '$.k')::INT >= 50) AS k_high,
+           'BIGINT' AS k_type
+    FROM events
+    """,
+)
+def h_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the open-lakehouse semi-structured type
+    (binary-encoded, schema-on-read, ~8× faster to path-extract than
+    re-parsing JSON strings): ``parse_json`` ingests the props column
+    ONCE into a variant, then ``variant_get`` extracts typed paths,
+    ``try_variant_get`` returns NULL on missing paths instead of
+    failing, and ``schema_of_variant`` reports the value's runtime
+    type. The oracle states the same typed extractions with DuckDB's
+    JSON functions — VARIANT must agree with the JSON-text semantics
+    it replaces (h_json_extract is the string-path sibling).
+
+    Scale: the parse happens once per row (and in a real table the
+    column is STORED as variant, so queries skip parsing entirely —
+    shredded sub-columns even restore columnar pruning); path
+    extraction is codegen over the binary encoding. This is how
+    events-with-evolving-payloads avoid both schema migration and
+    per-query JSON re-parsing at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("miss"),
+        (F.variant_get(v, "$.k", "int") >= 50).alias("k_high"),
+        F.schema_of_variant(F.variant_get(v, "$.k", "variant")).alias("k_type"),
+    )

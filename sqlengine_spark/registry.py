@@ -304,6 +304,7 @@ PRIORITY_ORDER = (
     "a_scan_recursive_glob",
     "k_udf_pandas_iter",
     "e_win_pct_of_total",
+    "h_variant_funcs",
     # -- remaining rows-only operators (err: no_oracle) dead last ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
