@@ -41,6 +41,9 @@ HEADLINE = [
     "l_text_tfidf_top",      # two-agg + broadcast join + rank
     "l_multimodal_enrich",   # posexplode centroid pipeline
     "l_sim_join_gemm",       # blocked-GEMM exact vector join (sim tier)
+    "m_rolling_wau",         # tier M heavy: 7-day rolling distinct users
+    "j_tumbling_1h_stream",  # true micro-batch streaming execution e2e
+    "l_simjoin_jaccard_hi",  # prefix-filtered postings plan at sf0.1
 ]
 # The similarity tier's benched row is l_sim_join_gemm, not
 # l_sim_join_lsh: at this corpus's only non-vacuous threshold (τ=0.4;
@@ -52,7 +55,13 @@ HEADLINE = [
 # where this corpus's answer is empty. The GEMM join is the honest
 # scale path for moderate-τ exact joins and its candidates are
 # data-bounded (920 true pairs at sf0.1).
-# NOT benched: l_simjoin_jaccard / l_simjoin_containment /
+# The postings (inverted-index) plan IS benched at sf0.1 via
+# l_simjoin_jaccard_hi (round-4 verdict item 9): at J >= 0.97 the
+# answer on this corpus is the identical-token-set pairs (35 606 —
+# linear), the prefix filter collapses to ONE posting per doc, and the
+# full prefix-join + exact-verify pipeline gets a tracked number at the
+# largest local scale.
+# STILL not benched: l_simjoin_jaccard / l_simjoin_containment /
 # l_dedup_near_minhash at sf0.1 — the
 # synthetic corpus has a 31-token vocabulary, so the ANSWER itself is
 # quadratic: 7 098 809 of 12.5M possible pairs genuinely have J >= 0.6

@@ -274,6 +274,8 @@ def pq_topk(
     )
     X = np.array([[float(x) for x in r["vec"]] for r in train_rows], dtype=np.float64)
     dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m {m}")
     dsub = dim // m
     books = []  # m arrays of (ksub, dsub)
     for j in range(m):

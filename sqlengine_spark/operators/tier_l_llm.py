@@ -183,6 +183,81 @@ def l_simjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l_simjoin_jaccard_hi",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (ca.n + cb.n - i) * 1e6, 0) / 1e6 AS jaccard
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.97
+    """,
+)
+def l_simjoin_jaccard_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-Jaccard self-join at a NEAR-DUP threshold (J ≥ 0.97) with
+    a RUNTIME length-degeneracy test (round-4 verdict item 9, the
+    SKIP-list burn-down) — the regime where the answer on this corpus
+    is linear (35 606 pairs at sf0.1, vs 7.1 M at J ≥ 0.6).
+
+    Theorem (ssjoin length filter, tightened): two DISTINCT token sets
+    with max distinct-set size n_max satisfy J ≤ (n_max−1)/n_max —
+    a proper subset of size na in nb gives J = na/nb ≤ (nb−1)/nb, and
+    unequal sets of equal size n have i ≤ n−1, u ≥ n+1. So whenever
+    τ > (n_max−1)/n_max the threshold join REDUCES EXACTLY to
+    identical-set grouping, and the scale-correct plan is a hash-agg:
+    md5 signature of the sorted distinct-token set, equi-self-join on
+    the signature — output-linear, no postings join at all. This repo's
+    corpus has n_max = 31 < τ/(1−τ) = 32.3, so the fast path fires;
+    the bound check itself is a bounded 1-row aggregate collect.
+
+    Why not the prefix plan here: at τ = 0.97 the prefix is 1 token per
+    doc, but ALL tokens are stopwords (31-token vocabulary), so prefix
+    postings concentrate on the few globally-rarest tokens — measured
+    6.89 M candidate pairs at sf0.1 (70 s), against a 35.6 k answer.
+    The signature route is what a 100 TB near-dup pass does first
+    anyway (exact-set dedup before any similarity machinery); the
+    general-τ prefix join (l_simjoin_jaccard) remains the fallback
+    branch when the data's n_max defeats the bound."""
+    tau_num, tau_den = 97, 100
+    d = table(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    n_max = tok.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    if n_max is not None and tau_num * n_max > tau_den * (n_max - 1):
+        sig = tok.groupBy("doc_id").agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_set("t")), "\x01")
+            ).alias("sig")
+        )
+        sa = sig.select(F.col("doc_id").alias("doc_a"), "sig")
+        sb = sig.select(F.col("doc_id").alias("doc_b"), "sig")
+        return (
+            sa.join(sb, "sig")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        )
+    pref = _prefix_postings(tok, tau_num=tau_num, tau_den=tau_den)
+    pa = pref.select(F.col("doc_id").alias("doc_a"), "t")
+    pb = pref.select(F.col("doc_id").alias("doc_b"), "t")
+    cands = (
+        pa.join(pb, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(cands, tok, threshold=tau_num / tau_den)
+
+
+@query(
     "l_sim_search_topk",
     oracle="""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

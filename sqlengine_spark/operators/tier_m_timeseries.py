@@ -912,7 +912,8 @@ def m_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cs AS (
         SELECT h.event_type, h.h,
-               SUM(x - mean) OVER (PARTITION BY h.event_type ORDER BY h.h) AS cusum,
+               ROUND(SUM(x - mean) OVER (PARTITION BY h.event_type
+                                         ORDER BY h.h) * 1e6) / 1e6 AS cusum,
                COUNT(*) OVER (PARTITION BY h.event_type) AS n_hours
         FROM hourly h JOIN m ON h.event_type = m.event_type
     )
@@ -938,12 +939,12 @@ def m_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window SUMs through a segment tree, so its association order
     differs from Spark's sequential accumulation (measured on
     e_win_named_window, where the raw ulp gap straddled a ROUND-half
-    boundary) — but here the ≤ ~1e-13 tree-vs-sequential drift on
-    ≤720-term sums of 6-dp inputs is absorbed by the 4-dp output
-    rounding, and the |CUSUM| apex comparison would only flip if two
-    hours' peaks were within that drift of EQUAL, in which case the
-    earlier-hour tiebreak is reached through values both engines agree
-    on after rounding. Verified at sf0.01 and sf0.1.
+    boundary). Per CLAUDE.md rule 9 the prefix sum is therefore snapped
+    back to its exact 6-dp grid (the true CUSUM of 6-dp inputs IS a
+    6-dp multiple) before BOTH the |CUSUM| apex ranking and the 4-dp
+    output rounding, so neither the picked hour nor the projected value
+    can be flipped by the tree-vs-sequential ulp. Verified at sf0.01
+    and sf0.1.
 
     Scale: one hourly partial+final agg, a |types|-row broadcast of
     means, ONE window shuffle on event_type for the prefix sum +
@@ -958,7 +959,9 @@ def m_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = W.partitionBy("event_type")
     cs = (
         hourly.join(F.broadcast(means), "event_type")
-        .withColumn("cusum", F.sum(F.col("x") - F.col("mean")).over(w_run))
+        .withColumn(
+            "cusum", dround(F.sum(F.col("x") - F.col("mean")).over(w_run), 6)
+        )
         .withColumn("n_hours", F.count("*").over(w_all))
     )
     w_rank = W.partitionBy("event_type").orderBy(F.abs("cusum").desc(), "h")
@@ -1007,7 +1010,8 @@ LTTB_BUCKETS = 48
                    row_number() OVER (PARTITION BY b
                                       ORDER BY ABS(y - avg_y) DESC, h) AS rk
             FROM (SELECT h, y, b,
-                         AVG(y) OVER (PARTITION BY b) AS avg_y
+                         ROUND(AVG(y) OVER (PARTITION BY b) * 1e6) / 1e6
+                             AS avg_y
                   FROM binned WHERE b >= 0 AND b < {LTTB_BUCKETS})
         ) WHERE rk = 1
     )
@@ -1036,12 +1040,15 @@ def m_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series binning anyway). The only window partitions by the 48
     bucket ids.
 
-    Float pin: |y − bucket_mean| compares values derived from AVGs of
-    6-dp inputs; a flip would need two deviations within ~1e-15 of
-    equal AND straddling differently — both engines see identical
-    inputs, so equal rounded inputs give equal deviations and fall to
-    the hour tiebreak together. Bucket ids are FLOOR of an identical
-    double product; hour offsets are exact integers.
+    Float pin: the bucket mean is itself snapped to the 6-dp grid on
+    BOTH sides before the deviation compare — a raw window AVG carries
+    the engine-specific association ulp (DuckDB segment tree vs Spark
+    sequential, CLAUDE.md rule 9), and a bucket holding two y values
+    SYMMETRIC about its mean has exactly-equal true deviations, so that
+    ulp could rank a different row per engine. After the snap both
+    engines rank against bit-identical means of 6-dp inputs, and equal
+    deviations fall to the hour tiebreak together. Bucket ids are FLOOR
+    of an identical double product; hour offsets are exact integers.
 
     Scale: bucket assignment is map-side; one 48-key window pass picks
     extremes. |points| is calendar-bounded (hours), and the downsample
@@ -1072,7 +1079,7 @@ def m_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("y") - F.col("avg_y")).desc(), "h"
     )
     extremes = (
-        mid.withColumn("avg_y", F.avg("y").over(w_bucket))
+        mid.withColumn("avg_y", dround(F.avg("y").over(w_bucket), 6))
         .withColumn("rk", F.row_number().over(w_pick))
         .filter(F.col("rk") == 1)
         .select("h", "y")

@@ -25,18 +25,23 @@ _ORACLES: dict[str, str] = {}
 #: The driver's CORRECTNESS pass checks the FIRST 50 keys of
 #: ``queries()`` in dict order (round-2 finding), so this list spends
 #: that window deliberately — and ROTATES it each round so that over
-#: rounds every key earns a real driver row. Round-4 rotation (per the
-#: round-3 verdict): keep the 12 per-tier representatives as anchor
-#: slots 1-12, then spend slots 13-50 exclusively on keys that have
-#: NEVER had a driver row in rounds 1-3 — the two never-windowed
-#: contract keys (``e_win_ntile_pct``, ``e_win_first_last``), TPC-H
-#: tier-T, DML tier-N, time-series tier-M, training-pipeline and
-#: join-strategy extensions, and (last 3 slots) the rows-only ANN/dedup
-#: scale paths, which can only record a ran-clean row but have never
-#: even had that. Keys verified in r1-r3 sit just past the window (they
-#: re-verify if the window ever widens); remaining rows-only keys are
-#: dead last. tests/test_registry_order.py pins this list to the
-#: registry 1:1 so a new registration without an explicit slot fails CI.
+#: rounds every key earns a real driver row. Round-5 rotation (per the
+#: round-4 verdict): keep the 12 per-tier anchors as slots 1-12, spend
+#: slots 13-48 on 36 never-driver-checked ORACLED keys (riskiest first:
+#: streaming engine variants, k_map_in_arrow, catalog/sink/maintenance,
+#: the two rule-9 float-grid fixes m_ts_changepoint / m_ts_lttb, and
+#: the round-4b graph/DML/ANN batch), and slots 49-50 on the LAST two
+#: §2 keys with zero driver evidence ever (``i_sample``,
+#: ``j_watermark_late_drop`` — rows-only by design, recording ran-clean
+#: rows the way r4 did for the LSH/IVF/MinHash scale paths). The ROUND-6
+#: and ROUND-7 windows are pre-staged as the next two ordered blocks so
+#: each future rotation is a block swap, not a re-plan: r6 = TPC-H +
+#: tier-M + dedup/sim-join + join-strategy batch (+ the HLL/Theta
+#: rows-only pair), r7 = text/pipeline/scan/agg batch (+ 2 rows-only),
+#: r8 = the mechanical h_*/g_* remainder + remaining rows-only. Keys
+#: verified in r1-r4 sit dead last (they re-verify if the window ever
+#: widens). tests/test_registry_order.py pins this list to the registry
+#: 1:1 so a new registration without an explicit slot fails CI.
 PRIORITY_ORDER = (
     # -- slots 1-12: one representative per tier a..l (window anchor) --
     "a_scan_parquet",
@@ -51,10 +56,144 @@ PRIORITY_ORDER = (
     "j_tumbling_1h",
     "k_udf_pandas_scalar",
     "l_dedup_exact",
-    # -- slots 13-14: the two never-driver-windowed contract keys ------
+    # -- slots 13-48: ROUND-5 window — never-driver-checked, oracled --
+    "c_join_bucketed_colocated",
+    "l_graph_pagerank",
+    "n_time_travel",
+    "d_agg_quantile_rollup",
+    "l_embedding_pca",
+    "c_join_spatial_grid",
+    "l_pipeline_end2end",
+    "l_triplet_mine",
+    "a_scan_binaryfile",
+    "h_sql_params",
+    "j_tumbling_available_now",
+    "j_stream_stream_join",
+    "j_stateful_stream",
+    "j_session_30m_stream",
+    "j_sliding_1h_15m_stream",
+    "j_stream_join_static_stream",
+    "j_foreach_batch_upsert",
+    "k_map_in_arrow",
+    "m_ts_changepoint",
+    "m_ts_lttb",
+    "e_win_named_window",
+    "n_scd2_history",
+    "n_merge_on_read_delete",
+    "a_table_ctas_catalog",
+    "a_sink_zorder",
+    "a_maintenance_compaction",
+    "a_scan_csv_malformed",
+    "a_scan_schema_merge",
+    "a_dq_audit",
+    "l_sim_join_gemm",
+    "d_agg_heavy_hitters",
+    "d_agg_countmin",
+    "l_bm25_search",
+    "c_join_interval",
+    "l_dedup_cluster",
+    "l_stratified_split",
+    # -- slots 49-50: last zero-evidence §2 keys (rows-only ran-clean) -
+    "i_sample",
+    "j_watermark_late_drop",
+    # -- ROUND-6 QUEUE (swap this block up to slots 13-50 next round) ---
+    "t_q03_shipping",
+    "t_q04_order_priority",
+    "t_q05_local_supplier",
+    "t_q06_forecast_revenue",
+    "t_q07_volume_shipping",
+    "t_q08_market_share",
+    "t_q10_returned_items",
+    "t_q12_priority_class",
+    "t_q14_promo_effect",
+    "t_q15_top_supplier",
+    "t_q16_part_suppliers",
+    "t_q17_small_qty",
+    "t_q19_disjunctive",
+    "m_ts_twa",
+    "m_ts_rollup_2level",
+    "m_event_transitions",
+    "m_attribution_last_touch",
+    "m_ts_ewma",
+    "m_ts_seasonal",
+    "m_ts_interpolate",
+    "m_ts_crosscorr",
+    "l_dedup_url",
+    "l_dedup_prefix",
+    "l_dedup_passage",
+    "l_dedup_fuzzy",
+    "l_dedup_incremental",
+    "l_dedup_embedding",
+    "l_simjoin_containment",
+    "l_simjoin_jaccard_hi",
+    "l_simjoin_ngram",
+    "c_join_range_bucketed",
+    "c_join_asof_tol",
+    "c_join_mark_exists",
+    "c_join_pit_features",
+    "l_corpus_divergence",
+    "l_hybrid_search",
+    "l_sim_search_batch",
+    "d_agg_hll_merge",
+    "d_agg_theta_setops",
+    # -- ROUND-7 QUEUE ------------------------------------------------
+    "m_ts_ffill",
+    "m_ts_zscore_roll",
+    "m_ts_autocorr",
+    "m_ts_calendar_dim",
+    "l_text_quality",
+    "l_text_fingerprint",
+    "l_text_token_count",
+    "l_text_normalize",
+    "l_text_scrub",
+    "l_text_repetition",
+    "l_text_lm_score",
+    "l_topic_cooccur",
+    "l_tokens_zipf_fit",
+    "l_fingerprint_winnow",
+    "l_domain_mix",
+    "l_vector_quantize",
+    "l_winsorize",
+    "l_ml_score_linear",
+    "l_multimodal_framesample",
+    "l_shuffle_shard",
+    "l_dataset_card",
+    "a_scan_text_roundtrip",
+    "a_table_stats",
+    "i_sample_hash",
+    "i_sample_weighted",
+    "f_sort_local",
+    "a_scan_recursive_glob",
+    "d_agg_salted",
+    "d_agg_moments",
+    "d_agg_percentile_disc",
+    "d_agg_bitmap_distinct",
+    "d_agg_grouping_id",
+    "h_try_funcs",
+    "h_url_funcs",
+    "e_win_value_funcs",
+    "k_udf_pandas_iter",
+    "i_sample_stratified",
+    "l_text_langid",
+    # -- ROUND-8 remainder (15 fresh; rest of window re-verifies) ------
+    "g_except_all",
+    "g_intersect_all",
+    "g_union_byname_missing",
+    "h_bitwise",
+    "h_struct_funcs",
+    "h_str_fuzzy",
+    "h_date_format",
+    "h_xml_funcs",
+    "h_variant_funcs",
+    "e_win_pct_of_total",
+    "l_dedup_simhash",
+    "l_multimodal_decode",
+    "l_kmeans_assign",
+    "l_bpe_train",
+    "l_sim_search_pq",
+    # -- verified in r1-r4 (dead last; re-verify if window widens) -----
     "e_win_ntile_pct",
     "e_win_first_last",
-    # -- slots 15-22: TPC-H tier T representatives (first driver rows) -
     "t_q02_min_cost_supp",
     "t_q09_product_profit",
     "t_q11_important_stock",
@@ -63,42 +202,34 @@ PRIORITY_ORDER = (
     "t_q20_potential_promo",
     "t_q21_waiting_supplier",
     "t_q22_sales_opportunity",
-    # -- slots 23-26: tier N DML surface --------------------------------
     "n_update_rewrite",
     "n_delete_rewrite",
     "n_merge_upsert",
     "n_insert_append",
-    # -- slots 27-32: tier M time-series representatives ----------------
     "m_rolling_wau",
     "m_ts_gapfill",
     "m_cohort_retention",
     "m_funnel_stages",
     "m_ts_resample_ohlc",
     "m_anomaly_mad",
-    # -- slot 33: streaming-engine watermark variant --------------------
     "j_tumbling_append_watermark",
-    # -- slots 34-37: training-data pipeline representatives ------------
     "l_decontaminate",
     "l_split_hash",
     "l_text_chunk",
     "l_pack_sequences",
-    # -- slots 38-42: join-strategy extensions (DPP/salt/bloom/lateral) -
     "c_join_dpp",
     "c_join_salted",
     "c_join_bloom",
     "c_lateral_topn",
     "c_join_null_safe",
-    # -- slots 43-47: agg/setop/window/scalar extensions ----------------
     "d_agg_histogram",
     "d_agg_regr",
     "g_recursive_cte",
     "e_win_gaps_islands",
     "h_higher_order",
-    # -- slots 48-50: ANN/dedup scale paths (rows-only: prove ran-clean)
     "l_sim_join_lsh",
     "l_sim_search_ivf",
     "l_dedup_near_minhash",
-    # -- past the window: r1-r3-verified oracled contract, tier order ---
     "l_simjoin_jaccard",
     "l_sim_search_topk",
     "l_sim_join_threshold",
@@ -176,149 +307,10 @@ PRIORITY_ORDER = (
     "e_win_range_frame",
     "a_scan_orc_roundtrip",
     "d_agg_bool",
-    "g_except_all",
-    "g_intersect_all",
-    "g_union_byname_missing",
-    "h_bitwise",
-    "h_struct_funcs",
-    "l_text_quality",
-    "l_text_fingerprint",
-    "l_text_token_count",
-    "l_dedup_embedding",
-    "l_simjoin_ngram",
-    "l_text_normalize",
-    "m_ts_ffill",
     "d_agg_mode",
     "d_unpivot",
-    "d_agg_salted",
-    "j_stream_stream_join",
-    "j_stateful_stream",
-    "j_session_30m_stream",
-    "j_sliding_1h_15m_stream",
-    "l_ml_score_linear",
-    "l_multimodal_framesample",
-    "a_scan_text_roundtrip",
-    "c_join_range_bucketed",
-    "e_win_value_funcs",
-    "l_dedup_cluster",
-    "l_text_scrub",
-    "l_domain_mix",
-    "l_text_repetition",
-    "l_dedup_prefix",
-    "l_text_lm_score",
-    "t_q03_shipping",
-    "t_q04_order_priority",
-    "t_q05_local_supplier",
-    "t_q06_forecast_revenue",
-    "t_q07_volume_shipping",
-    "t_q08_market_share",
-    "t_q10_returned_items",
-    "t_q14_promo_effect",
-    "t_q15_top_supplier",
-    "t_q16_part_suppliers",
-    "t_q17_small_qty",
-    "t_q19_disjunctive",
-    "h_str_fuzzy",
-    "h_date_format",
-    "d_agg_moments",
-    "m_ts_zscore_roll",
-    "m_ts_autocorr",
-    "l_dedup_fuzzy",
-    "l_vector_quantize",
-    "l_winsorize",
-    "t_q12_priority_class",
-    "a_table_stats",
-    "i_sample_hash",
-    "j_stream_join_static_stream",
-    "m_ts_twa",
-    "m_ts_rollup_2level",
-    "m_event_transitions",
-    "m_attribution_last_touch",
-    "m_ts_ewma",
-    "n_scd2_history",
-    "c_join_asof_tol",
-    "i_sample_weighted",
-    "l_dedup_passage",
-    "j_foreach_batch_upsert",
-    "c_join_mark_exists",
-    "l_hybrid_search",
-    "l_topic_cooccur",
-    "a_scan_schema_merge",
-    "l_dataset_card",
-    "l_dedup_incremental",
-    "k_map_in_arrow",
-    "f_sort_local",
-    "a_scan_csv_malformed",
-    "l_sim_search_batch",
-    # -- round-4 additions (oracled; window candidates for round 5).
-    # ROUND-5 ROTATION NOTE: rebuild slots 13-50 from keys with no
-    # driver row in ANY round — everything from "h_try_funcs" down to
-    # "j_tumbling_available_now" below has only local sim evidence;
-    # prioritize c_join_bucketed_colocated, l_graph_pagerank,
-    # n_time_travel, d_agg_quantile_rollup, l_embedding_pca,
-    # c_join_spatial_grid, l_pipeline_end2end, l_triplet_mine,
-    # a_scan_binaryfile, h_sql_params, j_tumbling_available_now, then
-    # the earlier round-4 batch; keep the 12 tier anchors. ----------
-    "h_try_funcs",
-    "h_url_funcs",
-    "m_ts_interpolate",
-    "l_bm25_search",
-    "l_shuffle_shard",
-    "a_table_ctas_catalog",
-    "d_agg_heavy_hitters",
-    "l_sim_join_gemm",
-    "l_dedup_url",
-    "l_corpus_divergence",
-    "l_simjoin_containment",
-    "c_join_interval",
-    "d_agg_countmin",
-    "a_sink_zorder",
-    "a_maintenance_compaction",
-    "a_dq_audit",
-    "c_join_bucketed_colocated",
-    "l_graph_pagerank",
-    "n_time_travel",
-    "d_agg_quantile_rollup",
-    "m_ts_seasonal",
-    "l_embedding_pca",
-    "m_ts_changepoint",
-    "d_agg_percentile_disc",
-    "c_join_spatial_grid",
-    "n_merge_on_read_delete",
-    "a_scan_binaryfile",
-    "l_pipeline_end2end",
-    "l_triplet_mine",
-    "h_sql_params",
-    "j_tumbling_available_now",
-    "e_win_named_window",
-    "l_stratified_split",
-    "m_ts_lttb",
-    "m_ts_calendar_dim",
-    "h_xml_funcs",
-    "d_agg_bitmap_distinct",
-    "m_ts_crosscorr",
-    "d_agg_grouping_id",
-    "c_join_pit_features",
-    "l_fingerprint_winnow",
-    "l_tokens_zipf_fit",
-    "a_scan_recursive_glob",
-    "k_udf_pandas_iter",
-    "e_win_pct_of_total",
-    "h_variant_funcs",
-    # -- remaining rows-only operators (err: no_oracle) dead last ------
-    "d_agg_hll_merge",
-    "d_agg_theta_setops",
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",
-    "i_sample",
-    "i_sample_stratified",
-    "j_watermark_late_drop",
-    "l_text_langid",
-    "l_dedup_simhash",
-    "l_multimodal_decode",
-    "l_kmeans_assign",
-    "l_bpe_train",
-    "l_sim_search_pq",
 )
 
 

@@ -36,11 +36,36 @@ def test_rank_bounds_and_mass(ranks, spark):
 
 
 def test_blocked_outdegree(spark):
-    # reconstruct the edge contract: every node emits min(3, |block|-1)
-    # edges, never more — the label blocking bounds candidate generation
-    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    sizes = {r["label"]: r["cnt"] for r in e.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
-    assert all(v >= 4 for v in sizes.values()), "fixture labels big enough for 3-NN"
+    """Rebuild the label-blocked top-3 edge list with numpy (same rule
+    as the operator: candidates share a label, sim DESC with dst
+    tiebreak, keep 3) and assert the out-degree contract the
+    mass-conservation test leans on: every node emits exactly
+    min(3, |block| - 1) edges, never more."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    outdeg = {}
+    for members in by_label.values():
+        for vid, vec in members:
+            sims = sorted(
+                (
+                    (round(float(vec @ ovec), 9), ovid)
+                    for ovid, ovec in members
+                    if ovid != vid
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )
+            outdeg[vid] = len(sims[:3])
+    assert len(outdeg) == len(rows)
+    for members in by_label.values():
+        want = min(3, len(members) - 1)
+        for vid, _ in members:
+            assert outdeg[vid] == want
 
 
 def test_pca_captures_top_variance(spark):

@@ -407,3 +407,73 @@ def test_vdot_bit_identical_to_duckdb_ordered_sum(spark, vecs):
     con.close()
     for va, vb, sim in res:
         assert got[(va, vb)] == sim, (va, vb, got[(va, vb)], sim)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    half_groups=st.integers(min_value=1, max_value=8),
+    avg_cents=st.integers(min_value=100, max_value=100000),
+    noise=st.lists(
+        st.integers(min_value=-5000, max_value=5000), min_size=16, max_size=16
+    ),
+    negate=st.booleans(),
+)
+def test_window_sum_round_first_derivation(spark, half_groups, avg_cents, noise, negate):
+    """CLAUDE.md rule 9, machine-enforced (round-4 verdict item 8):
+    DuckDB computes window SUMs with a segment tree while Spark
+    accumulates sequentially, so RAW prefix sums differ in the last
+    ulp — and a value DERIVED from the raw sum that lands exactly on a
+    ROUND-half boundary flips the hash (found on e_win_named_window at
+    sf0.1, where sum/20 hit x.705). This test CONSTRUCTS that boundary
+    deliberately: a money sequence of m = 2·half_groups rows whose
+    total is m·(avg_cents + 0.5) cents, so the running average of the
+    full prefix sits exactly on the half-cent ROUND boundary. The
+    round-FIRST-then-derive pattern (running_avg = ROUND(ROUND(sum,2)
+    / count, 2)) must agree cross-engine on every prefix, including
+    the boundary one, for positive and negated (sign-straddling,
+    rule 5b) sequences alike."""
+    import duckdb as _duck
+
+    m = 2 * half_groups
+    target = half_groups * (2 * avg_cents + 1)  # = m * (avg_cents + 0.5)
+    cents = [noise[i % len(noise)] for i in range(m)]
+    cents[0] += target - sum(cents)  # exact integer-cents adjustment
+    if negate:
+        cents = [-c for c in cents]
+    rows = [(1, i, c / 100.0) for i, c in enumerate(cents)]
+
+    sdf_in = spark.createDataFrame(rows, "grp int, i int, amt double")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("grp").orderBy("i")
+    run_sum = dround(F.sum("amt").over(w), 2)
+    sdf = sdf_in.select(
+        "grp",
+        "i",
+        run_sum.alias("running_total"),
+        dround(run_sum / F.count("*").over(w), 2).alias("running_avg"),
+    )
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE t (grp INT, i INT, amt DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    res = con.execute(
+        """
+        SELECT grp, i,
+               ROUND(SUM(amt) OVER w * 100, 0) / 100 + 0 AS running_total,
+               ROUND(ROUND(SUM(amt) OVER w * 100, 0) / 100
+                     / COUNT(*) OVER w * 100, 0) / 100 + 0 AS running_avg
+        FROM t WINDOW w AS (PARTITION BY grp ORDER BY i)
+        """
+    )
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    con.close()
+    srows = [tuple(r) for r in sdf.collect()]
+    _, s_canon = canon_rows(list(sdf.columns), srows)
+    _, d_canon = canon_rows(dcols, drows)
+    assert s_canon == d_canon

@@ -29,11 +29,12 @@ def test_queries_dict_iterates_in_priority_order():
     assert list(all_queries()) == list(PRIORITY_ORDER)
 
 
-# Round-4 deliberate exception (round-3 verdict item 2): the three
-# rows-only ANN/dedup SCALE-PATH keys occupy the last 3 window slots so
-# the driver records at least a ran-clean row for them — they are the
-# 100 TB similarity paths and have never had any driver evidence.
-WINDOWED_ROWS_ONLY = {"l_sim_join_lsh", "l_sim_search_ivf", "l_dedup_near_minhash"}
+# Round-5 deliberate exception (round-4 verdict item 3): the LAST two
+# §2 keys with zero driver evidence of any kind are rows-only by design
+# (Bernoulli sample; watermark late-drop) — they occupy the final two
+# window slots so the driver records a ran-clean row, the pattern r4
+# proved with the LSH/IVF/MinHash scale paths.
+WINDOWED_ROWS_ONLY = {"i_sample", "j_watermark_late_drop"}
 
 
 def test_window_is_oracled_except_declared_scale_paths():
@@ -56,29 +57,38 @@ def test_window_covers_every_tier():
     assert tiers >= set("abcdefghijkl"), f"tiers in window: {sorted(tiers)}"
 
 
-def test_window_spends_slots_on_never_verified_keys():
-    """Slots 13-50 must be first-time-verified keys (no driver row in
-    r1-r3) — the whole point of the round-4 rotation. The r1-r3 green
-    set is frozen here from CORRECTNESS_r0{1,2,3}.json."""
+def _driver_seen() -> set:
+    """Union of keys with a driver CORRECTNESS row in rounds 1-4
+    (frozen from the committed CORRECTNESS_r0{1..4}.json artifacts)."""
     import json
     import pathlib
 
     seen = set()
-    for rnd in (1, 2, 3):
+    for rnd in (1, 2, 3, 4):
         p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r0{rnd}.json"
         if p.exists():
             seen |= set(json.loads(p.read_text()))
+    return seen
+
+
+def test_window_spends_slots_on_never_verified_keys():
+    """Slots 13-50 must be first-time-verified keys (no driver row in
+    r1-r4) — the whole point of the rotation."""
+    seen = _driver_seen()
     rotated = list(all_queries())[12:WINDOW]
     stale = [k for k in rotated if k in seen]
     assert not stale, f"window slots 13-50 wasted on already-verified: {stale}"
 
 
-def test_rows_only_sorted_last():
-    oracles = all_oracles()
+def test_fresh_keys_precede_verified_keys():
+    """Every key WITHOUT a driver row (r1-r4) sorts before every key
+    WITH one (anchors excepted): the r6/r7/r8 queue blocks sit directly
+    behind the current window, so each future rotation is a block swap
+    that only ever consumes fresh keys."""
+    seen = _driver_seen()
     keys = list(all_queries())
-    first_rows_only = min(
-        i for i, k in enumerate(keys)
-        if k not in oracles and k not in WINDOWED_ROWS_ONLY
+    last_fresh = max(i for i, k in enumerate(keys) if k not in seen)
+    first_verified_past_anchors = min(
+        i for i, k in enumerate(keys) if i >= 12 and k in seen
     )
-    last_oracled = max(i for i, k in enumerate(keys) if k in oracles)
-    assert first_rows_only > last_oracled
+    assert last_fresh < first_verified_past_anchors
