@@ -667,3 +667,124 @@ def a_scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(os.path.join(base, "region=0"), os.path.join(base, "region=1"))
     )
+
+
+@query("a_scan_xml_roundtrip", oracle="SELECT * FROM nation")
+def a_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink (Spark 4.0 — spark-xml folded into the
+    engine): write nation as one <nation> element per row, read back
+    with an explicit schema. Lossless, so the oracle is the source
+    table. rowTag is the one mandatory option; schema-on-read
+    inference exists but an explicit schema keeps types pinned (XML
+    carries no type system — everything round-trips through text).
+
+    Scale: XML is a row-striped text format — splittable per file but
+    not columnar; the operator exists for INGEST parity (feeds land as
+    XML), after which a_sink_parquet_partitioned is the storage path.
+    Read is distributed per-file like csv/json."""
+    path = _scratch("nation_xml")
+    nation = table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("rowTag", "nation").format(
+        "xml"
+    ).save(path)
+    return (
+        spark.read.schema(nation.schema)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(path)
+    )
+
+
+@query(
+    "a_scan_python_datasource",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def a_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 PYTHON DATA SOURCE API (``pyspark.sql.datasource``) —
+    a custom connector written entirely in Python, registered like any
+    format: here a JSONL-manifest source ("doclines") that (1) splits
+    the input into one InputPartition PER SHARD FILE, so reads scale
+    out exactly like the built-in file sources, and (2) implements
+    ``pushFilters`` (4.1) to absorb EqualTo filters — the ``lang =
+    'en'`` predicate is applied INSIDE the source's read loop, so
+    non-matching rows never cross the Python→JVM Arrow boundary. This
+    is the escape hatch for feeds Spark has no connector for (internal
+    REST APIs, bespoke manifest formats) without leaving Python.
+
+    The staging (documents → 4 JSONL shards) stands in for the
+    external feed; the oracle states the same filtered projection over
+    the source table, so both the connector's row fidelity AND its
+    pushdown correctness are hash-checked.
+
+    Scale: partitions() returning one split per shard is what makes a
+    Python source parallel (a single-partition reader would serialize
+    100 TB through one task); pushFilters keeps the Python-side data
+    movement proportional to the SELECTED rows. Arrow-batched
+    transfer, same as every Python surface in this repo."""
+    import glob as _glob
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    # runtime conf, driver sessions default it off (rule: pin every
+    # session semantic at query time, never assume engine configs)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    stage = _scratch("documents_jsonl")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    d.repartition(4).write.mode("overwrite").json(stage)
+    shards = sorted(_glob.glob(os.path.join(stage, "part-*")))
+
+    class DoclinesReader(DataSourceReader):
+        def __init__(self, options):
+            self.paths = options["paths"].split(",")
+            self.eq: dict = {}
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                    self.eq[f.attribute[0]] = f.value
+                else:
+                    yield f
+
+        def partitions(self):
+            return [InputPartition(p) for p in self.paths]
+
+        def read(self, part):
+            with open(part.value) as fh:
+                for line in fh:
+                    rec = _json.loads(line)
+                    if all(rec.get(k) == v for k, v in self.eq.items()):
+                        yield (
+                            rec["doc_id"],
+                            rec["lang"],
+                            rec["source"],
+                            rec["n_chars"],
+                        )
+
+    class DoclinesSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "doclines"
+
+        def schema(self):
+            return "doc_id long, lang string, source string, n_chars long"
+
+        def reader(self, schema):
+            return DoclinesReader(self.options)
+
+    spark.dataSource.register(DoclinesSource)
+    return (
+        spark.read.format("doclines")
+        .option("paths", ",".join(shards))
+        .load()
+        .filter(F.col("lang") == "en")
+    )

@@ -1000,3 +1000,77 @@ def d_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().alias("gid"), F.count("*").alias("cnt")
         )
     ).select("l_returnflag", "l_linestatus", "gid", "cnt")
+
+
+@query(
+    "d_agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           string_agg(CAST(o_orderkey AS VARCHAR), '|'
+                      ORDER BY o_totalprice DESC, o_orderkey)
+               FILTER (o_totalprice > 450000) AS top_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG (Spark 4.0) — ``listagg(expr, sep) WITHIN
+    GROUP (ORDER BY ...)``, the standard's spelling of ordered string
+    aggregation, exercised with its two qualifiers: DISTINCT (the
+    de-duplicated status roster) and a FILTER clause ordering by a
+    DIFFERENT column than it emits (top orders by price — something
+    array_sort(collect_list) alone cannot express without a struct
+    detour, which is exactly why the standard surface matters).
+
+    Scale: one hash-partial aggregation per group key; the WITHIN
+    GROUP sort is per-group bounded. Group text length is the one
+    thing to watch at 100 TB — LISTAGG output is for bounded rosters
+    (statuses, top-k ids), not unbounded corpus concatenation."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               listagg(CAST(o_orderkey AS STRING), '|')
+                   WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)
+                   FILTER (WHERE o_totalprice > 450000) AS top_orders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "d_agg_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           year(o_orderdate) AS yr,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice) * 100, 0) / 100 AS revenue
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority, year(o_orderdate)
+    ORDER BY o_orderstatus, o_orderpriority, yr
+    """,
+)
+def d_agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4, DuckDB-popularized):
+    every non-aggregate select item becomes a grouping key, and ORDER
+    BY ALL sorts by the full output column list — the exploratory-SQL
+    ergonomics surface where the column list lives in ONE place so a
+    projection edit cannot silently desynchronize the GROUP BY (the
+    classic copy-paste aggregation bug). Resolves at analysis time to
+    the identical explicit plan the oracle states: partial+final hash
+    aggregate, bounded sort."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               year(o_orderdate) AS yr,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice) * 100) / 100 AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -774,3 +774,139 @@ def h_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "int") >= 50).alias("k_high"),
         F.schema_of_variant(F.variant_get(v, "$.k", "variant")).alias("k_type"),
     )
+
+
+@query(
+    "h_sql_pipe",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice) * 100, 0) / 100 AS revenue,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def h_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (``|>`` — SQL has pipes now, the
+    GoogleSQL/ZetaSQL linear composition surface adopted in Spark
+    4.0): the query reads top-to-bottom as a dataflow — FROM, then
+    ``|> WHERE``, then ``|> AGGREGATE ... GROUP BY``, then
+    ``|> ORDER BY`` — instead of the inside-out nesting of classic
+    SELECT. Each pipe stage is sugar for the same logical operator, so
+    Catalyst plans it IDENTICALLY to the classic form the oracle
+    states: filter pushed to the scan, partial+final hash aggregate,
+    bounded sort on the 5 priority groups. Zero marginal runtime cost;
+    pure surface parity with engines adopting the pipe dialect."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE ROUND(SUM(o_totalprice) * 100) / 100 AS revenue,
+                     COUNT(*) AS n
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, revenue, n
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "h_collation",
+    oracle="""
+    WITH mangled AS (
+        SELECT CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name)
+                    ELSE upper(n_name) END AS name,
+               n_regionkey
+        FROM nation
+    )
+    SELECT lower(name) AS k, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN lower(name) = lower('NATION_1')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ci_hits
+    FROM mangled GROUP BY lower(name)
+    """,
+)
+def h_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATION: comparisons, equality and GROUP BY
+    under ``COLLATE UNICODE_CI`` are case-insensitive WITHOUT rewriting
+    every expression through lower() — the engine owns the comparison
+    semantics (and at 100 TB, collation-aware grouping hashes the
+    collation key directly instead of materializing a lowered copy of
+    the column). The fixture case-mangles nation names (even keys
+    lowered, odd upper), groups by the collated value, and counts
+    case-insensitive equality hits against a differently-cased literal.
+
+    Cross-engine determinism: a UNICODE_CI group keeps an ARBITRARY
+    representative's casing, so the output key is canonicalized with
+    lower() on BOTH engines; the oracle states the same semantics via
+    DuckDB lower() (equivalent for this ASCII fixture — the operator
+    exists because lower() is NOT equivalent in general: UNICODE_CI
+    handles full case folding the lower() rewrite misses)."""
+    n = table(spark, sf_dir, "nation")
+    mangled = n.select(
+        F.when(F.col("n_nationkey") % 2 == 0, F.lower("n_name"))
+        .otherwise(F.upper("n_name"))
+        .alias("name"),
+        "n_regionkey",
+    )
+    ci = F.collate("name", "UNICODE_CI")
+    return (
+        mangled.groupBy(ci.alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(ci == F.lit("NATION_1"), 1).otherwise(0)
+            ).alias("ci_hits"),
+        )
+        .select(F.lower(F.col("grp")).alias("k"), "n", "ci_hits")
+    )
+
+
+@query(
+    "h_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS d,
+           CAST(o_orderdate + INTERVAL 1 MONTH + INTERVAL 14 DAY
+                AS VARCHAR) AS due,
+           CAST(o_orderdate + INTERVAL 18 MONTH AS VARCHAR) AS review,
+           CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+           datediff('day', DATE '1995-01-01', o_orderdate) AS age_days,
+           (o_orderdate + INTERVAL 1 MONTH
+              = last_day(o_orderdate + INTERVAL 1 MONTH)) AS clamped
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def h_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI INTERVAL arithmetic (year-month and day-time intervals,
+    their composition with dates, end-of-month clamping): due dates,
+    review horizons, month-end alignment — the calendar algebra every
+    billing/SLA query needs. Both engines clamp month addition at
+    month end (Jan 31 + 1 month = Feb 28/29) — the ``clamped`` flag
+    exposes exactly those rows so the semantics are pinned, not
+    assumed. Derived dates project as strings (CLAUDE.md rule 3);
+    datediff day counts are exact integers.
+
+    Scale: pure codegen date arithmetic in the scan projection; the
+    modulus predicate is pushed down. Zero shuffles."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("d"),
+        F.expr("o_orderdate + INTERVAL 1 MONTH + INTERVAL 14 DAY")
+        .cast("string")
+        .alias("due"),
+        F.expr("o_orderdate + INTERVAL '1-6' YEAR TO MONTH")
+        .cast("string")
+        .alias("review"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .alias("age_days"),
+        F.expr(
+            "o_orderdate + INTERVAL 1 MONTH"
+            " = last_day(o_orderdate + INTERVAL 1 MONTH)"
+        ).alias("clamped"),
+    )

@@ -785,3 +785,77 @@ def j_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows, schema = run_stream_available_now(spark, stream, "complete")
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "j_dedup_within_watermark",
+    oracle="SELECT DISTINCT event_id, event_type FROM events",
+)
+def j_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+/4) — the
+    BOUNDED-STATE streaming dedup: unlike plain streaming
+    dropDuplicates (j_stream_dedup_stream, whose seen-key state grows
+    with distinct keys forever), the within-watermark form keeps each
+    key's state only until the watermark passes its event time + the
+    lateness horizon — at 100 TB/day ingest that is the difference
+    between O(distinct keys ever) and O(keys per horizon) state.
+
+    Executed as a REAL incremental stream, two ordered micro-batches:
+
+    - batch 1: the full events table (every id's first copy);
+    - batch 2: an exact duplicate of the LAST HOUR of events — their
+      event times sit INSIDE the 2-hour horizon of the batch-1
+      watermark (max ts − 2 h), so their keyed state is still alive
+      and the engine must swallow them as duplicates (not drop them
+      as late rows — that path is j_watermark_late_drop's).
+
+    Append-mode output across both batches must therefore equal the
+    batch DISTINCT oracle: one row per event id. Deterministic because
+    batch order is explicit (files staged sequentially, one per
+    trigger) and every duplicate is within-horizon by construction."""
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    hi = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    dup_tail = ev.filter(
+        F.col("ts") >= F.lit(hi) - F.expr("INTERVAL 1 HOUR")
+    )
+
+    base = tempfile.mkdtemp(prefix="sqlengine_ddww_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+    sink = f"ddww_sink_{os.getpid()}_{int(time.time() * 1000)}"
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for i, chunk in enumerate((ev, dup_tail)):
+                chunk.coalesce(1).write.parquet(os.path.join(base, f"stage{i}"))
+                for f in os.listdir(os.path.join(base, f"stage{i}")):
+                    if f.endswith(".parquet"):
+                        shutil.copy(
+                            os.path.join(base, f"stage{i}", f),
+                            os.path.join(src, f"chunk{i}.parquet"),
+                        )
+                q.processAllAvailable()
+            rows = spark.table(sink).collect()
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            rows, schema="event_id long, event_type string"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

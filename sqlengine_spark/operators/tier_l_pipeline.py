@@ -2020,3 +2020,72 @@ def l_tokens_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.regr_slope(F.log("c"), F.log("rnk")), 6).alias("zipf_slope"),
         dround(F.regr_r2(F.log("c"), F.log("rnk")), 6).alias("r2"),
     )
+
+
+#: Shipped BPE merge table for l_bpe_encode — a production tokenizer
+#: ENCODES with a frozen merge list (training is l_bpe_train's job);
+#: freezing it is also what makes the encode ORACLE-able: both engines
+#: apply the identical rules. Ordered; later merges build on earlier
+#: ones (t+a, ta+b, tab+l, tabl+e tokenizes 'table' to one symbol).
+BPE_ENCODE_MERGES = [
+    ("a", "g"), ("ag", "g"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("k", "e"), ("ke", "y"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    rep = "regexp_replace(replace(lower(text), ' ', '|'), '(.)', '\\1 ', 'g')"
+    expr = f"trim({rep})"
+    for a, b in BPE_ENCODE_MERGES:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    return f"""
+    SELECT doc_id, {expr} AS encoded,
+           CAST(len(list_filter(string_split({expr}, ' '),
+                                x -> x <> '|')) AS BIGINT) AS n_tokens
+    FROM documents
+    """
+
+
+@query("l_bpe_encode", oracle=_bpe_encode_oracle())
+def l_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE with a shipped merge table — the other half of
+    the BPE story (l_bpe_train learns rules; this applies them to the
+    corpus, which is the pass that actually touches 100 TB): text
+    lowers, word boundaries become '|', characters intersperse with
+    spaces, then each merge rule applies IN ORDER as a left-to-right
+    non-overlapping string replace — exactly the BPE merge-application
+    semantics (both engines' replace() is left-to-right
+    non-overlapping; boundary '|' symbols can never participate in a
+    letter-pair merge, so merges stay within words). Output: the
+    encoded symbol stream and its token count.
+
+    The entire encode is CODEGEN string ops — lower/replace chain in
+    the scan projection, no UDF, no Python, no shuffle: the map-only
+    plan a 100 TB tokenization run wants, parallel by file split. A
+    real vocabulary means thousands of replace steps — production
+    compiles them into a trie/Aho-Corasick pass (the linear-scan
+    equivalent of this fold); the 15-rule table keeps the plan
+    readable while pinning the semantics, and the oracle applies the
+    IDENTICAL frozen rules.
+
+    Determinism: pure integer/string ops, no floats anywhere."""
+    d = table(spark, sf_dir, "documents")
+    enc = F.trim(
+        F.regexp_replace(
+            F.replace(F.lower("text"), F.lit(" "), F.lit("|")),
+            "(.)",
+            "$1 ",
+        )
+    )
+    for a, b in BPE_ENCODE_MERGES:
+        enc = F.replace(enc, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    return d.select(
+        "doc_id",
+        enc.alias("encoded"),
+        F.size(
+            F.filter(F.split(enc, " "), lambda x: x != "|")
+        ).cast("bigint").alias("n_tokens"),
+    )

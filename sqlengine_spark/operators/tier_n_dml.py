@@ -344,3 +344,57 @@ def n_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.read.schema(o.schema).parquet(base_path)
     dv = spark.read.parquet(del_path)
     return base.join(dv, "o_orderkey", "left_anti")
+
+
+@query(
+    "n_insert_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN ROUND(o_totalprice * 0.95 * 100, 0) / 100 + 0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def n_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (``partitionOverwriteMode=dynamic``)
+    — the partition-level upsert every nightly batch pipeline runs:
+    the incoming frame REPLACES exactly the partitions it contains
+    rows for and leaves every other partition's files untouched. Here
+    the base orders table lands partitioned by o_orderpriority, then a
+    re-priced batch containing ONLY '1-URGENT' rows overwrites that
+    one partition; the read-back must show 4 untouched partitions + 1
+    replaced one, which is what the CASE oracle states.
+
+    Contrast with STATIC overwrite (the default), which would have
+    dropped ALL partitions first and left only the urgent rows — the
+    classic destructive-overwrite footgun the dynamic mode exists to
+    fix. The option is set per-WRITER (not session-wide), so the
+    driver's plain session semantics are untouched.
+
+    Scale: overwrite granularity = partition directories; the commit
+    touches |incoming partitions| directories regardless of table
+    size — this plus a_sink_parquet_partitioned is the ingest commit
+    path at 100 TB (lakehouse formats refine it to file-level)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    path = _scratch("orders_dyn_overwrite")
+    o.write.partitionBy("o_orderpriority").parquet(path)
+    urgent_repriced = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        dround(F.col("o_totalprice") * 0.95, 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    (
+        urgent_repriced.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    return spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string"
+    ).parquet(path)

@@ -97,6 +97,7 @@ PRIORITY_ORDER = (
     "i_sample",
     "j_watermark_late_drop",
     # -- ROUND-6 QUEUE (swap this block up to slots 13-50 next round) ---
+    "j_dedup_within_watermark",
     "t_q03_shipping",
     "t_q04_order_priority",
     "t_q05_local_supplier",
@@ -131,6 +132,7 @@ PRIORITY_ORDER = (
     "c_join_asof_tol",
     "c_join_mark_exists",
     "c_join_pit_features",
+    "n_insert_overwrite_dynamic",
     "l_corpus_divergence",
     "l_hybrid_search",
     "l_sim_search_batch",
@@ -150,6 +152,7 @@ PRIORITY_ORDER = (
     "l_text_lm_score",
     "l_topic_cooccur",
     "l_tokens_zipf_fit",
+    "l_bpe_encode",
     "l_fingerprint_winnow",
     "l_domain_mix",
     "l_vector_quantize",
@@ -164,13 +167,20 @@ PRIORITY_ORDER = (
     "i_sample_weighted",
     "f_sort_local",
     "a_scan_recursive_glob",
+    "a_scan_xml_roundtrip",
+    "a_scan_python_datasource",
     "d_agg_salted",
     "d_agg_moments",
     "d_agg_percentile_disc",
     "d_agg_bitmap_distinct",
     "d_agg_grouping_id",
+    "d_agg_listagg",
+    "d_agg_group_by_all",
     "h_try_funcs",
     "h_url_funcs",
+    "h_sql_pipe",
+    "h_collation",
+    "h_interval_arith",
     "e_win_value_funcs",
     "k_udf_pandas_iter",
     "i_sample_stratified",

