@@ -910,3 +910,38 @@ def h_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             " = last_day(o_orderdate + INTERVAL 1 MONTH)"
         ).alias("clamped"),
     )
+
+
+@query(
+    "h_sql_identifier",
+    oracle="""
+    SELECT o_orderpriority AS k, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice) * 100, 0) / 100 AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def h_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` — parameterized TABLE AND COLUMN names
+    (Spark 3.5+/4): the safe way to template "same rollup, different
+    table/column" jobs. String-interpolated identifiers are the #1 SQL
+    injection vector in generated pipelines; IDENTIFIER binds through
+    the parameter channel and the analyzer enforces that the value is
+    a lone identifier, not an expression. Pairs with h_sql_params
+    (value parameters) to make generated SQL fully injection-free.
+
+    Scale: resolved at analysis time — the plan is byte-identical to
+    the hand-written query (partial+final agg here); zero runtime
+    cost."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:key_col) AS k, COUNT(*) AS n,
+               ROUND(SUM(IDENTIFIER(:val_col)) * 100) / 100 AS total
+        FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:key_col)
+        """,
+        args={
+            "key_col": "o_orderpriority",
+            "val_col": "o_totalprice",
+            "tbl": "orders",
+        },
+    )

@@ -253,3 +253,57 @@ def k_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", dround(score(F.col("value")), 6).alias("scored")
     )
+
+
+@query(
+    "k_udf_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                 * 100, 0) / 100 AS charge
+    FROM lineitem
+    """,
+)
+def k_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 ``@arrow_udf`` — the zero-pandas scalar UDF: Arrow
+    RecordBatch columns arrive as ``pyarrow.Array`` and the body runs
+    pyarrow.compute kernels (C++ SIMD), skipping the Arrow→pandas
+    Series materialization ``@pandas_udf`` pays on every batch. This
+    completes the tier-K eval-type matrix: row UDF (mandated slow
+    path), pandas scalar, pandas iterator, grouped agg, grouped map,
+    UDTF, mapInArrow, and now the arrow-native scalar.
+
+    pc.multiply on float64 is IEEE multiply — bit-identical to the
+    JVM's — and rounding happens JVM-side via dround, same determinism
+    contract as k_udf_pandas_scalar.
+
+    Scale: identical shape to every vectorized UDF — Arrow batches,
+    map-only, no shuffle; the kernel saves ~30% Python-side CPU vs
+    pandas on arithmetic-only bodies (no index/null-bitmap copies)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    # NB: this module has `from __future__ import annotations`, which
+    # stringifies hints and breaks arrow_udf's signature dispatch —
+    # attach REAL pa.Array annotations explicitly instead.
+    def _charge(price, disc, tax):
+        return pc.multiply(
+            pc.multiply(price, pc.subtract(1.0, disc)),
+            pc.add(1.0, tax),
+        )
+
+    _charge.__annotations__ = {
+        "price": pa.Array, "disc": pa.Array, "tax": pa.Array,
+        "return": pa.Array,
+    }
+    charge = arrow_udf(_charge, "double")
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(charge("l_extendedprice", "l_discount", "l_tax"), 2).alias(
+            "charge"
+        ),
+    )

@@ -2049,6 +2049,22 @@ def _bpe_encode_oracle() -> str:
     """
 
 
+def _bpe_encode_expr():
+    """The encode column expression over ``text`` — shared with the
+    Hypothesis reference test (tests/test_bpe.py) so operator and test
+    can never drift."""
+    enc = F.trim(
+        F.regexp_replace(
+            F.replace(F.lower("text"), F.lit(" "), F.lit("|")),
+            "(.)",
+            "$1 ",
+        )
+    )
+    for a, b in BPE_ENCODE_MERGES:
+        enc = F.replace(enc, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    return enc
+
+
 @query("l_bpe_encode", oracle=_bpe_encode_oracle())
 def l_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer ENCODE with a shipped merge table — the other half of
@@ -2073,15 +2089,7 @@ def l_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pure integer/string ops, no floats anywhere."""
     d = table(spark, sf_dir, "documents")
-    enc = F.trim(
-        F.regexp_replace(
-            F.replace(F.lower("text"), F.lit(" "), F.lit("|")),
-            "(.)",
-            "$1 ",
-        )
-    )
-    for a, b in BPE_ENCODE_MERGES:
-        enc = F.replace(enc, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    enc = _bpe_encode_expr()
     return d.select(
         "doc_id",
         enc.alias("encoded"),

@@ -181,8 +181,10 @@ PRIORITY_ORDER = (
     "h_sql_pipe",
     "h_collation",
     "h_interval_arith",
+    "h_sql_identifier",
     "e_win_value_funcs",
     "k_udf_pandas_iter",
+    "k_udf_arrow",
     "i_sample_stratified",
     "l_text_langid",
     # -- ROUND-8 remainder (15 fresh; rest of window re-verifies) ------

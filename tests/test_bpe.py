@@ -61,3 +61,49 @@ def test_bpe_matches_python_reference(spark):
         assert segments == " ".join(ref[w])
         # segments re-concatenate to the word exactly
         assert segments.replace(" ", "") == w
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """l_bpe_encode's replace-chain must equal a pure-Python reference
+    applying the same frozen merge table with str.replace (left-to-
+    right non-overlapping — the BPE merge-application semantics) on
+    random lowercase corpora, including adversarial overlap cases."""
+    from hypothesis import given, settings, strategies as st
+
+    from sqlengine_spark.operators.tier_l_pipeline import BPE_ENCODE_MERGES
+
+    def ref_encode(text: str) -> tuple[str, int]:
+        s = " ".join(text.lower().replace(" ", "|"))
+        for a, b in BPE_ENCODE_MERGES:
+            s = s.replace(f"{a} {b}", f"{a}{b}")
+        s = s.strip()
+        toks = [t for t in s.split(" ") if t != "|"]
+        return s, len(toks)
+
+    words = st.lists(
+        st.text(alphabet="tablekyscnvug", min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(ws=words)
+    def check(ws):
+        text = " ".join(ws)
+        from pyspark.sql import functions as F
+
+        from sqlengine_spark.operators.tier_l_pipeline import _bpe_encode_expr
+
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        enc = _bpe_encode_expr()
+        row = df.select(
+            enc.alias("e"),
+            F.size(F.filter(F.split(enc, " "), lambda x: x != "|"))
+            .cast("bigint")
+            .alias("n"),
+        ).collect()[0]
+        exp_s, exp_n = ref_encode(text)
+        assert row["e"] == exp_s
+        assert row["n"] == exp_n
+
+    check()
