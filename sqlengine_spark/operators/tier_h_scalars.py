@@ -945,3 +945,53 @@ def h_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tbl": "orders",
         },
     )
+
+
+@query(
+    "h_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS masked_default,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_digits,
+           concat(substring(c_name, 1, 9),
+                  regexp_replace(substring(c_name, 10),
+                                 '[0-9]', 'n', 'g')) AS masked_tail
+    FROM customer
+    """,
+)
+def h_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking (``mask()``, Spark 3.4+) — the column-level PII
+    redaction governance layers apply at query time: default masking
+    (upper→X, lower→x, digit→n), digit-only masking with a custom
+    replacement char, and partial masking that preserves a prefix
+    (format-preserving redaction: analysts keep the 'Customer#' shape
+    and lose the identifier). The oracle states the same
+    transformations as regexp chains — mask() is the single-pass,
+    codegen-friendly spelling (one scan of the string vs one regex
+    pass per character class, and no regex-metacharacter injection
+    risk from the replacement chars).
+
+    Scale: map-only scan projection; masking composes with column
+    pruning so unmasked originals never leave the scan."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name",
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("*"),
+        ).alias("masked_digits"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.mask(
+                F.substring("c_name", 10, 2147483647),
+                upperChar=F.lit(None),
+                lowerChar=F.lit(None),
+                digitChar=F.lit("n"),
+            ),
+        ).alias("masked_tail"),
+    )

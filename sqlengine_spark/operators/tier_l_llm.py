@@ -1572,3 +1572,71 @@ def l_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "l_multimodal_header_parse",
+    oracle="""
+    SELECT vec_id,
+           'IMGB' AS magic,
+           CAST(64 + vec_id % 512 AS INT) AS width,
+           CAST(48 + vec_id % 256 AS INT) AS height,
+           CAST(1 + vec_id % 4 AS INT) AS channels,
+           CAST((64 + vec_id % 512) * (48 + vec_id % 256) * (1 + vec_id % 4)
+                AS BIGINT) AS n_samples,
+           ((64 + vec_id % 512) >= 2 * (48 + vec_id % 256)) AS is_wide
+    FROM embeddings
+    """,
+)
+def l_multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary MEDIA HEADER parsing as pure codegen — the schema-on-read
+    step for multimodal payloads: opaque ``binary`` blobs carry a
+    packed header (magic 'IMGB', u16be width, u16be height, u8
+    channels — the PNG/JPEG-marker pattern), and the engine extracts
+    typed metadata with substring+hex+conv ONLY, no UDF, no decode
+    library. Decode of the pixel payload stays stubbed (multimodal.py,
+    no PIL in this container); header triage is the part a 100 TB
+    ingest runs on EVERY object anyway — route/filter/bucket by
+    dimensions BEFORE paying any decoder.
+
+    Round-trip verification: the stage WRITES payloads whose header
+    fields derive from vec_id by formula (binary built with
+    format_string %04x + unhex), parquet-persists them, reads the
+    BLOBs back and parses the fields out of the bytes; the oracle
+    recomputes the same fields from the FORMULA — any encode, write,
+    read, or parse error breaks the hash.
+
+    Scale: map-only scan projection on both legs; binary stays opaque
+    through the shuffle-free plan. At 100 TB this is the manifest-
+    building pass: n_samples(=w*h*c) drives decoder batch sizing,
+    is_wide-style predicates prune objects before decode."""
+    from sqlengine_spark.operators.tier_a_scans import _scratch
+
+    e = table(spark, sf_dir, "embeddings")
+    payload = F.unhex(
+        F.concat(
+            F.lit("494d4742"),  # 'IMGB'
+            F.format_string("%04x", (64 + F.col("vec_id") % 512).cast("int")),
+            F.format_string("%04x", (48 + F.col("vec_id") % 256).cast("int")),
+            F.format_string("%02x", (1 + F.col("vec_id") % 4).cast("int")),
+            # opaque payload bytes after the header (content irrelevant)
+            F.lpad(F.hex(F.xxhash64("vec_id")), 16, "0"),
+        )
+    )
+    stage = _scratch("media_headers")
+    e.select("vec_id", payload.alias("payload")).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    m = spark.read.schema("vec_id long, payload binary").parquet(stage)
+    w = F.conv(F.hex(F.substring("payload", 5, 2)), 16, 10).cast("int")
+    h = F.conv(F.hex(F.substring("payload", 7, 2)), 16, 10).cast("int")
+    c = F.conv(F.hex(F.substring("payload", 9, 1)), 16, 10).cast("int")
+    return m.select(
+        "vec_id",
+        F.decode(F.substring("payload", 1, 4), "UTF-8").alias("magic"),
+        w.alias("width"),
+        h.alias("height"),
+        c.alias("channels"),
+        (w * h * c).cast("bigint").alias("n_samples"),
+        (w >= 2 * h).alias("is_wide"),
+    )

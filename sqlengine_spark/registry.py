@@ -153,6 +153,7 @@ PRIORITY_ORDER = (
     "l_topic_cooccur",
     "l_tokens_zipf_fit",
     "l_bpe_encode",
+    "l_multimodal_header_parse",
     "l_fingerprint_winnow",
     "l_domain_mix",
     "l_vector_quantize",
@@ -182,6 +183,7 @@ PRIORITY_ORDER = (
     "h_collation",
     "h_interval_arith",
     "h_sql_identifier",
+    "h_mask",
     "e_win_value_funcs",
     "k_udf_pandas_iter",
     "k_udf_arrow",
