@@ -49,22 +49,30 @@ def d_agg_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is O(partitions·6) rows regardless of input size — this
     plan is scale-invariant.
     """
-    li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            dround(F.sum(charge), 2).alias("sum_charge"),
-            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            dround(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    # Submitted as ONE spark.sql statement (round 5): the DataFrame
+    # form's 7 dround-wrapped aggregates cost ~35 Py4J round trips of
+    # pure driver-side plan construction per invocation — paired
+    # interleaved at sf0.1: 0.432 → 0.310 s median. Identical plan and
+    # values (the ROUND(x·10^n)/10^n + 0.0 spelling IS dround).
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity) * 100) / 100 + 0.0 AS sum_qty,
+               ROUND(SUM(l_extendedprice) * 100) / 100 + 0.0
+                   AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100
+                   + 0.0 AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                     * 100) / 100 + 0.0 AS sum_charge,
+               ROUND(AVG(l_quantity) * 1e4) / 1e4 + 0.0 AS avg_qty,
+               ROUND(AVG(l_extendedprice) * 1e4) / 1e4 + 0.0 AS avg_price,
+               ROUND(AVG(l_discount) * 1e4) / 1e4 + 0.0 AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
     )
 
 

@@ -76,12 +76,19 @@ def e_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     with WindowGroupLimit: the rank filter is evaluated during the
     per-partition sort, so only k rows per group survive — at 100 TB no
     full partition is ever materialized."""
-    o = table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    # One spark.sql statement (round 5): shaves the DataFrame chain's
+    # Py4J plan-build latency (paired interleaved at sf0.1:
+    # 0.394 → 0.371 s median); identical WindowGroupLimit plan.
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey) AS rn
+            FROM orders) WHERE rn <= 3
+        """
     )
 
 

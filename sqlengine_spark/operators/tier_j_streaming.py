@@ -107,11 +107,20 @@ def j_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-aligned, so window.start ≡ date_trunc('hour'). The identical
     expression runs over readStream in the harness and must produce the
     same final table (asserted in tests/test_streaming.py)."""
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("h"), "event_type", "cnt", "sum_value")
+    # One spark.sql statement (round 5): shaves Py4J plan-build latency
+    # (paired interleaved at sf0.1: 0.232 → 0.211 s median); the
+    # streaming harness keeps the structurally identical expression.
+    from sqlengine_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT w.start AS h, event_type, cnt, sum_value FROM (
+            SELECT window(ts, '1 hour') AS w, event_type,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(value) * 100) / 100 + 0.0 AS sum_value
+            FROM events GROUP BY window(ts, '1 hour'), event_type)
+        """
     )
 
 
