@@ -280,14 +280,28 @@ def l_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-k — no shuffle of the embedding table at all. The
     scale path swaps the scan for an IVF/LSH pre-filter (probe only the
     query's buckets) with the same downstream top-k."""
-    e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    return (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", dround(vdot(F.col("embedding"), F.col("qe")), 6).alias("sim"))
-        .orderBy(F.col("sim").desc(), "vec_id")
-        .limit(10)
+    # One spark.sql statement (round 5): the aggregate/zip_with lambda
+    # construction through Py4J dominated driver-side latency — paired
+    # interleaved at sf0.1: 0.339 → 0.272 s median. The SQL aggregate/
+    # zip_with spelling IS vdot (sequential double fold), and
+    # ROUND(x·1e6)/1e6 + 0.0 IS dround.
+    from sqlengine_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(q) */ e.vec_id,
+               ROUND(aggregate(
+                         zip_with(e.embedding, q.qe,
+                                  (x, y) -> CAST(x AS DOUBLE)
+                                            * CAST(y AS DOUBLE)),
+                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1e6)
+                   / 1e6 + 0.0 AS sim
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 10
+        """
     )
 
 
