@@ -995,3 +995,50 @@ def h_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("masked_tail"),
     )
+
+
+@query(
+    "h_crypto",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS digest,
+           md5(text) AS fingerprint,
+           TRUE AS aes_roundtrip_ok,
+           CAST(n_chars + 28 AS BIGINT) AS ct_len
+    FROM documents
+    """,
+)
+def h_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic functions — content DIGESTS (sha2-256 for
+    integrity manifests, md5 as the dedup fingerprint this repo's
+    l_dedup_* tier keys on) and COLUMN-LEVEL ENCRYPTION
+    (aes_encrypt/aes_decrypt, default AES-GCM): the at-rest protection
+    layer for PII columns that must survive in the lake but stay
+    unreadable without the key (h_mask is the redaction sibling —
+    masking destroys, encryption preserves under key).
+
+    GCM ciphertexts embed a random 96-bit IV, so the ciphertext is
+    deliberately NON-deterministic (semantic security); what IS
+    deterministic — and what the oracle checks — is the round-trip
+    (decrypt∘encrypt ≡ identity, projected as a boolean computed from
+    the REAL cipher output) and the ciphertext length (12-byte IV +
+    16-byte tag + |plaintext|). Digests are bit-exact cross-engine.
+
+    Scale: all codegen scan projections, map-only; digest-based
+    manifests are how 100 TB integrity checks avoid re-reading
+    content (compare 32-byte digests, not bytes)."""
+    d = table(spark, sf_dir, "documents")
+    ct = F.expr(
+        "aes_encrypt(text, '0123456789abcdef')"
+    )
+    rt = F.expr(
+        "cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef'),"
+        " '0123456789abcdef') as string)"
+    )
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("digest"),
+        F.md5("text").alias("fingerprint"),
+        (rt == F.col("text")).alias("aes_roundtrip_ok"),
+        F.length(ct).cast("bigint").alias("ct_len"),
+    )

@@ -307,3 +307,55 @@ def k_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "charge"
         ),
     )
+
+
+@query(
+    "k_udtf_polymorphic",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS part0,
+           string_split(text, ' ')[2] AS part1,
+           string_split(text, ' ')[3] AS part2
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def k_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4, static ``analyze``): the
+    output SCHEMA is computed at ANALYSIS time from the call's literal
+    arguments — ``split_fixed(text, 3)`` resolves to columns
+    part0..part2 before any data moves, so each call site gets exactly
+    the width it asked for (the fixed-width feature-extraction shape:
+    leading-k tokens as typed columns). k_udtf_split is the
+    fixed-schema sibling; this is the API that makes Python UDTFs
+    schema-flexible without resorting to MapType blobs.
+
+    Scale: same per-row Python generator cost as any UDTF (bounded
+    here to 20 docs); the analyze() call runs ONCE on the driver at
+    plan time — zero executor cost for the polymorphism."""
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(t: AnalyzeArgument, n: AnalyzeArgument):
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"part{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, t: str, n: int):
+            parts = t.split(" ")
+            yield tuple(
+                (parts[i] if i < len(parts) else None) for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id, t.* FROM documents,
+               LATERAL split_fixed(text, 3) t
+        WHERE doc_id < 20
+        """
+    )

@@ -184,9 +184,11 @@ PRIORITY_ORDER = (
     "h_interval_arith",
     "h_sql_identifier",
     "h_mask",
+    "h_crypto",
     "e_win_value_funcs",
     "k_udf_pandas_iter",
     "k_udf_arrow",
+    "k_udtf_polymorphic",
     "i_sample_stratified",
     "l_text_langid",
     # -- ROUND-8 remainder (15 fresh; rest of window re-verifies) ------
