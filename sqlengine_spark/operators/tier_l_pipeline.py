@@ -2097,3 +2097,106 @@ def l_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(enc, " "), lambda x: x != "|")
         ).cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "l_dedup_stream",
+    oracle="""
+    SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def l_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental corpus dedup — the production LLM-ingest
+    loop: crawl batches arrive continuously, each batch dedups (a)
+    within itself and (b) against the ACCUMULATED corpus hash index,
+    and only first-seen documents append to the corpus. Run here as a
+    real two-micro-batch foreachBatch stream (documents split into
+    doc_id halves, batches forced into arrival order by staging file 2
+    only after batch 1 drains — the j_watermark_late_drop protocol):
+
+    - within-batch: MIN(doc_id) per content md5 (one hash-keyed agg);
+    - cross-batch: LEFT ANTI join against the 16-byte hash index —
+      batch cost scales with |batch| · log|index|, INDEPENDENT of
+      corpus text size (the index never stores text);
+    - survivors append to both the index and the output.
+
+    First-seen-wins over ordered batches ≡ global MIN(doc_id) per
+    hash, which is exactly l_dedup_exact's keep set — the oracle
+    hash-checks the entire multi-batch loop against the batch answer.
+    l_dedup_incremental is the single-batch sibling; this one drives
+    the loop through the streaming engine itself.
+
+    Scale: the accumulated index is the ONLY cross-batch state — one
+    (h, doc_id) row per distinct content ever seen; in production it
+    is a lakehouse table the anti-join probes (or a bloom-filter
+    pre-probe at 10^12 keys). The same loop upgrades to MinHash-band
+    signatures for NEAR-dup (l_dedup_near_minhash's banding) with the
+    anti-join on (band, sig) instead of md5."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = d.agg(F.percentile_approx("doc_id", 0.5).alias("m")).collect()[0]["m"]
+    first = d.filter(F.col("doc_id") <= mid)
+    second = d.filter(F.col("doc_id") > mid)
+
+    base = _tempfile.mkdtemp(prefix="sqlengine_dedup_stream_")
+    _atexit.register(_shutil.rmtree, base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+    state: dict[str, str | None] = {"index": None, "out": None}
+
+    def dedup_batch(batch_df, batch_id: int) -> None:
+        cand = (
+            batch_df.select(F.md5("text").alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if state["index"] is not None:
+            idx = spark.read.schema("h string").parquet(state["index"])
+            cand = cand.join(idx, "h", "left_anti")
+        out_v = _os.path.join(base, f"out_v{batch_id}")
+        idx_v = _os.path.join(base, f"idx_v{batch_id}")
+        prev = (
+            spark.read.schema("h string, doc_id long").parquet(state["out"])
+            if state["out"] is not None
+            else None
+        )
+        new_out = cand if prev is None else prev.unionByName(cand)
+        new_out.write.mode("overwrite").parquet(out_v)
+        spark.read.schema("h string, doc_id long").parquet(out_v).select(
+            "h"
+        ).write.mode("overwrite").parquet(idx_v)
+        state["out"], state["index"] = out_v, idx_v
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = _os.path.join(base, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for i, chunk in enumerate((first, second)):
+            stage_i = _os.path.join(base, f"stage{i}")
+            chunk.coalesce(1).write.parquet(stage_i)
+            for f in _os.listdir(stage_i):
+                if f.endswith(".parquet"):
+                    _shutil.copy(
+                        _os.path.join(stage_i, f),
+                        _os.path.join(src, f"chunk{i}.parquet"),
+                    )
+            q.processAllAvailable()
+        rows = spark.read.schema("h string, doc_id long").parquet(
+            state["out"]
+        ).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(rows, schema="h string, doc_id long")

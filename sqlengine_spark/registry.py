@@ -125,6 +125,7 @@ PRIORITY_ORDER = (
     "l_dedup_fuzzy",
     "l_dedup_incremental",
     "l_dedup_embedding",
+    "l_dedup_stream",
     "l_simjoin_containment",
     "l_simjoin_jaccard_hi",
     "l_simjoin_ngram",
