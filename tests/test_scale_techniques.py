@@ -145,3 +145,59 @@ def test_compaction_collapses_file_count(spark):
     n_big = len(glob.glob(f"{SCRATCH}/orders_compacted/part-*"))
     assert n_small == 64
     assert n_big <= n_small // 8, f"compaction left {n_big} files"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling, demonstrated END-TO-END at runtime (not
+    just described): a join where ~90% of left rows share one key is
+    executed under lowered skew thresholds, and the FINAL adaptive plan
+    must carry SortMergeJoin(skew=true) — OptimizeSkewedJoin split the
+    hot partition into sub-partitions, which is exactly the mechanism
+    that replaces manual salting (c_join_salted) on a 1000-executor
+    cluster. Values must equal the unhandled join's answer."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("rv"),
+        )
+        j = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        # ground truth from a deterministic no-skew-handling formula:
+        # every left row matches exactly one right row (k < 1000)
+        assert row["n"] == 200000
+        assert row["s"] == sum(range(200000))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
