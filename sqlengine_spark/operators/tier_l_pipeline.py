@@ -2200,3 +2200,51 @@ def l_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.createDataFrame(rows, schema="h string, doc_id long")
+
+
+def _bpe_ntokens_sql() -> str:
+    """DuckDB expression for l_bpe_encode's token count (same frozen
+    merge rules), shared by the encode and stats oracles."""
+    rep = "regexp_replace(replace(lower(text), ' ', '|'), '(.)', '\\1 ', 'g')"
+    expr = f"trim({rep})"
+    for a, b in BPE_ENCODE_MERGES:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    return (
+        f"len(list_filter(string_split({expr}, ' '), x -> x <> '|'))"
+    )
+
+
+@query(
+    "l_tokenizer_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_bpe_ntokens_sql()}) AS BIGINT) AS total_tokens,
+           ROUND(AVG({_bpe_ntokens_sql()}) * 100, 0) / 100 AS avg_tokens,
+           ROUND(SUM(n_chars) * 1.0 / SUM({_bpe_ntokens_sql()}) * 1e4, 0)
+               / 1e4 AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def l_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer EFFICIENCY report per language — chars-per-token (the
+    compression ratio) is the metric that drives real mixture and cost
+    decisions: a tokenizer that fragments one language inflates its
+    effective epoch cost and shrinks its effective context window, so
+    mixture weights and per-domain token budgets (l_domain_mix,
+    l_pack_sequences) must be stated in TOKENS, not bytes. Runs the
+    frozen-merge-table encode (l_bpe_encode's expression — shared
+    builder, zero drift) and aggregates by language.
+
+    Scale: encode is the map-only codegen replace chain; the rollup is
+    one |langs|-cardinality partial+final agg over it — the whole
+    report is a single corpus pass."""
+    d = table(spark, sf_dir, "documents")
+    enc = _bpe_encode_expr()
+    n_tok = F.size(F.filter(F.split(enc, " "), lambda x: x != "|"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        dround(F.avg(n_tok), 2).alias("avg_tokens"),
+        dround(F.sum("n_chars") / F.sum(n_tok), 4).alias("chars_per_token"),
+    )

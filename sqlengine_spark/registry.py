@@ -154,6 +154,7 @@ PRIORITY_ORDER = (
     "l_topic_cooccur",
     "l_tokens_zipf_fit",
     "l_bpe_encode",
+    "l_tokenizer_stats",
     "l_multimodal_header_parse",
     "l_fingerprint_winnow",
     "l_domain_mix",
