@@ -43,7 +43,7 @@ HEADLINE = [
     "l_sim_join_gemm",       # blocked-GEMM exact vector join (sim tier)
     "m_rolling_wau",         # tier M heavy: 7-day rolling distinct users
     "j_tumbling_1h_stream",  # true micro-batch streaming execution e2e
-    "l_simjoin_jaccard_hi",  # prefix-filtered postings plan at sf0.1
+    "l_simjoin_jaccard_hi",  # hi-tau Jaccard join: signature fast path at sf0.1
 ]
 # The similarity tier's benched row is l_sim_join_gemm, not
 # l_sim_join_lsh: at this corpus's only non-vacuous threshold (τ=0.4;
@@ -55,12 +55,18 @@ HEADLINE = [
 # where this corpus's answer is empty. The GEMM join is the honest
 # scale path for moderate-τ exact joins and its candidates are
 # data-bounded (920 true pairs at sf0.1).
-# The postings (inverted-index) plan IS benched at sf0.1 via
-# l_simjoin_jaccard_hi (round-4 verdict item 9): at J >= 0.97 the
-# answer on this corpus is the identical-token-set pairs (35 606 —
-# linear), the prefix filter collapses to ONE posting per doc, and the
-# full prefix-join + exact-verify pipeline gets a tracked number at the
-# largest local scale.
+# The high-tau Jaccard join IS benched at sf0.1 via
+# l_simjoin_jaccard_hi (round-4 verdict item 9) — but note WHICH plan
+# the tracked number measures (round-5 advice): on this corpus
+# n_max = 31 < tau/(1-tau), so the operator's runtime degeneracy test
+# fires and it takes the identical-set md5-SIGNATURE equi-grouping fast
+# path (asserted in tests/test_plans.py::
+# test_jaccard_hi_fast_path_is_signature_agg; 1.6 s vs 70.7 s for the
+# prefix plan on this corpus). The general-tau prefix-postings +
+# exact-verify pipeline remains the UNBENCHED fallback branch — it only
+# executes when n_max is large enough that non-identical sets can reach
+# tau (covered by tests, incl. the round-6 property test driving both
+# branches against the same oracle).
 # STILL not benched: l_simjoin_jaccard / l_simjoin_containment /
 # l_dedup_near_minhash at sf0.1 — the
 # synthetic corpus has a 31-token vocabulary, so the ANSWER itself is

@@ -819,7 +819,10 @@ def j_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
       as late rows — that path is j_watermark_late_drop's).
 
     Append-mode output across both batches must therefore equal the
-    batch DISTINCT oracle: one row per event id. Deterministic because
+    batch DISTINCT oracle: one row per distinct (event_id, event_type)
+    pair — the dedup keys on both columns so the equality holds even if
+    a future testdata drop duplicates ids across types (round-5
+    advice). Deterministic because
     batch order is explicit (files staged sequentially, one per
     trigger) and every duplicate is within-horizon by construction."""
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -840,7 +843,12 @@ def j_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
             .withWatermark("ts", "2 hours")
-            .dropDuplicatesWithinWatermark(["event_id"])
+            # Key on BOTH output columns so the append output equals the
+            # DISTINCT (event_id, event_type) oracle for ANY data — not
+            # just data where event_id is a unique key (round-5 advice:
+            # testdata can drift; id-only keying would emit one
+            # nondeterministic row per duplicated id).
+            .dropDuplicatesWithinWatermark(["event_id", "event_type"])
             .select("event_id", "event_type")
         )
         q = (

@@ -2119,7 +2119,15 @@ def l_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     - cross-batch: LEFT ANTI join against the 16-byte hash index —
       batch cost scales with |batch| · log|index|, INDEPENDENT of
       corpus text size (the index never stores text);
-    - survivors append to both the index and the output.
+    - survivors APPEND to both the index and the output: each
+      micro-batch writes ONLY its own survivor rows into a fresh
+      ``batch<N>/`` subdirectory of the output and index dirs
+      (round-5 verdict item 2 — the previous shape unioned and
+      rewrote the full accumulated set every batch, making per-batch
+      I/O O(|corpus|); now written bytes per batch ∝ |batch
+      survivors|, pytest-asserted in tests/test_pipeline.py). The
+      per-batch-subdir overwrite is also idempotent under foreachBatch
+      retries, which a bare ``mode("append")`` is not.
 
     First-seen-wins over ordered batches ≡ global MIN(doc_id) per
     hash, which is exactly l_dedup_exact's keep set — the oracle
@@ -2147,7 +2155,14 @@ def l_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _atexit.register(_shutil.rmtree, base, ignore_errors=True)
     src = _os.path.join(base, "src")
     _os.makedirs(src)
-    state: dict[str, str | None] = {"index": None, "out": None}
+    out_dir = _os.path.join(base, "out")
+    idx_dir = _os.path.join(base, "index")
+    state = {"committed": 0}
+
+    def _read_index():
+        return spark.read.schema("h string").option(
+            "recursiveFileLookup", "true"
+        ).parquet(idx_dir)
 
     def dedup_batch(batch_df, batch_id: int) -> None:
         cand = (
@@ -2155,22 +2170,19 @@ def l_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("h")
             .agg(F.min("doc_id").alias("doc_id"))
         )
-        if state["index"] is not None:
-            idx = spark.read.schema("h string").parquet(state["index"])
-            cand = cand.join(idx, "h", "left_anti")
-        out_v = _os.path.join(base, f"out_v{batch_id}")
-        idx_v = _os.path.join(base, f"idx_v{batch_id}")
-        prev = (
-            spark.read.schema("h string, doc_id long").parquet(state["out"])
-            if state["out"] is not None
-            else None
-        )
-        new_out = cand if prev is None else prev.unionByName(cand)
-        new_out.write.mode("overwrite").parquet(out_v)
-        spark.read.schema("h string, doc_id long").parquet(out_v).select(
+        if state["committed"]:
+            cand = cand.join(_read_index(), "h", "left_anti")
+        # Append-only commit: this batch's survivors land in their own
+        # subdirectory (never touching prior batches' files); the index
+        # projection reads back the just-written survivors so the agg
+        # plan runs once. I/O per batch ∝ |batch survivors|.
+        out_b = _os.path.join(out_dir, f"batch{batch_id}")
+        idx_b = _os.path.join(idx_dir, f"batch{batch_id}")
+        cand.write.mode("overwrite").parquet(out_b)
+        spark.read.schema("h string, doc_id long").parquet(out_b).select(
             "h"
-        ).write.mode("overwrite").parquet(idx_v)
-        state["out"], state["index"] = out_v, idx_v
+        ).write.mode("overwrite").parquet(idx_b)
+        state["committed"] += 1
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -2194,9 +2206,9 @@ def l_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _os.path.join(src, f"chunk{i}.parquet"),
                     )
             q.processAllAvailable()
-        rows = spark.read.schema("h string, doc_id long").parquet(
-            state["out"]
-        ).collect()
+        rows = spark.read.schema("h string, doc_id long").option(
+            "recursiveFileLookup", "true"
+        ).parquet(out_dir).collect()
     finally:
         q.stop()
     return spark.createDataFrame(rows, schema="h string, doc_id long")

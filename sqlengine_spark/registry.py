@@ -25,23 +25,24 @@ _ORACLES: dict[str, str] = {}
 #: The driver's CORRECTNESS pass checks the FIRST 50 keys of
 #: ``queries()`` in dict order (round-2 finding), so this list spends
 #: that window deliberately — and ROTATES it each round so that over
-#: rounds every key earns a real driver row. Round-5 rotation (per the
-#: round-4 verdict): keep the 12 per-tier anchors as slots 1-12, spend
-#: slots 13-48 on 36 never-driver-checked ORACLED keys (riskiest first:
-#: streaming engine variants, k_map_in_arrow, catalog/sink/maintenance,
-#: the two rule-9 float-grid fixes m_ts_changepoint / m_ts_lttb, and
-#: the round-4b graph/DML/ANN batch), and slots 49-50 on the LAST two
-#: §2 keys with zero driver evidence ever (``i_sample``,
-#: ``j_watermark_late_drop`` — rows-only by design, recording ran-clean
-#: rows the way r4 did for the LSH/IVF/MinHash scale paths). The ROUND-6
-#: and ROUND-7 windows are pre-staged as the next two ordered blocks so
-#: each future rotation is a block swap, not a re-plan: r6 = TPC-H +
-#: tier-M + dedup/sim-join + join-strategy batch (+ the HLL/Theta
-#: rows-only pair), r7 = text/pipeline/scan/agg batch (+ 2 rows-only),
-#: r8 = the mechanical h_*/g_* remainder + remaining rows-only. Keys
-#: verified in r1-r4 sit dead last (they re-verify if the window ever
-#: widens). tests/test_registry_order.py pins this list to the registry
-#: 1:1 so a new registration without an explicit slot fails CI.
+#: rounds every key earns a real driver row. Round-6 rotation (per the
+#: round-5 verdict item 1): keep the 12 per-tier anchors as slots 1-12,
+#: spend slots 13-48 on 36 never-driver-checked ORACLED keys (the
+#: pre-staged r6 block: TPC-H t_q03..t_q19, tier-M time-series, the
+#: dedup/sim-join batch incl. the round-6-reworked l_dedup_stream /
+#: l_simjoin_jaccard_hi, join-strategy keys, dynamic-partition
+#: overwrite), and slots 49-50 on the HLL/Theta sketch pair (rows-only
+#: by design — merge/set-op results of approximate sketches, recording
+#: ran-clean rows the way r4/r5 did for the other approx paths). Four
+#: oracled keys from the original r6 queue (l_corpus_divergence,
+#: l_hybrid_search, l_sim_search_batch, m_attribution_last_touch) are
+#: deferred to the r7 queue head to fit the 38-slot budget. The ROUND-7
+#: window is pre-staged as the next ordered block so each future
+#: rotation is a block swap, not a re-plan: r7 = text/pipeline/scan/agg
+#: batch, r8 = the mechanical h_*/g_* remainder + remaining rows-only.
+#: Keys verified in r1-r5 sit dead last (they re-verify if the window
+#: ever widens). tests/test_registry_order.py pins this list to the
+#: registry 1:1 so a new registration without an explicit slot fails CI.
 PRIORITY_ORDER = (
     # -- slots 1-12: one representative per tier a..l (window anchor) --
     "a_scan_parquet",
@@ -56,47 +57,7 @@ PRIORITY_ORDER = (
     "j_tumbling_1h",
     "k_udf_pandas_scalar",
     "l_dedup_exact",
-    # -- slots 13-48: ROUND-5 window — never-driver-checked, oracled --
-    "c_join_bucketed_colocated",
-    "l_graph_pagerank",
-    "n_time_travel",
-    "d_agg_quantile_rollup",
-    "l_embedding_pca",
-    "c_join_spatial_grid",
-    "l_pipeline_end2end",
-    "l_triplet_mine",
-    "a_scan_binaryfile",
-    "h_sql_params",
-    "j_tumbling_available_now",
-    "j_stream_stream_join",
-    "j_stateful_stream",
-    "j_session_30m_stream",
-    "j_sliding_1h_15m_stream",
-    "j_stream_join_static_stream",
-    "j_foreach_batch_upsert",
-    "k_map_in_arrow",
-    "m_ts_changepoint",
-    "m_ts_lttb",
-    "e_win_named_window",
-    "n_scd2_history",
-    "n_merge_on_read_delete",
-    "a_table_ctas_catalog",
-    "a_sink_zorder",
-    "a_maintenance_compaction",
-    "a_scan_csv_malformed",
-    "a_scan_schema_merge",
-    "a_dq_audit",
-    "l_sim_join_gemm",
-    "d_agg_heavy_hitters",
-    "d_agg_countmin",
-    "l_bm25_search",
-    "c_join_interval",
-    "l_dedup_cluster",
-    "l_stratified_split",
-    # -- slots 49-50: last zero-evidence §2 keys (rows-only ran-clean) -
-    "i_sample",
-    "j_watermark_late_drop",
-    # -- ROUND-6 QUEUE (swap this block up to slots 13-50 next round) ---
+    # -- slots 13-48: ROUND-6 window — never-driver-checked, oracled --
     "j_dedup_within_watermark",
     "t_q03_shipping",
     "t_q04_order_priority",
@@ -114,7 +75,6 @@ PRIORITY_ORDER = (
     "m_ts_twa",
     "m_ts_rollup_2level",
     "m_event_transitions",
-    "m_attribution_last_touch",
     "m_ts_ewma",
     "m_ts_seasonal",
     "m_ts_interpolate",
@@ -134,12 +94,14 @@ PRIORITY_ORDER = (
     "c_join_mark_exists",
     "c_join_pit_features",
     "n_insert_overwrite_dynamic",
+    # -- slots 49-50: HLL/Theta sketch pair (rows-only ran-clean) ------
+    "d_agg_hll_merge",
+    "d_agg_theta_setops",
+    # -- ROUND-7 QUEUE (swap this block up to slots 13-50 next round) --
+    "m_attribution_last_touch",
     "l_corpus_divergence",
     "l_hybrid_search",
     "l_sim_search_batch",
-    "d_agg_hll_merge",
-    "d_agg_theta_setops",
-    # -- ROUND-7 QUEUE ------------------------------------------------
     "m_ts_ffill",
     "m_ts_zscore_roll",
     "m_ts_autocorr",
@@ -209,7 +171,45 @@ PRIORITY_ORDER = (
     "l_kmeans_assign",
     "l_bpe_train",
     "l_sim_search_pq",
-    # -- verified in r1-r4 (dead last; re-verify if window widens) -----
+    # -- verified in r1-r5 (dead last; re-verify if window widens) -----
+    "c_join_bucketed_colocated",
+    "l_graph_pagerank",
+    "n_time_travel",
+    "d_agg_quantile_rollup",
+    "l_embedding_pca",
+    "c_join_spatial_grid",
+    "l_pipeline_end2end",
+    "l_triplet_mine",
+    "a_scan_binaryfile",
+    "h_sql_params",
+    "j_tumbling_available_now",
+    "j_stream_stream_join",
+    "j_stateful_stream",
+    "j_session_30m_stream",
+    "j_sliding_1h_15m_stream",
+    "j_stream_join_static_stream",
+    "j_foreach_batch_upsert",
+    "k_map_in_arrow",
+    "m_ts_changepoint",
+    "m_ts_lttb",
+    "e_win_named_window",
+    "n_scd2_history",
+    "n_merge_on_read_delete",
+    "a_table_ctas_catalog",
+    "a_sink_zorder",
+    "a_maintenance_compaction",
+    "a_scan_csv_malformed",
+    "a_scan_schema_merge",
+    "a_dq_audit",
+    "l_sim_join_gemm",
+    "d_agg_heavy_hitters",
+    "d_agg_countmin",
+    "l_bm25_search",
+    "c_join_interval",
+    "l_dedup_cluster",
+    "l_stratified_split",
+    "i_sample",
+    "j_watermark_late_drop",
     "e_win_ntile_pct",
     "e_win_first_last",
     "t_q02_min_cost_supp",

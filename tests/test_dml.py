@@ -126,7 +126,7 @@ def test_dynamic_overwrite_leaves_other_partitions_untouched(spark):
 
     base = os.path.join(SCRATCH, "orders_dyn_overwrite")
 
-    # run once to lay the snapshot down, snapshot non-urgent file stats
+    # run once so the partitioned snapshot is laid down
     all_queries()["n_insert_overwrite_dynamic"](spark, sf_dir).count()
 
     def part_files():
@@ -135,7 +135,8 @@ def test_dynamic_overwrite_leaves_other_partitions_untouched(spark):
             if d.startswith("o_orderpriority=") and "URGENT" not in d:
                 p = os.path.join(base, d)
                 out[d] = sorted(
-                    (f, os.path.getmtime(os.path.join(p, f)))
+                    (f, os.path.getsize(os.path.join(p, f)),
+                     os.path.getmtime(os.path.join(p, f)))
                     for f in os.listdir(p)
                     if f.endswith(".parquet")
                 )
@@ -143,12 +144,23 @@ def test_dynamic_overwrite_leaves_other_partitions_untouched(spark):
 
     before = part_files()
     assert len(before) == 4, sorted(before)
-    # second run overwrites the base AND the urgent partition again;
-    # the non-urgent partitions written in THIS run's base load must
-    # survive its dynamic overwrite step identically (checked within
-    # one invocation: re-invoke and re-snapshot)
-    all_queries()["n_insert_overwrite_dynamic"](spark, sf_dir).count()
+    # Now perform ANOTHER dynamic overwrite of ONLY the urgent
+    # partition directly against the laid-down snapshot (no base-load
+    # rewrite in between — that was the round-5 advisor's gap: across
+    # full re-invocations the base load rewrites everything, so only
+    # the directory SET could be compared). The non-urgent partitions'
+    # data files must be byte-for-byte untouched: same names, sizes,
+    # and mtimes.
+    urgent = spark.read.parquet(base).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    (
+        urgent.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(base)
+    )
     after = part_files()
-    assert set(after) == set(before)
+    assert after == before, "non-urgent partition files changed"
     for d in after:
-        assert [f for f, _ in after[d]], f"partition {d} emptied"
+        assert [f for f, _, _ in after[d]], f"partition {d} emptied"
