@@ -227,16 +227,30 @@ def l_simjoin_jaccard_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature route is what a 100 TB near-dup pass does first
     anyway (exact-set dedup before any similarity machinery); the
     general-τ prefix join (l_simjoin_jaccard) remains the fallback
-    branch when the data's n_max defeats the bound."""
+    branch when the data's n_max defeats the bound.
+
+    Single corpus scan (round-5 verdict item 3): the per-doc sorted
+    distinct-token arrays are tokenized ONCE and local-checkpointed
+    (materialized, lineage cut) — the n_max bound check, the signature
+    aggregation, AND the fallback's postings/verify all derive from
+    that materialized frame, so documents.parquet is scanned exactly
+    once per invocation in either branch (asserted in test_plans.py).
+    localCheckpoint (not persist) keeps repeat invocations honest: a
+    lingering cached plan would let a re-bench skip the scan (CLAUDE.md
+    rule 8a); checkpoints are per-invocation. At 100 TB the same role
+    is played by a staged tokens table."""
     tau_num, tau_den = 97, 100
     d = table(spark, sf_dir, "documents")
-    tok = _tokens(d)
-    n_max = tok.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    per_doc = (
+        _tokens(d)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("t")).alias("ts"))
+        .localCheckpoint()  # one tokenize pass, reused by every branch
+    )
+    n_max = per_doc.agg(F.max(F.size("ts"))).collect()[0][0]
     if n_max is not None and tau_num * n_max > tau_den * (n_max - 1):
-        sig = tok.groupBy("doc_id").agg(
-            F.md5(
-                F.array_join(F.array_sort(F.collect_set("t")), "\x01")
-            ).alias("sig")
+        sig = per_doc.select(
+            "doc_id", F.md5(F.array_join("ts", "\x01")).alias("sig")
         )
         sa = sig.select(F.col("doc_id").alias("doc_a"), "sig")
         sb = sig.select(F.col("doc_id").alias("doc_b"), "sig")
@@ -245,6 +259,7 @@ def l_simjoin_jaccard_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
         )
+    tok = per_doc.select("doc_id", F.explode("ts").alias("t"))
     pref = _prefix_postings(tok, tau_num=tau_num, tau_den=tau_den)
     pa = pref.select(F.col("doc_id").alias("doc_a"), "t")
     pb = pref.select(F.col("doc_id").alias("doc_b"), "t")

@@ -751,14 +751,21 @@ def test_bpe_encode_map_only(spark):
 
 def test_jaccard_hi_fast_path_is_signature_agg(spark):
     """At tau > (n_max-1)/n_max the threshold join must take the
-    identical-set signature route: a collect_set aggregation + ONE
-    sig-keyed self-join — and no postings (token) join, no distinct, no
-    cartesian anywhere."""
+    identical-set signature route: ONE sig-keyed self-join over the
+    single local-checkpointed tokenize pass — no postings (token)
+    join, no cartesian, and (round-6, verdict item 3) no re-scan of
+    documents.parquet anywhere in the result plan: both join sides
+    read the materialized per-doc token frame (Scan ExistingRDD), so
+    the corpus is scanned exactly once per invocation (inside the
+    checkpoint job)."""
     import re
 
     plan = _plan(spark, "l_simjoin_jaccard_hi")
-    assert "collect_set" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # single-scan: the result plan reads the checkpointed frame, never
+    # the parquet source (which would mean a second tokenize pass)
+    assert "Scan parquet" not in plan, "documents re-scanned"
+    assert "ExistingRDD" in plan
     # exactly one equi-join NODE (on the signature), not the
     # cand+verify trio — count the numbered detail headers
     joins = re.findall(

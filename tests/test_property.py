@@ -477,3 +477,108 @@ def test_window_sum_round_first_derivation(spark, half_groups, avg_cents, noise,
     _, s_canon = canon_rows(list(sdf.columns), srows)
     _, d_canon = canon_rows(dcols, drows)
     assert s_canon == d_canon
+
+
+# ---------------------------------------------------------------------------
+# Round-6 (verdict item 6): drive BOTH branches of l_simjoin_jaccard_hi —
+# the identical-set signature fast path AND the prefix-postings fallback —
+# against the same DuckDB oracle. On the shipped corpus only the signature
+# branch ever fires (n_max = 31 < tau/(1-tau)); here Hypothesis builds
+# corpora whose n_max straddles the bound (n_max >= 34 forces the
+# fallback at tau = 0.97, n_max <= 33 the fast path) with planted
+# identical pairs and 33-of-34 proper-subset pairs (J = 33/34 ~ 0.9706)
+# so the fallback's answer is non-trivially non-empty.
+# ---------------------------------------------------------------------------
+
+_VOCAB = [f"w{i:02d}" for i in range(60)]
+
+
+@st.composite
+def _jaccard_corpus(draw, force_fallback: bool):
+    docs = []
+    if force_fallback:
+        # anchor doc with >= 34 distinct tokens pushes n_max past the
+        # degeneracy bound; its 33-token proper subset is a true >= 0.97
+        # pair that ONLY the general prefix+verify path can find
+        anchor = draw(
+            st.lists(
+                st.sampled_from(_VOCAB), min_size=34, max_size=40, unique=True
+            )
+        )
+        docs.append(anchor)
+        docs.append(anchor[:-1])
+    n_extra = draw(st.integers(min_value=2, max_value=6))
+    for _ in range(n_extra):
+        size = draw(st.integers(min_value=1, max_value=20))
+        docs.append(
+            draw(
+                st.lists(
+                    st.sampled_from(_VOCAB),
+                    min_size=size,
+                    max_size=size,
+                    unique=True,
+                )
+            )
+        )
+    # plant an identical duplicate so the signature path's answer is
+    # non-empty too
+    dup_of = draw(st.integers(min_value=0, max_value=len(docs) - 1))
+    docs.append(list(docs[dup_of]))
+    return [" ".join(toks) for toks in docs]
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_jaccard_hi_both_branches_match_oracle(spark, force_fallback, data):
+    import os
+    import shutil
+    import tempfile
+
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    texts = data.draw(_jaccard_corpus(force_fallback))
+    base = tempfile.mkdtemp(prefix="sqlengine_jacprop_")
+    try:
+        pdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            schema="doc_id long, text string",
+        )
+        pdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        # branch precondition: the generator must actually straddle the
+        # bound (tau=0.97 -> fallback iff n_max >= 34)
+        n_max = max(len(set(t.split(" "))) for t in texts)
+        assert (n_max >= 34) == force_fallback
+
+        result = all_queries()["l_simjoin_jaccard_hi"](spark, base)
+        got = canon_rows(result.columns, result.collect())
+
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(base, 'documents.parquet')}/*.parquet')"
+            )
+            cur = con.execute(all_oracles()["l_simjoin_jaccard_hi"])
+            cols = [d[0] for d in cur.description]
+            want = canon_rows(cols, cur.fetchall())
+        finally:
+            con.close()
+        assert got == want
+        if force_fallback:
+            # the planted subset pair is a non-identical >= 0.97 match:
+            # the fallback must have found at least one J < 1.0 pair
+            assert any(r[-1] != "1.0" for r in want) or any(
+                "0.97" in str(r) for r in want
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
