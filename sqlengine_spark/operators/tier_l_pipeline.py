@@ -2190,6 +2190,12 @@ def l_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     ckpt = _os.path.join(base, "ckpt")
+    from sqlengine_spark.operators.tier_j_streaming import (
+        _pin_partitions,
+        _restore_partitions,
+    )
+
+    _prev_parts = _pin_partitions(spark)
     q = (
         stream.writeStream.foreachBatch(dedup_batch)
         .option("checkpointLocation", ckpt)
@@ -2211,6 +2217,7 @@ def l_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(out_dir).collect()
     finally:
         q.stop()
+        _restore_partitions(spark, _prev_parts)
     return spark.createDataFrame(rows, schema="h string, doc_id long")
 
 
