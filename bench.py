@@ -44,6 +44,9 @@ HEADLINE = [
     "m_rolling_wau",         # tier M heavy: 7-day rolling distinct users
     "j_tumbling_1h_stream",  # true micro-batch streaming execution e2e
     "l_simjoin_jaccard_hi",  # hi-tau Jaccard join: signature fast path at sf0.1
+    "l_bpe_encode",          # map-only codegen BPE pass (the op that
+                             # touches 100 TB in production; r5 verdict
+                             # item 7 — first tracked number)
 ]
 # The similarity tier's benched row is l_sim_join_gemm, not
 # l_sim_join_lsh: at this corpus's only non-vacuous threshold (τ=0.4;

@@ -138,16 +138,39 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Per-session memo of registered table views: name -> (sf_dir, df).
+#: Weak-keyed on the SparkSession so a driver that cycles sessions
+#: never sees a stale catalog.
+_VIEW_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
     """Register the given tables (default: all) as temp views so the SQL
     and DataFrame entry points share one catalog (SURVEY §3.1-3.2).
     Queries pass only the tables they touch, so an unreadable table can
-    never take down unrelated queries (round-1 blast-radius lesson)."""
+    never take down unrelated queries (round-1 blast-radius lesson).
+
+    Registration is memoized per (session, table, sf_dir) — round-5
+    verdict item 4: re-reading the parquet footer and re-registering
+    the view cost ~34 ms per 3-table SQL query in pure Py4J/driver
+    round trips, a fixed tax on every sub-second anchor. A request for
+    the same table at a DIFFERENT sf_dir re-registers (the driver runs
+    sf0.001 smoke then sf0.01 checks in one session). No operator
+    overwrites these canonical views (grep-audited), so a memo hit
+    can never serve a stale frame."""
+    cache = _VIEW_CACHE.setdefault(spark, {})
     out: dict[str, DataFrame] = {}
     for name in names:
+        hit = cache.get(name)
+        if hit is not None and hit[0] == sf_dir:
+            out[name] = hit[1]
+            continue
         df = table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
+        cache[name] = (sf_dir, df)
         out[name] = df
     return out
