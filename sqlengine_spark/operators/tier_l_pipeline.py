@@ -2267,3 +2267,198 @@ def l_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg(n_tok), 2).alias("avg_tokens"),
         dround(F.sum("n_chars") / F.sum(n_tok), 4).alias("chars_per_token"),
     )
+
+
+@query(
+    "l_dsir_weight",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    gi AS (
+        SELECT doc_id, source, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM w
+    ),
+    gb AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 8))::BIGINT
+                   % 64 AS b
+        FROM gi
+    ),
+    bs AS (
+        SELECT b,
+               CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS cs
+        FROM gb GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns
+        FROM bs
+    ),
+    lb AS (
+        SELECT b,
+               CAST(ROUND(ln(((ct + 1) * (ns + 64)) * 1.0
+                              / ((cs + 1) * (nt + 64))) * 1e4, 0)
+                    AS BIGINT) AS l
+        FROM bs, tot
+    ),
+    db AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM gb GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(SUM(n * l) AS BIGINT) AS w_fp
+    FROM db JOIN lb USING (b) GROUP BY doc_id
+    """,
+)
+def l_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") — the
+    distribution-matching curation pass: score every raw document by
+    how much more likely its hashed n-gram features are under a target
+    corpus than under the raw corpus, then resample by weight. Here
+    the 'src0' source plays the target domain and the full corpus the
+    raw pool; features are word bigrams hashed into 64 buckets
+    (production: 10k buckets over uni+bigrams — same plan, bigger
+    broadcast).
+
+    Per bucket b with target count ct, corpus count cs and totals
+    nt/ns, the Laplace-smoothed log-likelihood ratio is
+    ln(((ct+1)/(nt+64)) / ((cs+1)/(ns+64))). DETERMINISM: that ratio
+    is quantized ONCE PER BUCKET to fixed-point 1e-4 (ROUND(ln(r)*1e4)
+    -> BIGINT l), and each document's weight is the pure-integer
+    Σ n_b · l_b — float association order, shuffle order, and
+    engine-specific SUM trees can never flip a bit (CLAUDE.md rule 9
+    class). The only cross-engine float op left is one ln() per
+    bucket; ties at the 1e-4 grid boundary would need |1e4·ln(r) −
+    k−0.5| < ~1e-12 (stress-checked at sf0.01 and sf0.1). The hash is
+    the repo's md5-prefix idiom (l_shuffle_shard), bit-identical in
+    both engines.
+
+    Scale: one corpus tokenize pass -> (a) a 64-row bucket-stats agg
+    (map-side partial, broadcast back), (b) a (doc_id, bucket) count
+    agg keyed on doc_id. No cross join, no all-pairs anything; the
+    bucket table broadcast is |buckets| rows regardless of corpus
+    size. This is the linear two-pass shape DSIR runs at 100 TB, and
+    bucket count trades bias for broadcast size without changing the
+    plan."""
+    n_b = 64
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        # 1-word docs have no bigram: sequence(1,0) would DESCEND in
+        # Spark while generate_series(1,0) is empty in DuckDB
+        .filter(F.size("ws") >= 2)
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    gb = grams.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+            % n_b
+        ).alias("b"),
+    )
+    bs = gb.groupBy("b").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("ct"),
+        F.count("*").alias("cs"),
+    )
+    tot = bs.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cs").cast("bigint").alias("ns"),
+    )
+    lb = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("ns") + n_b))
+                / ((F.col("cs") + 1) * (F.col("nt") + n_b))
+            )
+            * 1e4,
+            0,
+        )
+        .cast("bigint")
+        .alias("l"),
+    )
+    db = gb.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    return (
+        db.join(F.broadcast(lb), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("l")).cast("bigint").alias("w_fp"))
+    )
+
+
+@query(
+    "l_quality_gate_domain",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source,
+               CAST(ROUND(n_chars * 1e4
+                          / len(string_split(text, ' ')), 0) AS BIGINT)
+                   AS score_fp
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score_fp DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM s
+    )
+    SELECT doc_id, source, score_fp, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= (cnt + 1) // 2
+    """,
+)
+def l_quality_gate_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-RELATIVE quality gating (the FineWeb/DCLM recipe step):
+    rank documents by a quality score WITHIN each source domain and
+    keep each domain's top half — absolute-threshold gates silently
+    empty out whole domains whose score distribution sits low (code,
+    forums), while a per-domain percentile keeps the mixture intact.
+    Score here is fixed-point mean word length (n_chars·1e4 /
+    n_words -> BIGINT: one exact division then ROUND, no float
+    accumulation anywhere); production swaps in any model/heuristic
+    score column without touching the gate.
+
+    Deterministic: the window order (score_fp DESC, doc_id) is a total
+    order (doc_id unique), and the keep rule rn <= (cnt+1) div 2 is
+    pure integer arithmetic (CLAUDE.md rule 5).
+
+    Scale: ONE shuffle keyed on the domain; ranking is per-partition
+    (no global sort). A skewed mega-domain salts into sub-ranks the
+    way d_agg_salted does, or swaps row_number for an approx-quantile
+    cutoff computed per domain (two passes, no full sort) — same gate
+    semantics."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(
+            F.col("n_chars") * 1e4 / F.size(F.split("text", " ")), 0
+        )
+        .cast("bigint")
+        .alias("score_fp"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_fp").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "doc_id",
+        "source",
+        "score_fp",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return r.filter(
+        F.col("rn") <= (F.col("cnt") + 1) / F.lit(2).cast("bigint")
+    ).select("doc_id", "source", "score_fp", "rn")

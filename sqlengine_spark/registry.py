@@ -155,6 +155,8 @@ PRIORITY_ORDER = (
     "k_udtf_polymorphic",
     "i_sample_stratified",
     "l_text_langid",
+    "l_dsir_weight",
+    "l_quality_gate_domain",
     # -- ROUND-8 remainder (15 fresh; rest of window re-verifies) ------
     "g_except_all",
     "g_intersect_all",

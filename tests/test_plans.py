@@ -158,6 +158,8 @@ CARTESIAN_WHITELIST = {
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
     "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
     "l_bm25_search",            # 1-row corpus avgdl scalar broadcast
+    "l_dsir_weight",            # 1-row gram-total scalar broadcast into
+                                # the 64-row bucket table
     "l_sim_join_gemm",          # 36-row block-pair table broadcast (the
                                 # OR-condition fan-out join); the GEMM
                                 # itself is per-block-pair applyInPandas
