@@ -47,6 +47,9 @@ HEADLINE = [
     "l_bpe_encode",          # map-only codegen BPE pass (the op that
                              # touches 100 TB in production; r5 verdict
                              # item 7 — first tracked number)
+    "t_q09_product_profit",  # TPC-H tier's tracked row (round 6): the
+                             # 5-way join tree + two-level agg — the
+                             # deepest join pipeline in the registry
 ]
 # The similarity tier's benched row is l_sim_join_gemm, not
 # l_sim_join_lsh: at this corpus's only non-vacuous threshold (τ=0.4;

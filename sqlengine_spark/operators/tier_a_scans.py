@@ -788,3 +788,92 @@ def a_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter(F.col("lang") == "en")
     )
+
+
+@query(
+    "a_sink_python_datasource",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def a_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source WRITER — the sink half of the custom
+    connector story (a_scan_python_datasource is the reader half): a
+    pure-Python ``DataSourceWriter`` whose ``write(iterator)`` runs ON
+    THE EXECUTORS (one task per input partition, rows arriving over
+    Arrow), emits one JSONL shard per task, and returns a
+    ``WriterCommitMessage`` naming the shard; the driver-side
+    ``commit(messages)`` then publishes a manifest listing EXACTLY the
+    committed shards. The read-back goes through the manifest, so a
+    speculative/failed task's orphan file can never leak into the
+    result — that two-phase commit is the part of a custom sink people
+    get wrong, and it is what the oracle hash-check exercises here.
+
+    Scale: per-task shard writes parallelize like any file sink
+    (local-FS paths here stand in for shared storage on a cluster);
+    the commit is O(|tasks|) driver work, the same contract every
+    lakehouse committer implements. Rows cross Python via Arrow
+    batches; the 4-partition repartition pins a multi-task write so
+    the commit protocol is actually exercised."""
+    import glob as _glob
+    import json as _json
+    import uuid as _uuid
+    from dataclasses import dataclass as _dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    stage = _scratch("docsink_jsonl")
+    os.makedirs(stage, exist_ok=True)
+
+    @_dataclass
+    class _ShardCommit(WriterCommitMessage):
+        path: str
+
+    class DocSinkWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def write(self, iterator):
+            shard = os.path.join(
+                self.dir, f"task-{_uuid.uuid4().hex}.jsonl"
+            )
+            with open(shard, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+            return _ShardCommit(path=shard)
+
+        def commit(self, messages):
+            manifest = {"shards": sorted(m.path for m in messages)}
+            with open(os.path.join(self.dir, "_manifest.json"), "w") as fh:
+                _json.dump(manifest, fh)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class DocSinkSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "docsink"
+
+        def writer(self, schema, overwrite):
+            return DocSinkWriter(self.options)
+
+    spark.dataSource.register(DocSinkSource)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    (
+        d.repartition(4)
+        .write.format("docsink")
+        .option("path", stage)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(stage, "_manifest.json")) as fh:
+        shards = _json.load(fh)["shards"]
+    assert shards, "python sink committed no shards"
+    return spark.read.schema("doc_id long, lang string, n_chars long").json(
+        shards
+    )

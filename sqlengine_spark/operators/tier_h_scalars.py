@@ -1042,3 +1042,54 @@ def h_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rt == F.col("text")).alias("aes_roundtrip_ok"),
         F.length(ct).cast("bigint").alias("ct_len"),
     )
+
+
+@query(
+    "h_sql_variables",
+    oracle="""
+    WITH cut AS (
+        SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS cutoff FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent
+    FROM orders, cut
+    WHERE o_orderdate > cutoff
+    GROUP BY o_orderstatus
+    """,
+)
+def h_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SESSION VARIABLES (Spark 4: ``DECLARE VARIABLE`` / ``SET
+    VAR``) — the multi-statement scripting surface: a variable is
+    declared, assigned from a scalar query, then referenced by a later
+    statement, exactly how parameterized report scripts and procedural
+    jobs thread values between statements without driver round-trips
+    through Python. ``DECLARE OR REPLACE`` keeps the operator
+    idempotent under repeat invocation (the variable is session-scoped
+    state). The cutoff is a DATE-ARITHMETIC value (max order date − 90
+    days) — pure integer-day arithmetic, so the variable's value is
+    bit-identical in both engines (no float-sum threshold, CLAUDE.md
+    rule 9 class); the oracle inlines the same scalar via a CTE.
+
+    Scale: ``SET VAR`` runs the scalar subquery as its own bounded job
+    and stores ONE value in the session — the later statement sees a
+    literal, so the filter pushes down to the scan exactly as if
+    hand-inlined (no re-evaluation, no join against the scalar)."""
+    load_tables(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE recent_cutoff TIMESTAMP")
+    spark.sql(
+        "SET VAR recent_cutoff ="
+        " (SELECT MAX(o_orderdate) - INTERVAL 90 DAYS FROM orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_urgent
+        FROM orders
+        WHERE o_orderdate > recent_cutoff
+        GROUP BY o_orderstatus
+        """
+    )

@@ -157,6 +157,8 @@ PRIORITY_ORDER = (
     "l_text_langid",
     "l_dsir_weight",
     "l_quality_gate_domain",
+    "a_sink_python_datasource",
+    "h_sql_variables",
     # -- ROUND-8 remainder (15 fresh; rest of window re-verifies) ------
     "g_except_all",
     "g_intersect_all",
