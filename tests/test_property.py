@@ -582,3 +582,65 @@ def test_jaccard_hi_both_branches_match_oracle(spark, force_fallback, data):
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: l_dsir_weight cross-engine determinism on arbitrary corpora.
+# The operator's only cross-engine float op is ONE ln() per bucket,
+# quantized to a 1e-4 grid before the pure-integer per-doc sum — this
+# hunts for grid-boundary flips (Java Math.log vs libm log last-ulp)
+# over random gram/source distributions, including corpora with no
+# 'src0' target docs at all (ct=0 everywhere).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_dsir_weight_matches_oracle_on_random_corpora(spark, data):
+    import os
+    import shutil
+    import tempfile
+
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    vocab = [f"w{i}" for i in range(12)]
+    n_docs = data.draw(st.integers(min_value=3, max_value=10))
+    rows = []
+    for i in range(n_docs):
+        n_words = data.draw(st.integers(min_value=2, max_value=30))
+        words = [
+            vocab[data.draw(st.integers(0, len(vocab) - 1))]
+            for _ in range(n_words)
+        ]
+        src = data.draw(st.sampled_from(["src0", "src1", "src2"]))
+        rows.append((i, " ".join(words), src))
+    base = tempfile.mkdtemp(prefix="sqlengine_dsirprop_")
+    try:
+        spark.createDataFrame(
+            rows, schema="doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        result = all_queries()["l_dsir_weight"](spark, base)
+        got = canon_rows(result.columns, result.collect())
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(base, 'documents.parquet')}/*.parquet')"
+            )
+            cur = con.execute(all_oracles()["l_dsir_weight"])
+            cols = [d[0] for d in cur.description]
+            want = canon_rows(cols, cur.fetchall())
+        finally:
+            con.close()
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
