@@ -54,6 +54,17 @@ def get_spark(app_name: str = "sqlengine_spark") -> SparkSession:
         # shuffles carry 10-30 MiB and want the parallelism. The
         # one-off win it was adopted on (c_join_3way 0.81->0.62) did
         # not reproduce under paired measurement; host noise.
+        # Local split sizing (round 6, measured): the default 128 MiB
+        # maxPartitionBytes PACKS small parquet files (~4 MiB openCost
+        # each) into a handful of input splits — at sf0.1 the 32-file
+        # lineitem collapses to ~2-11 splits, idling most of local[32],
+        # and at the 10x/100x scale-up it cost 29% on Q1 (BASELINE.md
+        # round-6 note). 8 MiB keeps splits ~1 file so scan parallelism
+        # ≥ cores at every local SF (paired at sf0.1: q1 0.436->0.396,
+        # 3way 0.618->0.574, others flat). On a real cluster KEEP the
+        # 128 MiB default — splits align to block size there and the
+        # file count, not the split packer, provides parallelism.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
