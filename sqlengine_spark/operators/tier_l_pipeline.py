@@ -2336,13 +2336,17 @@ def l_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo's md5-prefix idiom (l_shuffle_shard), bit-identical in
     both engines.
 
-    Scale: one corpus tokenize pass -> (a) a 64-row bucket-stats agg
-    (map-side partial, broadcast back), (b) a (doc_id, bucket) count
-    agg keyed on doc_id. No cross join, no all-pairs anything; the
-    bucket table broadcast is |buckets| rows regardless of corpus
-    size. This is the linear two-pass shape DSIR runs at 100 TB, and
-    bucket count trades bias for broadcast size without changing the
-    plan."""
+    Scale: the hashed gram-bucket stream is tokenized ONCE and
+    local-checkpointed (the staged-features table every DSIR run
+    materializes at 100 TB); the corpus totals (one bounded 1-row
+    collect), the 64-row bucket-stats agg, and the (doc_id, bucket)
+    count agg all derive from it — documents.parquet is scanned
+    exactly once per invocation (asserted in test_plans.py; without
+    the staging, Catalyst plans the bucket-stats and per-doc branches
+    as separate corpus scans). No cross join, no all-pairs anything;
+    the bucket table broadcast is |buckets| rows regardless of corpus
+    size, and bucket count trades bias for broadcast size without
+    changing the plan."""
     n_b = 64
     d = (
         table(spark, sf_dir, "documents")
@@ -2368,21 +2372,22 @@ def l_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
             % n_b
         ).alias("b"),
-    )
+    ).localCheckpoint()  # one tokenize pass feeds totals, stats, per-doc
+    tot = gb.agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("nt"),
+        F.count("*").alias("ns"),
+    ).collect()[0]  # bounded: one row of corpus totals
+    nt, ns = int(tot["nt"]), int(tot["ns"])
     bs = gb.groupBy("b").agg(
         F.count(F.when(F.col("source") == "src0", 1)).alias("ct"),
         F.count("*").alias("cs"),
     )
-    tot = bs.agg(
-        F.sum("ct").cast("bigint").alias("nt"),
-        F.sum("cs").cast("bigint").alias("ns"),
-    )
-    lb = bs.crossJoin(F.broadcast(tot)).select(
+    lb = bs.select(
         "b",
         F.round(
             F.log(
-                ((F.col("ct") + 1) * (F.col("ns") + n_b))
-                / ((F.col("cs") + 1) * (F.col("nt") + n_b))
+                ((F.col("ct") + 1) * F.lit(ns + n_b))
+                / ((F.col("cs") + 1) * F.lit(nt + n_b))
             )
             * 1e4,
             0,

@@ -158,8 +158,6 @@ CARTESIAN_WHITELIST = {
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
     "t_q20_potential_promo",    # 1-row avg-shipped-qty scalar broadcast
     "l_bm25_search",            # 1-row corpus avgdl scalar broadcast
-    "l_dsir_weight",            # 1-row gram-total scalar broadcast into
-                                # the 64-row bucket table
     "l_sim_join_gemm",          # 36-row block-pair table broadcast (the
                                 # OR-condition fan-out join); the GEMM
                                 # itself is per-block-pair applyInPandas
@@ -776,6 +774,18 @@ def test_jaccard_hi_fast_path_is_signature_agg(spark):
         re.M,
     )
     assert len(joins) == 1, joins
+
+
+def test_dsir_weight_single_scan(spark):
+    """l_dsir_weight stages the hashed gram stream via localCheckpoint:
+    the bucket-stats branch and the per-doc branch of the final plan
+    must both read the materialized frame, never re-scan documents
+    (and the 1-row totals collect happens outside this plan)."""
+    plan = _plan(spark, "l_dsir_weight")
+    assert "Scan parquet" not in plan, "documents re-scanned"
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_interval_arith_pushdown(spark):
