@@ -20,6 +20,7 @@ accumulates forever.
 from __future__ import annotations
 
 import atexit
+import contextlib
 import os
 import shutil
 import tempfile
@@ -43,9 +44,6 @@ EVENTS_STREAM_SCHEMA = (
 #: exit — fixes the per-engine-instance tempdir leak (round-2 advice:
 #: engine.py staged a fresh copy per SQLEngine and never removed it).
 _EVENTS_STAGE: dict[str, str] = {}
-
-
-import contextlib
 
 
 def _pin_partitions(spark: SparkSession, n: int = 8) -> str | None:
