@@ -1093,3 +1093,49 @@ def h_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "h_date_names",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%b') AS mn,
+           strftime(o_orderdate, '%a') AS dn,
+           CASE WHEN (o_orderkey % 35) + 1
+                     <= EXTRACT(day FROM last_day(o_orderdate))
+                THEN make_timestamp(EXTRACT(year FROM o_orderdate)::BIGINT,
+                                    EXTRACT(month FROM o_orderdate)::BIGINT,
+                                    (o_orderkey % 35) + 1,
+                                    12, 0, 0.0)
+           END AS snapped
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def h_date_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 date-name + error-safe timestamp-construction surfaces:
+    ``monthname``/``dayname`` (locale-stable 3-letter names — report
+    labels without a format-string round trip) and
+    ``try_make_timestamp`` (component-wise construction that yields
+    NULL instead of raising on impossible dates — here day-of-month
+    (orderkey % 35) + 1 deliberately overruns short months, the
+    calendar edge every scheduling pipeline hits). The oracle states
+    the same semantics via strftime('%b'/'%a') and a last_day() guard
+    around DuckDB's raising make_timestamp.
+
+    Scale: pure codegen scan projections — no shuffle, no UDF; the
+    orderkey filter pushes to the parquet scan."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    day = (F.col("o_orderkey") % 35 + 1).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.monthname("o_orderdate").alias("mn"),
+        F.dayname("o_orderdate").alias("dn"),
+        F.try_make_timestamp(
+            F.year("o_orderdate"),
+            F.month("o_orderdate"),
+            day,
+            F.lit(12),
+            F.lit(0),
+            F.lit(0.0),
+        ).alias("snapped"),
+    )

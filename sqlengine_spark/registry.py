@@ -159,6 +159,7 @@ PRIORITY_ORDER = (
     "l_quality_gate_domain",
     "a_sink_python_datasource",
     "h_sql_variables",
+    "h_date_names",
     # -- ROUND-8 remainder (15 fresh; rest of window re-verifies) ------
     "g_except_all",
     "g_intersect_all",
