@@ -25,24 +25,23 @@ _ORACLES: dict[str, str] = {}
 #: The driver's CORRECTNESS pass checks the FIRST 50 keys of
 #: ``queries()`` in dict order (round-2 finding), so this list spends
 #: that window deliberately — and ROTATES it each round so that over
-#: rounds every key earns a real driver row. Round-6 rotation (per the
-#: round-5 verdict item 1): keep the 12 per-tier anchors as slots 1-12,
-#: spend slots 13-48 on 36 never-driver-checked ORACLED keys (the
-#: pre-staged r6 block: TPC-H t_q03..t_q19, tier-M time-series, the
-#: dedup/sim-join batch incl. the round-6-reworked l_dedup_stream /
-#: l_simjoin_jaccard_hi, join-strategy keys, dynamic-partition
-#: overwrite), and slots 49-50 on the HLL/Theta sketch pair (rows-only
-#: by design — merge/set-op results of approximate sketches, recording
-#: ran-clean rows the way r4/r5 did for the other approx paths). Four
-#: oracled keys from the original r6 queue (l_corpus_divergence,
-#: l_hybrid_search, l_sim_search_batch, m_attribution_last_touch) are
-#: deferred to the r7 queue head to fit the 38-slot budget. The ROUND-7
-#: window is pre-staged as the next ordered block so each future
-#: rotation is a block swap, not a re-plan: r7 = text/pipeline/scan/agg
-#: batch, r8 = the mechanical h_*/g_* remainder + remaining rows-only.
-#: Keys verified in r1-r5 sit dead last (they re-verify if the window
-#: ever widens). tests/test_registry_order.py pins this list to the
-#: registry 1:1 so a new registration without an explicit slot fails CI.
+#: rounds every key earns a real driver row. Round-7 rotation (per the
+#: round-6 verdict items 1+5): keep the 12 per-tier anchors as slots
+#: 1-12, spend slots 13-50 on 38 never-driver-checked ORACLED keys —
+#: the FIVE operators built in round 6 go FIRST (newest code earns
+#: driver evidence first, verdict item 1), then the pre-staged r7 queue
+#: in order (the four r6-deferred keys, tier-M remainder, the text/
+#: pipeline batch, scan/sample/sort keys). Every r7 window slot is
+#: SQL-oracled; the two rows-only queue keys (i_sample_stratified,
+#: l_text_langid) are deferred to the r8 block's rows-only tail. The
+#: ROUND-8 queue is staged as the next ordered block: 39 keys = 32
+#: oracled (d_agg/h_/k_/e_/g_ mechanical remainder) then 7 rows-only
+#: (sketch/approx/stub paths recording ran-clean rows the way r4-r6
+#: did) — one more than the 38-slot window, so r8 either drops one
+#: repeat anchor or spills the last rows-only key to r9. Keys verified
+#: in r1-r6 sit dead last (they re-verify if the window ever widens).
+#: tests/test_registry_order.py pins this list to the registry 1:1 so a
+#: new registration without an explicit slot fails CI.
 PRIORITY_ORDER = (
     # -- slots 1-12: one representative per tier a..l (window anchor) --
     "a_scan_parquet",
@@ -57,7 +56,90 @@ PRIORITY_ORDER = (
     "j_tumbling_1h",
     "k_udf_pandas_scalar",
     "l_dedup_exact",
-    # -- slots 13-48: ROUND-6 window — never-driver-checked, oracled --
+    # -- slots 13-50: ROUND-7 window — never-driver-checked, oracled --
+    # r6-built operators first (newest code earns evidence first):
+    "l_dsir_weight",
+    "l_quality_gate_domain",
+    "a_sink_python_datasource",
+    "h_sql_variables",
+    "h_date_names",
+    # then the staged r7 queue in order:
+    "m_attribution_last_touch",
+    "l_corpus_divergence",
+    "l_hybrid_search",
+    "l_sim_search_batch",
+    "m_ts_ffill",
+    "m_ts_zscore_roll",
+    "m_ts_autocorr",
+    "m_ts_calendar_dim",
+    "l_text_quality",
+    "l_text_fingerprint",
+    "l_text_token_count",
+    "l_text_normalize",
+    "l_text_scrub",
+    "l_text_repetition",
+    "l_text_lm_score",
+    "l_topic_cooccur",
+    "l_tokens_zipf_fit",
+    "l_bpe_encode",
+    "l_tokenizer_stats",
+    "l_multimodal_header_parse",
+    "l_fingerprint_winnow",
+    "l_domain_mix",
+    "l_vector_quantize",
+    "l_winsorize",
+    "l_ml_score_linear",
+    "l_multimodal_framesample",
+    "l_shuffle_shard",
+    "l_dataset_card",
+    "a_scan_text_roundtrip",
+    "a_table_stats",
+    "i_sample_hash",
+    "i_sample_weighted",
+    "f_sort_local",
+    # -- ROUND-8 QUEUE (swap up to slots 13-50 next round; 39 keys =
+    #    32 oracled then 7 rows-only — one over budget, see header) ----
+    "a_scan_recursive_glob",
+    "a_scan_xml_roundtrip",
+    "a_scan_python_datasource",
+    "d_agg_salted",
+    "d_agg_moments",
+    "d_agg_percentile_disc",
+    "d_agg_bitmap_distinct",
+    "d_agg_grouping_id",
+    "d_agg_listagg",
+    "d_agg_group_by_all",
+    "h_try_funcs",
+    "h_url_funcs",
+    "h_sql_pipe",
+    "h_collation",
+    "h_interval_arith",
+    "h_sql_identifier",
+    "h_mask",
+    "h_crypto",
+    "e_win_value_funcs",
+    "k_udf_pandas_iter",
+    "k_udf_arrow",
+    "k_udtf_polymorphic",
+    "g_except_all",
+    "g_intersect_all",
+    "g_union_byname_missing",
+    "h_bitwise",
+    "h_struct_funcs",
+    "h_str_fuzzy",
+    "h_date_format",
+    "h_xml_funcs",
+    "h_variant_funcs",
+    "e_win_pct_of_total",
+    # r8 rows-only tail (ran-clean rows, approx/stub/nondeterministic):
+    "i_sample_stratified",
+    "l_text_langid",
+    "l_dedup_simhash",
+    "l_multimodal_decode",
+    "l_kmeans_assign",
+    "l_bpe_train",
+    "l_sim_search_pq",
+    # -- verified in r1-r6 (dead last; re-verify if window widens) -----
     "j_dedup_within_watermark",
     "t_q03_shipping",
     "t_q04_order_priority",
@@ -94,89 +176,8 @@ PRIORITY_ORDER = (
     "c_join_mark_exists",
     "c_join_pit_features",
     "n_insert_overwrite_dynamic",
-    # -- slots 49-50: HLL/Theta sketch pair (rows-only ran-clean) ------
     "d_agg_hll_merge",
     "d_agg_theta_setops",
-    # -- ROUND-7 QUEUE (swap this block up to slots 13-50 next round) --
-    "m_attribution_last_touch",
-    "l_corpus_divergence",
-    "l_hybrid_search",
-    "l_sim_search_batch",
-    "m_ts_ffill",
-    "m_ts_zscore_roll",
-    "m_ts_autocorr",
-    "m_ts_calendar_dim",
-    "l_text_quality",
-    "l_text_fingerprint",
-    "l_text_token_count",
-    "l_text_normalize",
-    "l_text_scrub",
-    "l_text_repetition",
-    "l_text_lm_score",
-    "l_topic_cooccur",
-    "l_tokens_zipf_fit",
-    "l_bpe_encode",
-    "l_tokenizer_stats",
-    "l_multimodal_header_parse",
-    "l_fingerprint_winnow",
-    "l_domain_mix",
-    "l_vector_quantize",
-    "l_winsorize",
-    "l_ml_score_linear",
-    "l_multimodal_framesample",
-    "l_shuffle_shard",
-    "l_dataset_card",
-    "a_scan_text_roundtrip",
-    "a_table_stats",
-    "i_sample_hash",
-    "i_sample_weighted",
-    "f_sort_local",
-    "a_scan_recursive_glob",
-    "a_scan_xml_roundtrip",
-    "a_scan_python_datasource",
-    "d_agg_salted",
-    "d_agg_moments",
-    "d_agg_percentile_disc",
-    "d_agg_bitmap_distinct",
-    "d_agg_grouping_id",
-    "d_agg_listagg",
-    "d_agg_group_by_all",
-    "h_try_funcs",
-    "h_url_funcs",
-    "h_sql_pipe",
-    "h_collation",
-    "h_interval_arith",
-    "h_sql_identifier",
-    "h_mask",
-    "h_crypto",
-    "e_win_value_funcs",
-    "k_udf_pandas_iter",
-    "k_udf_arrow",
-    "k_udtf_polymorphic",
-    "i_sample_stratified",
-    "l_text_langid",
-    "l_dsir_weight",
-    "l_quality_gate_domain",
-    "a_sink_python_datasource",
-    "h_sql_variables",
-    "h_date_names",
-    # -- ROUND-8 remainder (15 fresh; rest of window re-verifies) ------
-    "g_except_all",
-    "g_intersect_all",
-    "g_union_byname_missing",
-    "h_bitwise",
-    "h_struct_funcs",
-    "h_str_fuzzy",
-    "h_date_format",
-    "h_xml_funcs",
-    "h_variant_funcs",
-    "e_win_pct_of_total",
-    "l_dedup_simhash",
-    "l_multimodal_decode",
-    "l_kmeans_assign",
-    "l_bpe_train",
-    "l_sim_search_pq",
-    # -- verified in r1-r5 (dead last; re-verify if window widens) -----
     "c_join_bucketed_colocated",
     "l_graph_pagerank",
     "n_time_travel",
