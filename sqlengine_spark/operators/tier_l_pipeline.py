@@ -2079,22 +2079,43 @@ def l_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded symbol stream and its token count.
 
     The entire encode is CODEGEN string ops — lower/replace chain in
-    the scan projection, no UDF, no Python, no shuffle: the map-only
-    plan a 100 TB tokenization run wants, parallel by file split. A
-    real vocabulary means thousands of replace steps — production
-    compiles them into a trie/Aho-Corasick pass (the linear-scan
-    equivalent of this fold); the 15-rule table keeps the plan
-    readable while pinning the semantics, and the oracle applies the
-    IDENTICAL frozen rules.
+    the scan projection, no UDF, no Python, no shuffle at corpus
+    scale: the map-only plan a 100 TB tokenization run wants, parallel
+    by file split. A real vocabulary means thousands of replace steps —
+    production compiles them into a trie/Aho-Corasick pass (the
+    linear-scan equivalent of this fold); the 15-rule table keeps the
+    plan readable while pinning the semantics, and the oracle applies
+    the IDENTICAL frozen rules.
+
+    Two compute-shape pins (round-7 profile, paired-interleaved at
+    sf0.1): (a) ``encoded`` is lowered into its own projection so
+    ``n_tokens`` derives from the column instead of a second copy of
+    the expression tree — Catalyst/codegen CSE does NOT dedup two
+    separately-built equal trees across output columns (measured
+    0.815 s → 0.507 s); (b) a SMALL-INPUT SCATTER: documents.parquet
+    here is one 594 KB row group, so the scan yields ONE split and the
+    whole replace chain ran on one of 32 cores — when the scan has
+    fewer partitions than the cluster's parallelism, round-robin
+    repartition the (tiny, cheap-to-shuffle) raw text before the heavy
+    projection (0.507 s → 0.225 s). At 100 TB the input has thousands
+    of row groups, the guard is false, and the plan stays map-only
+    with zero shuffle. Cold first run pays ~6.7 s of Janino codegen
+    compile for the 15-deep nested chain (bench.py's full-suite warm
+    pass absorbs it; a long-lived cluster session pays it once).
 
     Determinism: pure integer/string ops, no floats anywhere."""
     d = table(spark, sf_dir, "documents")
+    # small-input scatter: planning-only check, no job is triggered
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     enc = _bpe_encode_expr()
-    return d.select(
+    step = d.select("doc_id", enc.alias("encoded"))
+    return step.select(
         "doc_id",
-        enc.alias("encoded"),
+        "encoded",
         F.size(
-            F.filter(F.split(enc, " "), lambda x: x != "|")
+            F.filter(F.split("encoded", " "), lambda x: x != "|")
         ).cast("bigint").alias("n_tokens"),
     )
 

@@ -743,10 +743,19 @@ def test_gemm_join_block_pair_groups(spark):
 
 def test_bpe_encode_map_only(spark):
     """l_bpe_encode must be a pure scan projection: the whole encode is
-    codegen string ops — zero exchanges, zero generators, no Python."""
+    codegen string ops — no Python, and the ONLY exchange permitted is
+    the round-7 small-input scatter (round-robin repartition of the raw
+    text when the scan has fewer splits than cores — at corpus scale the
+    guard is false and the plan is exchange-free). No keyed shuffle may
+    ever appear: a hashpartitioning exchange would mean an accidental
+    aggregation/join in what must stay a projection."""
+    import re
+
     plan = _plan(spark, "l_bpe_encode")
-    assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "roundrobinpartitioning" for e in exchanges), exchanges
+    assert len(exchanges) <= 1, exchanges
 
 
 def test_jaccard_hi_fast_path_is_signature_agg(spark):
