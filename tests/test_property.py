@@ -644,3 +644,151 @@ def test_dsir_weight_matches_oracle_on_random_corpora(spark, data):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 (round-6 verdict item 6): boundary attacks on the dedup
+# family's fixture-dependent thresholds, in the jaccard_hi style —
+# generated corpora straddle each operator's pin (the 100-char prefix
+# fingerprint; the 30-word passage chunking) and the Spark answer must
+# hash-equal the DuckDB oracle on every example.
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_documents(spark, rows, qid):
+    """Write generated documents rows, run queries()[qid] on them, run
+    the registered oracle on the same parquet, return (got, want)."""
+    import os
+    import shutil
+    import tempfile
+
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    base = tempfile.mkdtemp(prefix=f"sqlengine_{qid}_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            schema="doc_id long, text string, lang string, "
+            "source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        result = all_queries()[qid](spark, base)
+        got = canon_rows(result.columns, result.collect())
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(base, 'documents.parquet')}/*.parquet')"
+            )
+            cur = con.execute(all_oracles()[qid])
+            cols = [d[0] for d in cur.description]
+            want = canon_rows(cols, cur.fetchall())
+        finally:
+            con.close()
+        return got, want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_dedup_prefix_boundary_matches_oracle(spark, data):
+    """Attack the 100-char fingerprint pin: docs whose lengths straddle
+    100, pairs sharing EXACTLY the first 100 chars but diverging at
+    char 101 (must cluster together), and pairs diverging at char 100
+    itself (must NOT cluster). substring(text, 1, 100) must agree
+    between engines on short strings, multi-byte-free ASCII, and the
+    off-by-one edge."""
+    alpha = "abcdef"
+    n_docs = data.draw(st.integers(min_value=2, max_value=5))
+    rows = []
+    doc_id = 0
+    for _ in range(n_docs):
+        shared_len = data.draw(
+            st.sampled_from([0, 1, 50, 98, 99, 100, 101, 150])
+        )
+        prefix = "".join(
+            alpha[data.draw(st.integers(0, len(alpha) - 1))]
+            for _ in range(shared_len)
+        )
+        # two docs built on the same drawn prefix with independent tails
+        for _ in range(2):
+            tail_len = data.draw(st.sampled_from([0, 1, 5, 60]))
+            tail = "".join(
+                alpha[data.draw(st.integers(0, len(alpha) - 1))]
+                for _ in range(tail_len)
+            )
+            text = prefix + tail
+            rows.append(
+                (doc_id, text, "en", "src0", len(text))
+            )
+            doc_id += 1
+    got, want = _roundtrip_documents(spark, rows, "l_dedup_prefix")
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_dedup_passage_boundary_matches_oracle(spark, data):
+    """Attack the 30-word chunking pin: word counts at 29/30/31/59/60/61
+    (trailing partial passages), an ALIGNED 30-word block copied between
+    docs (must count as a duplicate passage), and the same block copied
+    MISALIGNED by one word (chunking is fixed-offset per doc, so a
+    shifted copy must NOT match — in either engine). Also drives the
+    slice()/array[a:b] off-by-one and the sequence()/range() step
+    semantics both engines must agree on."""
+    from sqlengine_spark.operators.tier_l_pipeline import PASSAGE_WORDS
+
+    vocab = [f"w{i:02d}" for i in range(40)]
+
+    def words(n):
+        return [
+            vocab[data.draw(st.integers(0, len(vocab) - 1))]
+            for _ in range(n)
+        ]
+
+    block = words(PASSAGE_WORDS)  # the passage planted across docs
+    rows = []
+    # doc 0: aligned plant — block occupies chunk 0 exactly
+    n0 = data.draw(st.sampled_from([0, 1, PASSAGE_WORDS - 1, PASSAGE_WORDS]))
+    rows.append((0, " ".join(block + words(n0))))
+    # doc 1: aligned re-occurrence (chunk 1 after exactly one full chunk)
+    rows.append((1, " ".join(words(PASSAGE_WORDS) + block)))
+    # doc 2: MISALIGNED copy — one leading word shifts every boundary
+    rows.append((2, " ".join(words(1) + block + words(n0))))
+    # docs 3+: boundary-length fillers
+    did = 3
+    for n in (
+        PASSAGE_WORDS - 1,
+        PASSAGE_WORDS,
+        PASSAGE_WORDS + 1,
+        2 * PASSAGE_WORDS + data.draw(st.sampled_from([-1, 0, 1])),
+    ):
+        rows.append((did, " ".join(words(n))))
+        did += 1
+    full = [
+        (i, t, "en", "src0", len(t)) for i, t in rows
+    ]
+    got, want = _roundtrip_documents(spark, full, "l_dedup_passage")
+    assert got == want
+    # semantic pins on the oracle answer itself: doc 1's planted block
+    # IS flagged, doc 2's shifted copy is not flagged AS that block
+    cols, rws = want
+    by_doc = {int(r[cols.index("doc_id")]): r for r in rws}
+    dup_ix = cols.index("n_dup_passages")
+    assert int(by_doc[1][dup_ix]) >= 1, "aligned re-occurrence missed"
