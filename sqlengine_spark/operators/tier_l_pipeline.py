@@ -822,6 +822,219 @@ def l_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Overlapping-shingle width (words) for substring-level dedup.
+SUBSTR_WINDOW_WORDS = 10
+
+
+@query(
+    "l_dedup_substring",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), s AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   ws[i + 1 : i + {SUBSTR_WINDOW_WORDS}], ' ')) AS h
+        FROM w, unnest(range(0, greatest(len(ws) - {SUBSTR_WINDOW_WORDS} + 1,
+                                         0))) t(i)
+    ), d AS (
+        SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ), per AS (
+        SELECT s.doc_id, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_windows
+        FROM s LEFT JOIN d ON s.h = d.h GROUP BY s.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(per.n_windows, 0) AS n_windows,
+           COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(per.n_windows, 0) = 0 THEN 0.0
+                ELSE ROUND(per.n_dup_windows * 1.0 / per.n_windows
+                           * 10000, 0) / 10000 + 0
+           END AS dup_frac
+    FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+    ORDER BY doc.doc_id
+    """,
+)
+def l_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication profiling (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): slide a
+    {SUBSTR}-word window over every document with stride 1 and flag each
+    window whose content recurs in ANY OTHER document — the suffix-array
+    "duplicated span" signal, re-expressed as overlapping shingles so it
+    distributes. Unlike l_dedup_passage (fixed non-overlapping chunks,
+    misses shifted copies by design) the overlapping windows catch a
+    repeated span at EVERY alignment, which is what makes this the
+    memorization-risk metric: output is each document's duplicated-window
+    fraction, the number curation pipelines threshold on (Lee et al. cut
+    at 50% span duplication).
+
+    Scale: the shingle stream is a narrow map (split + explode + slice +
+    md5 — 16-byte keys, never raw text, exactly the width trick
+    l_decontaminate documents); the cross-doc flag is ONE groupBy(h)
+    with map-side partial count-distinct, and the flag join shuffles on
+    the same 16-byte key (skew = true content skew: a boilerplate
+    shingle's bucket is its real global frequency). Per-doc profile
+    re-aggregates map-side on doc_id. No stage is quadratic; the suffix
+    array the paper builds is a single-machine construction — this
+    formulation is the one that runs on 1000 executors.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = SUBSTR_WINDOW_WORDS
+    s = w.filter(F.size("ws") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {n - 1}),"
+                f" i -> md5(array_join(slice(ws, i, {n}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    dup = (
+        s.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per = (
+        s.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)
+            ).alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0).cast("bigint")).alias(
+                "n_windows"
+            ),
+            F.coalesce("n_dup_windows", F.lit(0).cast("bigint")).alias(
+                "n_dup_windows"
+            ),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                dround(F.col("n_dup_windows") / F.col("n_windows"), 4)
+            )
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+l_dedup_substring.__doc__ = l_dedup_substring.__doc__.replace(
+    "{SUBSTR}", str(SUBSTR_WINDOW_WORDS)
+)
+
+
+#: Content-defined chunking: hash-window width (chars). A boundary cuts
+#: after any 8-char window whose md5 hex starts with '0' (p = 1/16, so
+#: expected chunk length ~16 chars on random text).
+CDC_WINDOW_CHARS = 8
+
+
+@query(
+    "l_chunk_cdc",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ), c AS (
+        SELECT doc_id, i + {CDC_WINDOW_CHARS - 1} AS cut
+        FROM d, unnest(range(1, greatest(n - {CDC_WINDOW_CHARS - 1}, 0) + 1))
+             t(i)
+        WHERE substr(md5(substr(text, CAST(i AS INT),
+                                {CDC_WINDOW_CHARS})), 1, 1) = '0'
+    ), segs AS (
+        SELECT doc_id,
+               cut - COALESCE(lag(cut) OVER (PARTITION BY doc_id
+                                             ORDER BY cut), 0) AS seg_len
+        FROM c
+        UNION ALL
+        SELECT c.doc_id, d.n - MAX(c.cut) AS seg_len
+        FROM c JOIN d USING (doc_id)
+        GROUP BY c.doc_id, d.n HAVING d.n > MAX(c.cut)
+        UNION ALL
+        SELECT doc_id, n AS seg_len FROM d
+        WHERE doc_id NOT IN (SELECT doc_id FROM c)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(MAX(seg_len) AS BIGINT) AS max_chunk,
+           ROUND(AVG(seg_len) * 100, 0) / 100 + 0 AS avg_chunk
+    FROM segs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def l_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): a chunk
+    boundary falls after every 8-char window whose md5 starts with hex
+    '0' (a 1-in-16 content-keyed coin), so boundaries move WITH the
+    content — insert a byte mid-document and only the chunk containing
+    the edit changes, which is why dedup storage and incremental-crawl
+    pipelines chunk this way instead of at fixed offsets
+    (l_text_chunk's fixed stride re-shifts every downstream chunk on a
+    one-byte edit). Output is each document's chunk-count / max / mean
+    profile. Production CDC uses a gear rolling hash with min/max chunk
+    clamps; the md5-window coin keeps the boundary rule engine-portable
+    (identical in the DuckDB oracle) while pinning the semantics — the
+    clamp is a post-filter on the same cut stream.
+
+    Scale: boundary detection is a pure map (per-char window hash via
+    transform over sequence — codegen, no UDF, no shuffle); segment
+    lengths need each doc's cuts ADJACENT, one shuffle keyed on doc_id
+    (bounded per-doc fan-in = doc length), then the profile aggregates
+    map-side. Docs shorter than the hash window emit their whole text
+    as one chunk via the no-cut branch, never a descending sequence()
+    (CLAUDE.md rule 11d).
+    """
+    docs = table(spark, sf_dir, "documents")
+    wc = CDC_WINDOW_CHARS
+    d = docs.select("doc_id", "text", F.length("text").alias("n"))
+    cuts = (
+        d.filter(F.col("n") >= wc)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr(
+                    f"filter(transform(sequence(1, length(text) - {wc - 1}),"
+                    f" i -> IF(substr(md5(substr(text, i, {wc})), 1, 1) = '0',"
+                    f" i + {wc - 1}, -1)), x -> x > 0)"
+                )
+            ).alias("cut"),
+        )
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("cut")
+    segs = cuts.select(
+        "doc_id",
+        (F.col("cut") - F.lag("cut", 1, 0).over(wlag)).alias("seg_len"),
+    )
+    last = (
+        cuts.groupBy("doc_id", "n")
+        .agg(F.max("cut").alias("mx"))
+        .filter(F.col("n") > F.col("mx"))
+        .select("doc_id", (F.col("n") - F.col("mx")).alias("seg_len"))
+    )
+    nocut = d.join(
+        cuts.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).select("doc_id", F.col("n").alias("seg_len"))
+    allseg = segs.unionByName(last).unionByName(nocut)
+    return (
+        allseg.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("seg_len").cast("bigint").alias("max_chunk"),
+            dround(F.avg("seg_len"), 2).alias("avg_chunk"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "l_dataset_card",
     oracle="""

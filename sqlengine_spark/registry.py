@@ -97,8 +97,13 @@ PRIORITY_ORDER = (
     "i_sample_hash",
     "i_sample_weighted",
     "f_sort_local",
-    # -- ROUND-8 QUEUE (swap up to slots 13-50 next round; 39 keys =
-    #    32 oracled then 7 rows-only — one over budget, see header) ----
+    # -- ROUND-8 QUEUE (swap up to slots 13-50 next round; round-7-built
+    #    keys sit at the HEAD so the newest code earns driver evidence
+    #    first — the r6-verdict precedent; then 32 staged oracled keys,
+    #    then the rows-only tail. Over the 38-slot budget: spill the
+    #    tail of this block to the r9 window.) ---------------------------
+    "l_dedup_substring",
+    "l_chunk_cdc",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
