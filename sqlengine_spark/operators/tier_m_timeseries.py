@@ -1216,3 +1216,102 @@ def m_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.corr("v", "p"), 4).alias("xcorr"),
         F.count("*").alias("n_pairs"),
     )
+
+
+@query(
+    "m_ts_theilsen",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS yc
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.user_id,
+               CAST(b.yc - a.yc AS DOUBLE) / (100.0 * (b.x - a.x)) AS slope
+        FROM daily a JOIN daily b
+          ON a.user_id = b.user_id AND a.x < b.x
+    ), med AS (
+        SELECT user_id, median(slope) AS m FROM pairs GROUP BY user_id
+    ), nd AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY user_id
+    ), res AS (
+        SELECT d.user_id, median(d.yc / 100.0 - med.m * d.x) AS b0
+        FROM daily d JOIN med USING (user_id) GROUP BY d.user_id
+    )
+    SELECT nd.user_id, nd.n_days,
+           ROUND(med.m * 1e6, 0) / 1e6 + 0 AS slope,
+           ROUND(res.b0 * 1e6, 0) / 1e6 + 0 AS intercept
+    FROM nd JOIN med USING (user_id) JOIN res USING (user_id)
+    ORDER BY nd.user_id
+    """,
+)
+def m_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user: slope = the MEDIAN of all
+    pairwise slopes between the user's daily activity totals, intercept
+    = median residual at that slope — the estimator that shrugs off the
+    outlier days that wreck least-squares (up to ~29% contamination),
+    which is why telemetry/usage-trend pipelines prefer it for per-entity
+    drift scoring.
+
+    Determinism (CLAUDE.md rule 11e): the daily total is a FLOAT sum, so
+    it is quantized per-event to integer cents (cast-truncate, identical
+    in both engines per rule 6) and summed as BIGINT — order-immune —
+    before any slope arithmetic; every slope is then the same exact
+    double in both engines, so the medians (both engines interpolate
+    even counts identically) and residuals agree bit-for-bit before the
+    1e-6 rounding. Slopes straddle zero, hence the oracle's `+ 0`
+    (rule 5b).
+
+    Scale: the daily rollup is one (user, day) shuffle with map-side
+    partials; the pair stage is a per-user self-join whose fan-out is
+    bounded by the CALENDAR (<= C(|days|, 2) pairs per user — 435 for a
+    30-day window — independent of event volume), shuffle-keyed on
+    user_id; medians are per-user exact aggregates over those bounded
+    sets. 1000 executors partition users; no stage scales with raw event
+    count beyond the first rollup. DuckDB SUM(BIGINT) is HUGEINT, hence
+    the oracle's outer BIGINT cast (rule 10).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.sum(F.expr("CAST(value * 100 AS BIGINT)")).alias("yc"))
+    a = daily.toDF("user_id", "x1", "y1")
+    b = daily.toDF("user_id", "x2", "y2")
+    slopes = (
+        a.join(b, "user_id")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "user_id",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.lit(100.0) * (F.col("x2") - F.col("x1")))
+            ).alias("slope"),
+        )
+    )
+    med = slopes.groupBy("user_id").agg(F.median("slope").alias("m"))
+    nd = daily.groupBy("user_id").agg(F.count("*").alias("n_days"))
+    res = (
+        daily.join(med, "user_id")
+        .select(
+            "user_id",
+            (F.col("yc") / F.lit(100.0) - F.col("m") * F.col("x")).alias(
+                "r"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.median("r").alias("b0"))
+    )
+    return (
+        nd.join(med, "user_id")
+        .join(res, "user_id")
+        .select(
+            "user_id",
+            "n_days",
+            dround(F.col("m"), 6).alias("slope"),
+            dround(F.col("b0"), 6).alias("intercept"),
+        )
+        .orderBy("user_id")
+    )

@@ -104,6 +104,7 @@ PRIORITY_ORDER = (
     #    tail of this block to the r9 window.) ---------------------------
     "l_dedup_substring",
     "l_chunk_cdc",
+    "m_ts_theilsen",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
