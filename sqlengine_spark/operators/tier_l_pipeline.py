@@ -2701,3 +2701,98 @@ def l_quality_gate_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(
         F.col("rn") <= (F.col("cnt") + 1) / F.lit(2).cast("bigint")
     ).select("doc_id", "source", "score_fp", "rn")
+
+
+@query(
+    "l_graph_triangles",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), t AS (
+        SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM e e1
+        JOIN e e2 ON e1.p2 = e2.p1
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ), n AS (
+        SELECT a AS p FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+    )
+    SELECT p AS part_key, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM n GROUP BY p ORDER BY n_tri DESC, part_key LIMIT 20
+    """,
+)
+def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node TRIANGLE counts on the part co-purchase graph (parts
+    co-occurring in the same order are adjacent) — the local clustering
+    signal graph pipelines use for community density, spam/collusion
+    detection, and feature engineering; here: the top-20 most
+    triangle-embedded parts (n_tri DESC, part_key tiebreak — a unique
+    total order per CLAUDE.md rule 5).
+
+    Algorithm (Spark side): the Schank–Wagner / node-iterator-with-
+    degree-ordering scheme — orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    self-joining oriented edges on the source, and close each wedge
+    against the oriented edge set. Orientation bounds every node's
+    out-degree by O(sqrt(m)), so wedge fan-out is sum C(outdeg, 2) —
+    the arboricity-bounded count that makes distributed triangle
+    counting tractable — instead of sum C(deg, 2), which a hub node
+    would blow up. Each triangle is emitted EXACTLY once (the closing
+    edge's orientation matches exactly one of the wedge's two orders).
+    The DuckDB oracle proves the same answer from an INDEPENDENT
+    formulation: a<b<c ordered 3-way self-join.
+
+    Scale: the co-occurrence expansion is an equi-join on l_orderkey
+    (per-order fan-out C(lines, 2), bounded by order size, never
+    corpus-quadratic); degree computation and orientation are keyed
+    shuffles; the wedge join and the closing join are hash equi-joins
+    on (src) and (v, w). No cartesian anywhere — every stage is keyed.
+    At 1000 executors the closing join shuffles wedges and oriented
+    edges on the same (v, w) key; skew follows true structural skew,
+    which the orientation has already capped at O(sqrt(m)) per node.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.toDF("ok", "p1")
+    y = li.toDF("ok", "p2")
+    e = (
+        x.join(y, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("p1").alias("v"))
+        .unionByName(e.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.toDF("p1", "d1"), "p1")
+        .join(deg.toDF("p2", "d2"), "p2")
+    )
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+    )
+    w1 = o.toDF("u", "v")
+    w2 = o.toDF("u", "w")
+    wedges = w1.join(w2, "u").filter(F.col("v") != F.col("w"))
+    tri = wedges.join(o.toDF("v", "w"), ["v", "w"])
+    nodes = (
+        tri.select(F.col("u").alias("p"))
+        .unionByName(tri.select(F.col("v").alias("p")))
+        .unionByName(tri.select(F.col("w").alias("p")))
+    )
+    return (
+        nodes.groupBy("p")
+        .agg(F.count("*").alias("n_tri"))
+        .select(F.col("p").alias("part_key"), "n_tri")
+        .orderBy(F.col("n_tri").desc(), "part_key")
+        .limit(20)
+    )

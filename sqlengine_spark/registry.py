@@ -105,6 +105,7 @@ PRIORITY_ORDER = (
     "l_dedup_substring",
     "l_chunk_cdc",
     "m_ts_theilsen",
+    "l_graph_triangles",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
