@@ -1139,3 +1139,67 @@ def h_date_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("snapped"),
     )
+
+
+@query(
+    "h_sql_scripting",
+    oracle="""
+    WITH RECURSIVE seed AS (
+        SELECT CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS base
+        FROM orders WHERE o_orderstatus = 'F'
+    ), grow AS (
+        SELECT base AS bal, 0 AS p FROM seed
+        UNION ALL
+        SELECT bal + bal // 20, p + 1
+        FROM grow, seed WHERE bal < 2 * seed.base
+    )
+    SELECT seed.base AS base_cents,
+           CAST(MAX(bal) AS BIGINT) AS final_cents,
+           CAST(MAX(p) AS INT) AS n_periods
+    FROM grow, seed GROUP BY seed.base
+    """,
+)
+def h_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 compound statements: ``BEGIN … END`` with
+    ``DECLARE`` locals and a ``WHILE`` loop) — the procedural surface
+    that lets a report express iterate-until-a-data-derived-condition
+    logic entirely inside the SQL engine, no Python driver loop: seed a
+    balance from an aggregate over ``orders``, compound it 5% per period
+    (integer ``DIV 20`` so every step is exact BIGINT arithmetic —
+    rule-9/11e float-free by construction), and count the periods until
+    it doubles. The DuckDB oracle states the same fixpoint as a
+    RECURSIVE CTE, so the imperative loop is hash-verified against a
+    declarative formulation. The totalprice seed quantizes per-row to
+    integer cents before summing (sum-order-immune in both engines).
+
+    ``spark.sql.scripting.enabled`` is a runtime conf set INSIDE the
+    operator — the grading driver's plain session defaults it off
+    (CLAUDE.md rule 1 / round-5 pin 10 class).
+
+    Scale: the aggregate SET VAR runs one bounded job over the table
+    (filter + partial/final sum — the scan parallelizes normally); the
+    loop itself is driver-side arithmetic on TWO scalars, zero data
+    motion — exactly what scripting is for: threading scalar state
+    between set-based statements without shipping a dataset anywhere.
+    Iteration count is log(2)/log(1.05) ~ 15 regardless of data size.
+    """
+    load_tables(spark, sf_dir, ("orders",))
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE base BIGINT DEFAULT 0;
+          DECLARE bal BIGINT DEFAULT 0;
+          DECLARE p INT DEFAULT 0;
+          SET base = (SELECT SUM(CAST(o_totalprice * 100 AS BIGINT))
+                      FROM orders WHERE o_orderstatus = 'F');
+          SET bal = base;
+          WHILE bal < 2 * base DO
+            SET bal = bal + bal DIV 20;
+            SET p = p + 1;
+          END WHILE;
+          SELECT base AS base_cents, bal AS final_cents, p AS n_periods;
+        END
+        """
+    )

@@ -106,6 +106,7 @@ PRIORITY_ORDER = (
     "l_chunk_cdc",
     "m_ts_theilsen",
     "l_graph_triangles",
+    "h_sql_scripting",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
