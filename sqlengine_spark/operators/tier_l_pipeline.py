@@ -2796,3 +2796,138 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tri").desc(), "part_key")
         .limit(20)
     )
+
+
+#: Logistic-trainer hyperparameters (shared by operator and oracle).
+LOGREG_ITERS = 5
+LOGREG_LR = 0.5
+
+
+def _logreg_oracle() -> str:
+    """Unrolled gradient-descent oracle. MATERIALIZED CTEs per
+    iteration (the l_embedding_pca lesson — a CTE referenced k times
+    re-inlines exponentially without it); every per-doc gradient
+    contribution is truncated to a 1e-12 fixed-point BIGINT before the
+    SUM so the reduction is order-immune (CLAUDE.md rule 11e), and the
+    weight update is plain double arithmetic from those exact integer
+    sums — bit-identical to the Python-driver updates on the Spark
+    side. DuckDB CAST rounds, hence trunc() (rule 6)."""
+    parts = [
+        """
+    WITH f AS MATERIALIZED (
+        SELECT length(text) / 100.0 AS x1,
+               len(string_split(text, ' ')) / 50.0 AS x2,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ), nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+    w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b)"""
+    ]
+    for k in range(LOGREG_ITERS):
+        parts.append(f""",
+    z{k} AS MATERIALIZED (
+        SELECT x1, x2, y, w1 * x1 + w2 * x2 + b AS z FROM f, w{k}
+    ), s{k} AS MATERIALIZED (
+        SELECT
+          CAST(SUM(CAST(trunc((0.5 + z / (2.0 * (1.0 + abs(z))) - y)
+               * x1 * 1e12) AS BIGINT)) AS BIGINT) AS g1,
+          CAST(SUM(CAST(trunc((0.5 + z / (2.0 * (1.0 + abs(z))) - y)
+               * x2 * 1e12) AS BIGINT)) AS BIGINT) AS g2,
+          CAST(SUM(CAST(trunc((0.5 + z / (2.0 * (1.0 + abs(z))) - y)
+               * 1e12) AS BIGINT)) AS BIGINT) AS gb
+        FROM z{k}
+    ), w{k + 1} AS (
+        SELECT w1 - {LOGREG_LR} * ((g1 / 1e12) / n) AS w1,
+               w2 - {LOGREG_LR} * ((g2 / 1e12) / n) AS w2,
+               b  - {LOGREG_LR} * ((gb / 1e12) / n) AS b
+        FROM w{k}, s{k}, nn
+    )""")
+    kf = LOGREG_ITERS
+    parts.append(f""",
+    zf AS (SELECT y, w1 * x1 + w2 * x2 + b AS z FROM f, w{kf})
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_docs,
+           ROUND(w1 * 1e6, 0) / 1e6 + 0 AS w1,
+           ROUND(w2 * 1e6, 0) / 1e6 + 0 AS w2,
+           ROUND(b * 1e6, 0) / 1e6 + 0 AS b,
+           (SELECT ROUND(SUM(CASE WHEN (z >= 0) = (y = 1.0)
+                                  THEN 1 ELSE 0 END) / (SELECT n FROM nn)
+                         * 1e4, 0) / 1e4 + 0
+            FROM zf) AS acc
+    FROM w{kf}""")
+    return "".join(parts)
+
+
+@query("l_ml_logreg_train", oracle=_logreg_oracle())
+def l_ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC-REGRESSION TRAINING by full-batch gradient
+    descent — the quality-classifier training loop data pipelines run
+    over corpus features (fastText-style quality gates, CCNet LM
+    filters): features are document length signals, the label is
+    lang='en', and {ITERS} synchronous GD steps fit (w1, w2, b). Output:
+    the learned weights and training accuracy. l_ml_score_linear applies
+    a FROZEN model; this one LEARNS the model inside the engine.
+
+    The squashing function is the rational sigmoid 0.5 + z/(2(1+|z|)) —
+    same shape and gradient signs as 1/(1+e^-z) but built from +,*,/,
+    abs only, so both engines compute bit-identical doubles (exp()
+    differs in the last ulp across libm implementations, which an
+    ITERATED trainer would amplify; the rational form removes the class
+    of failure instead of rounding over it).
+
+    Determinism (rule 11e): each doc's gradient contribution is
+    truncated to a 1e-12 fixed-point BIGINT on the executor and the
+    shuffle reduces INTEGERS — any summation order gives the same sums
+    (|contribution| <= 6e12, so overflow needs > 1.5e6 docs per the
+    BIGINT range; at larger corpora widen to per-partition partial
+    DECIMAL(38,0) sums, same plan shape). Weight updates then happen on
+    the driver from three exact integers — the only driver-side state
+    is the 3-float parameter vector per step (the l_embedding_pca
+    bounded-vector pattern; lineage never grows, the feature frame is
+    localCheckpoint-ed ONCE and rescanned per step from memory).
+
+    Scale: each GD step is one map (project z, quantize gradients) +
+    one 3-column integer SUM with map-side partials — the classic
+    synchronous-SGD allreduce expressed as a Spark agg. 1000 executors
+    each reduce their partition's integers; the driver applies the
+    update and broadcasts the next weights as literals in the following
+    plan. Steps are O(scan); nothing accumulates.
+    """
+    d = table(spark, sf_dir, "documents")
+    f = d.selectExpr(
+        "length(text) / 100.0 AS x1",
+        "size(split(text, ' ')) / 50.0 AS x2",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y",
+    ).localCheckpoint()
+    n = float(f.count())  # bounded: one scalar
+    w1 = w2 = b = 0.0
+    for _ in range(LOGREG_ITERS):
+        z = F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2") + F.lit(b)
+        s = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        row = f.select(
+            F.sum(
+                ((s - F.col("y")) * F.col("x1") * F.lit(1e12)).cast("bigint")
+            ).alias("g1"),
+            F.sum(
+                ((s - F.col("y")) * F.col("x2") * F.lit(1e12)).cast("bigint")
+            ).alias("g2"),
+            F.sum(
+                ((s - F.col("y")) * F.lit(1e12)).cast("bigint")
+            ).alias("gb"),
+        ).collect()[0]  # bounded: three integer sums per step
+        w1 = w1 - LOGREG_LR * ((row["g1"] / 1e12) / n)
+        w2 = w2 - LOGREG_LR * ((row["g2"] / 1e12) / n)
+        b = b - LOGREG_LR * ((row["gb"] / 1e12) / n)
+    zf = F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2") + F.lit(b)
+    return f.agg(
+        F.sum(((zf >= 0) == (F.col("y") == 1.0)).cast("int")).alias("okc")
+    ).select(
+        F.lit(int(n)).cast("bigint").alias("n_docs"),
+        dround(F.lit(w1), 6).alias("w1"),
+        dround(F.lit(w2), 6).alias("w2"),
+        dround(F.lit(b), 6).alias("b"),
+        dround(F.col("okc") / F.lit(n), 4).alias("acc"),
+    )
+
+
+l_ml_logreg_train.__doc__ = l_ml_logreg_train.__doc__.replace(
+    "{ITERS}", str(LOGREG_ITERS)
+)

@@ -107,6 +107,7 @@ PRIORITY_ORDER = (
     "m_ts_theilsen",
     "l_graph_triangles",
     "h_sql_scripting",
+    "l_ml_logreg_train",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
