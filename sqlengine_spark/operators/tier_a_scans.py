@@ -877,3 +877,106 @@ def a_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id long, lang string, n_chars long").json(
         shards
     )
+
+
+@query(
+    "a_stream_python_datasource",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def a_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 PYTHON STREAMING DATA SOURCE — the third leg of the
+    pure-Python connector story (a_scan_python_datasource reads batch,
+    a_sink_python_datasource writes; this one is a STREAMING reader):
+    a ``DataSourceStreamReader`` whose offset is a shard cursor into a
+    JSONL feed. Each trigger, ``latestOffset()`` advances the cursor by
+    two shards, ``partitions(start, end)`` exposes one InputPartition
+    PER SHARD in the offset range, and ``read(partition)`` opens the
+    shard ON THE EXECUTOR — rows never funnel through the driver (the
+    ``SimpleDataSourceStreamReader`` sibling API does exactly that and
+    is the prototype-only path; this is the one that scales). The feed
+    drains in 2 micro-batches through a stateful complete-mode
+    aggregation, and the final per-lang profile is hash-checked against
+    the batch answer over the same rows — exactness of the
+    offset-range → partition → replay contract is what's being pinned:
+    a missed or double-read shard changes the counts.
+
+    Scale: offsets are coarse shard cursors (offset log stays tiny at
+    any rate); per-range partitions parallelize each micro-batch across
+    executors like a file source; on a cluster the shards live on
+    shared storage and the same reader runs unchanged. Shuffle/state
+    partitions are pinned via the streaming-harness knob (CLAUDE.md
+    rule 11b). Restart replay is covered by partitions(start, end)
+    being a pure function of the committed offset range.
+    """
+    import glob as _glob
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    from sqlengine_spark.operators.tier_j_streaming import (
+        run_stream_to_table,
+    )
+
+    stage = _scratch("documents_stream_jsonl")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.repartition(4).write.mode("overwrite").json(stage)
+    shards = sorted(_glob.glob(os.path.join(stage, "part-*")))
+
+    class FeedStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.paths = options["paths"].split(",")
+            self.cur = 0  # driver-side cursor; 2 shards per trigger
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def latestOffset(self):
+            self.cur = min(self.cur + 2, len(self.paths))
+            return {"i": self.cur}
+
+        def partitions(self, start, end):
+            return [
+                InputPartition(p)
+                for p in self.paths[start["i"]:end["i"]]
+            ]
+
+        def read(self, part):  # runs on the EXECUTOR
+            with open(part.value) as fh:
+                for line in fh:
+                    rec = _json.loads(line)
+                    yield (rec["doc_id"], rec["lang"], rec["n_chars"])
+
+        def commit(self, end):
+            pass
+
+    class FeedStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "docfeed_stream"
+
+        def schema(self):
+            return "doc_id long, lang string, n_chars long"
+
+        def streamReader(self, schema):
+            return FeedStreamReader(self.options)
+
+    spark.dataSource.register(FeedStreamSource)
+    sdf = (
+        spark.readStream.format("docfeed_stream")
+        .option("paths", ",".join(shards))
+        .load()
+    )
+    agg = sdf.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    rows, schema = run_stream_to_table(spark, agg, "complete")
+    return spark.createDataFrame(rows, schema)

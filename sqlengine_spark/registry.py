@@ -108,6 +108,7 @@ PRIORITY_ORDER = (
     "l_graph_triangles",
     "h_sql_scripting",
     "l_ml_logreg_train",
+    "a_stream_python_datasource",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
