@@ -812,3 +812,46 @@ def test_python_datasource_partitioned_scan(spark):
     staged shard (4), never a single-task read."""
     df = all_queries()["a_scan_python_datasource"](spark, SF_DIR)
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_dedup_substring_hashed_keys_and_partial_agg(spark):
+    """l_dedup_substring (round 7): the shingle is md5-hashed BEFORE any
+    shuffle (16-byte keys cross the wire, never raw 10-word text), the
+    cross-doc flag join is a hash join, and no stage is a cartesian."""
+    plan = _plan(spark, "l_dedup_substring")
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # count-distinct flag agg runs partial (map-side) before the h shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_chunk_cdc_boundary_is_codegen_map(spark):
+    """l_chunk_cdc: boundary detection is pure codegen (no UDF, no
+    python eval) and segment assembly shuffles keyed on doc_id only."""
+    plan = _plan(spark, "l_chunk_cdc")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_graph_triangles_all_joins_keyed(spark):
+    """l_graph_triangles: every stage is a keyed hash join — the
+    degree-ordered wedge/closing joins must never plan a cartesian or
+    nested loop (the thing orientation exists to prevent)."""
+    plan = _plan(spark, "l_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_theilsen_pair_join_keyed_on_user(spark):
+    """m_ts_theilsen: the pairwise-slope stage is an equi-join keyed on
+    user_id (calendar-bounded fan-out), never a cartesian."""
+    plan = _plan(spark, "m_ts_theilsen")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
