@@ -792,3 +792,121 @@ def test_dedup_passage_boundary_matches_oracle(spark, data):
     by_doc = {int(r[cols.index("doc_id")]): r for r in rws}
     dup_ix = cols.index("n_dup_passages")
     assert int(by_doc[1][dup_ix]) >= 1, "aligned re-occurrence missed"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_dedup_substring_boundary_matches_oracle(spark, data):
+    """Attack the 10-word overlapping-shingle pin (round-7
+    l_dedup_substring): word counts at 9/10/11 (the zero-window edge),
+    a 10-word block planted in two docs at DIFFERENT alignments (the
+    overlapping windows must flag it — exactly what fixed-offset
+    passage chunking misses), and duplicate shingles WITHIN one doc
+    (must NOT count: the flag needs >1 distinct docs)."""
+    from sqlengine_spark.operators.tier_l_pipeline import (
+        SUBSTR_WINDOW_WORDS,
+    )
+
+    W = SUBSTR_WINDOW_WORDS
+    vocab = [f"w{i:02d}" for i in range(30)]
+
+    def words(n):
+        return [
+            vocab[data.draw(st.integers(0, len(vocab) - 1))]
+            for _ in range(n)
+        ]
+
+    block = words(W)
+    rows = []
+    # doc 0: block at offset 0; doc 1: same block at a drawn offset
+    off = data.draw(st.sampled_from([0, 1, 3, W]))
+    rows.append((0, " ".join(block + words(data.draw(st.sampled_from([0, 2]))))))
+    rows.append((1, " ".join(words(off) + block)))
+    # doc 2: block repeated TWICE within the same doc only (plus fresh
+    # randomness so it rarely collides cross-doc)
+    rows.append((2, " ".join(block[::-1] + block[::-1])))
+    # docs 3+: boundary lengths around the window size
+    did = 3
+    for n in (W - 1, W, W + 1):
+        rows.append((did, " ".join(words(n))))
+        did += 1
+    full = [(i, t, "en", "src0", len(t)) for i, t in rows]
+    got, want = _roundtrip_documents(spark, full, "l_dedup_substring")
+    assert got == want
+    # semantic pin: the differently-aligned planted block IS caught
+    cols, rws = want
+    by_doc = {int(r[cols.index("doc_id")]): r for r in rws}
+    dup_ix = cols.index("n_dup_windows")
+    assert int(by_doc[0][dup_ix]) >= 1
+    assert int(by_doc[1][dup_ix]) >= 1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_chunk_cdc_boundary_matches_oracle(spark, data):
+    """Attack the 8-char CDC hash-window pin: texts of length
+    6/7/8/9/20 (the shorter-than-window branch must emit one whole-doc
+    chunk, never a descending sequence — CLAUDE.md rule 11d), and two
+    docs sharing content so their chunking agrees. Engines must agree
+    on every chunk-count/max/mean profile."""
+    alpha = "abcdefgh "
+    rows = []
+    did = 0
+    for _ in range(data.draw(st.integers(2, 4))):
+        ln = data.draw(st.sampled_from([6, 7, 8, 9, 20, 64]))
+        txt = "".join(
+            alpha[data.draw(st.integers(0, len(alpha) - 1))]
+            for _ in range(ln)
+        )
+        rows.append((did, txt, "en", "src0", len(txt)))
+        did += 1
+        if data.draw(st.booleans()):
+            rows.append((did, txt, "en", "src0", len(txt)))  # identical twin
+            did += 1
+    got, want = _roundtrip_documents(spark, rows, "l_chunk_cdc")
+    assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_logreg_train_matches_oracle_on_random_corpora(spark, data):
+    """The GD trainer's cross-engine determinism claim (round-7
+    l_ml_logreg_train): on RANDOM corpora — random lengths, random
+    label mix, including all-one-class — five iterations of
+    quantized-gradient descent must produce hash-identical weights and
+    accuracy in both engines (the rational-sigmoid + fixed-point-sum
+    design removes the libm exp() and sum-order failure classes)."""
+    vocab = ["tok", "a", "longword", "x"]
+    rows = []
+    n_docs = data.draw(st.integers(min_value=3, max_value=12))
+    for did in range(n_docs):
+        nw = data.draw(st.integers(min_value=1, max_value=40))
+        txt = " ".join(
+            vocab[data.draw(st.integers(0, len(vocab) - 1))]
+            for _ in range(nw)
+        )
+        lang = data.draw(st.sampled_from(["en", "de", "en", "zh"]))
+        rows.append((did, txt, lang, "src0", len(txt)))
+    got, want = _roundtrip_documents(spark, rows, "l_ml_logreg_train")
+    assert got == want
