@@ -880,8 +880,21 @@ def l_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation is the one that runs on 1000 executors.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # small-input scatter (the l_bpe_encode lesson): a one-row-group
+    # test file gives the scan ONE split, serializing the shingle map
+    # on one core — round-robin the tiny raw text only when the scan
+    # has fewer partitions than the cluster's parallelism (at corpus
+    # scale the guard is false and the plan stays exchange-free)
+    src = docs
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    w = src.select("doc_id", F.split("text", " ").alias("ws"))
     n = SUBSTR_WINDOW_WORDS
+    # single-scan staging: the shingle stream feeds BOTH the cross-doc
+    # flag agg and the per-doc profile — localCheckpoint (never persist,
+    # CLAUDE.md rule 11a) materializes the split+md5 map once per
+    # invocation instead of twice
     s = w.filter(F.size("ws") >= n).select(
         "doc_id",
         F.explode(
@@ -890,7 +903,7 @@ def l_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" i -> md5(array_join(slice(ws, i, {n}), ' ')))"
             )
         ).alias("h"),
-    )
+    ).localCheckpoint()
     dup = (
         s.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -995,6 +1008,15 @@ def l_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     wc = CDC_WINDOW_CHARS
     d = docs.select("doc_id", "text", F.length("text").alias("n"))
+    # small-input scatter (the l_bpe_encode lesson): the per-position
+    # md5 map is the whole cost — never let a one-split test file
+    # serialize it on one core; at corpus scale the guard is false
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    # cuts feed three consumers (segments, final-segment, no-cut
+    # anti-join) — localCheckpoint so the per-position md5 map runs
+    # once per invocation (CLAUDE.md rule 11a)
     cuts = (
         d.filter(F.col("n") >= wc)
         .select(
@@ -1008,6 +1030,7 @@ def l_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("cut"),
         )
+        .localCheckpoint()
     )
     wlag = Window.partitionBy("doc_id").orderBy("cut")
     segs = cuts.select(
@@ -2740,8 +2763,9 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree by O(sqrt(m)), so wedge fan-out is sum C(outdeg, 2) —
     the arboricity-bounded count that makes distributed triangle
     counting tractable — instead of sum C(deg, 2), which a hub node
-    would blow up. Each triangle is emitted EXACTLY once (the closing
-    edge's orientation matches exactly one of the wedge's two orders).
+    would blow up. Each triangle is emitted EXACTLY once: its
+    degree-minimum apex owns the only wedge (kept in canonical v < w
+    label order), closed against the undirected canonical edge pair.
     The DuckDB oracle proves the same answer from an INDEPENDENT
     formulation: a<b<c ordered 3-way self-join.
 
@@ -2776,14 +2800,30 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
     )
+    # oriented edges feed the wedge self-join AND the closing join —
+    # localCheckpoint so the lineitem self-join + degree joins run once
+    # per invocation (CLAUDE.md rule 11a)
     o = ed.select(
         F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-    )
+    ).localCheckpoint()
     w1 = o.toDF("u", "v")
     w2 = o.toDF("u", "w")
-    wedges = w1.join(w2, "u").filter(F.col("v") != F.col("w"))
-    tri = wedges.join(o.toDF("v", "w"), ["v", "w"])
+    # emit each wedge ONCE in canonical v < w order (halves wedge
+    # volume) and close it against the UNDIRECTED canonical pair —
+    # the closing edge's degree orientation may point either way
+    # measured join strategy (paired at sf0.1, idle host): the wedge
+    # self-join sort-merges (1.2M-row sides, spill-safe under a 1g
+    # plain-session heap where a mis-estimated post-checkpoint hash
+    # build OOMed); the closing join hashes the SMALL closing side
+    # (shuffle_hash) so the 41M-row wedge stream is never sorted —
+    # 15.0 s -> 8.6 s
+    wedges = w1.hint("merge").join(w2, "u").filter(F.col("v") < F.col("w"))
+    closing = o.select(
+        F.least("src", "dst").alias("v"),
+        F.greatest("src", "dst").alias("w"),
+    )
+    tri = wedges.join(closing.hint("shuffle_hash"), ["v", "w"])
     nodes = (
         tri.select(F.col("u").alias("p"))
         .unionByName(tri.select(F.col("v").alias("p")))

@@ -1274,10 +1274,15 @@ def m_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's outer BIGINT cast (rule 10).
     """
     ev = table(spark, sf_dir, "events")
+    # the daily rollup feeds FOUR consumers (both pair sides, n_days,
+    # residuals) — localCheckpoint (never persist, CLAUDE.md rule 11a)
+    # so the events scan + (user, day) agg run once per invocation
     daily = ev.groupBy(
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
-    ).agg(F.sum(F.expr("CAST(value * 100 AS BIGINT)")).alias("yc"))
+    ).agg(
+        F.sum(F.expr("CAST(value * 100 AS BIGINT)")).alias("yc")
+    ).localCheckpoint()
     a = daily.toDF("user_id", "x1", "y1")
     b = daily.toDF("user_id", "x2", "y2")
     slopes = (

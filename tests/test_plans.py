@@ -815,11 +815,16 @@ def test_python_datasource_partitioned_scan(spark):
 
 
 def test_dedup_substring_hashed_keys_and_partial_agg(spark):
-    """l_dedup_substring (round 7): the shingle is md5-hashed BEFORE any
-    shuffle (16-byte keys cross the wire, never raw 10-word text), the
-    cross-doc flag join is a hash join, and no stage is a cartesian."""
+    """l_dedup_substring (round 7): the shingle stream (split + md5) is
+    localCheckpoint-ed and feeds BOTH consumers from memory — the
+    result plan scans parquet exactly ONCE (the doc-universe side of
+    the final left join; the flag agg and profile read the checkpointed
+    RDD), the flag join is a hash join, and no stage is a cartesian."""
     plan = _plan(spark, "l_dedup_substring")
-    assert "md5" in plan
+    # formatted explain prints each node twice (tree + details):
+    # 2 occurrences == ONE parquet scan node
+    assert plan.count("Scan parquet") == 2
+    assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # count-distinct flag agg runs partial (map-side) before the h shuffle
