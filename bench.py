@@ -50,7 +50,18 @@ HEADLINE = [
     "t_q09_product_profit",  # TPC-H tier's tracked row (round 6): the
                              # 5-way join tree + two-level agg — the
                              # deepest join pipeline in the registry
+    "l_dedup_substring",     # round 7: overlapping-shingle substring
+                             # dedup — the Lee-et-al span signal; one
+                             # checkpointed shingle scan + 16-byte-key
+                             # flag join (tracks the new dedup family)
 ]
+# l_graph_triangles is NOT benched: the part co-purchase fixture graph
+# is degenerately DENSE (avg degree ~120 at sf0.1 — every order mixes
+# random parts), so the wedge stream is 41M rows and the honest
+# degree-ordered plan runs ~8.6 s — a property of the fixture's
+# density, like the 31-token-vocabulary postings degeneracy below.
+# Real co-occurrence graphs are power-law sparse; the plan's work is
+# arboricity-bounded (SCALE.md round-7 row).
 # The similarity tier's benched row is l_sim_join_gemm, not
 # l_sim_join_lsh: at this corpus's only non-vacuous threshold (τ=0.4;
 # max pairwise cosine is 0.60) a 2-bit LSH band has 4 possible
