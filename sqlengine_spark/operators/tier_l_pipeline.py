@@ -904,10 +904,13 @@ def l_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).localCheckpoint()
+    # "recurs in >1 distinct doc" == min(doc_id) != max(doc_id) per h:
+    # min/max partial-aggregate in one pass where count_distinct plans
+    # a two-phase expand (paired at sf0.1: 1.95 -> 1.6 s)
     dup = (
         s.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("h", F.lit(1).alias("is_dup"))
     )
     per = (
