@@ -1082,3 +1082,39 @@ def d_agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "d_agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC, item LIMIT 5
+    """,
+)
+def d_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4.1, DataSketches frequent-items): the
+    fixed-memory top-k frequency sketch — at stream/corpus scale the
+    exact GROUP BY needs |distinct| state while this tracks a bounded
+    item set with guaranteed error bounds, and sketches merge across
+    partitions (map-side partials, same mergeability story as the
+    HLL/Theta tier). Here the tracked capacity (10 000) exceeds the
+    column's true cardinality, so the sketch is provably EXACT and the
+    result is SQL-oracle-able rather than rows-only — the same
+    under-capacity-exactness pin d_agg_histogram uses. The array-of-
+    struct sketch output is exploded to scalar rows (no container
+    cells cross the driver boundary, CLAUDE.md rule 2) and re-ranked
+    with a unique (count, item) total order.
+
+    Scale: one partial+final sketch aggregation — O(capacity) state
+    per task, one 1-row shuffle; the explode is driver-trivial."""
+    ev = table(spark, sf_dir, "events")
+    tk = ev.agg(F.expr("approx_top_k(event_type, 5, 10000)").alias("tk"))
+    return (
+        tk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("est_count"),
+        )
+        .orderBy(F.col("est_count").desc(), "item")
+    )

@@ -1203,3 +1203,37 @@ def h_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "h_sql_exec_immediate",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def h_sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the statement text
+    lives in a session variable and executes with a ``USING``
+    placeholder — how metadata-driven report runners and migration
+    tools run SQL assembled at runtime WITHOUT string-concatenating
+    values into the query (the parameter binds as a typed literal, the
+    injection-safe channel h_sql_params pins for static statements).
+    The oracle states the same aggregation with the parameter inlined,
+    so both the dynamic dispatch AND the binding are hash-checked.
+
+    Scale: dynamic dispatch is pure driver-side analysis — the planned
+    query is byte-identical to its static spelling (same pushdown, same
+    partial/final agg), zero execution-time overhead."""
+    load_tables(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE dyn_sql STRING")
+    spark.sql(
+        """SET VAR dyn_sql =
+        'SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN o_totalprice > ? THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_big
+         FROM orders GROUP BY o_orderstatus'"""
+    )
+    return spark.sql("EXECUTE IMMEDIATE dyn_sql USING 150000")

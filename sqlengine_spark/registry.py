@@ -109,6 +109,8 @@ PRIORITY_ORDER = (
     "h_sql_scripting",
     "l_ml_logreg_train",
     "a_stream_python_datasource",
+    "h_sql_exec_immediate",
+    "d_agg_approx_top_k",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
