@@ -1237,3 +1237,56 @@ def h_sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM orders GROUP BY o_orderstatus'"""
     )
     return spark.sql("EXECUTE IMMEDIATE dyn_sql USING 150000")
+
+
+@query(
+    "h_csv_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey || ',' || o_orderstatus AS csv_line,
+           o_orderstatus AS status_rt,
+           ROUND(o_totalprice * 100, 0) / 100 AS price_rt,
+           'STRUCT<_c0: INT, _c1: STRING, _c2: DOUBLE>' AS inferred
+    FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey
+    """,
+)
+def h_csv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV SCALAR functions (to_csv / from_csv / schema_of_csv) — the
+    embedded-CSV column family: serialize a struct to a CSV line, parse
+    a CSV line back into typed fields, and infer a schema from a sample
+    line at plan time. This is how pipelines handle CSV-in-a-column
+    feeds (message queues, log envelopes) without a file source. The
+    round trip is pinned by parsing the line to_csv just built and
+    hash-checking the recovered TYPED fields against the table values
+    (the double rides the round trip as a parsed DOUBLE, never as its
+    string rendering — Java 17's Double.toString is not guaranteed
+    shortest-form, so a string-compare would be engine-trash; the
+    integer/string fields ARE compared as CSV text).
+
+    Scale: all three are codegen scalar expressions in the scan
+    projection — zero shuffle, zero Python; schema_of_csv folds to a
+    CONSTANT at plan time (one sample parse on the driver)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 97) == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    line = F.to_csv(
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+    ).alias("full_line")
+    parsed = F.from_csv(
+        line, F.lit("k BIGINT, s STRING, p DOUBLE")
+    ).alias("p")
+    return (
+        o.select("o_orderkey", line, parsed)
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.col("p.k").cast("string"), F.lit(","), F.col("p.s")
+            ).alias("csv_line"),
+            F.col("p.s").alias("status_rt"),
+            dround(F.col("p.p"), 2).alias("price_rt"),
+            F.schema_of_csv(F.lit("1,abc,2.5")).alias("inferred"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1669,3 +1669,122 @@ def l_multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (w * h * c).cast("bigint").alias("n_samples"),
         (w >= 2 * h).alias("is_wide"),
     )
+
+
+#: SemDeDup parameters: seed-centroid count and within-cluster cosine
+#: threshold (the corpus's max pairwise dot is ~0.51, so 0.35 yields a
+#: real but sparse duplicate set).
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "l_dedup_semantic",
+    oracle=f"""
+    WITH flat AS MATERIALIZED (
+        SELECT vec_id, i, embedding[i]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, 64)) t(i)
+    ), cflat AS MATERIALIZED (
+        SELECT vec_id AS cid, i, v FROM flat WHERE vec_id < {SEMDEDUP_K}
+    ), adot AS MATERIALIZED (
+        SELECT f.vec_id, c.cid, ROUND(SUM(f.v * c.v) * 1e12) / 1e12 AS d
+        FROM flat f JOIN cflat c USING (i)
+        GROUP BY f.vec_id, c.cid
+    ), assign AS MATERIALIZED (
+        SELECT vec_id, cid AS cluster_id FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cid) AS rn
+            FROM adot) WHERE rn = 1
+    ), pd AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM assign a JOIN assign b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ), dup AS MATERIALIZED (
+        SELECT DISTINCT vb AS vec_id FROM (
+            SELECT p.va, p.vb
+            FROM pd p
+            JOIN flat fa ON fa.vec_id = p.va
+            JOIN flat fb ON fb.vec_id = p.vb AND fb.i = fa.i
+            GROUP BY p.va, p.vb
+            HAVING ROUND(SUM(fa.v * fb.v) * 1e12) / 1e12 >= {SEMDEDUP_TAU})
+    )
+    SELECT e.vec_id, a.cluster_id,
+           CASE WHEN e.vec_id IN (SELECT vec_id FROM dup)
+                THEN 0 ELSE 1 END AS keep
+    FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def l_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup that first CLUSTERS
+    the embedding space, then looks for near-duplicate pairs only
+    WITHIN each cluster — the move that turns O(N²) embedding dedup
+    into O(Σ|cluster|²), which is what makes semantic dedup run at
+    corpus scale (the paper prunes LAION/CommonCrawl this way). Every
+    vector gets its cluster id and a keep flag: dropped iff a lower-id
+    vector in the SAME cluster has dot >= {{TAU}} (greedy min-id
+    canonicalization, same keep rule as l_dedup_embedding — the paper's
+    farthest-from-centroid keep is a one-line ORDER BY swap).
+    Seed centroids are the first {{K}} vectors (deterministic stand-in
+    for a k-means fit — l_kmeans_assign is the trained sibling; the
+    blocking structure, not the centroid quality, is what's under
+    test). Cluster-assignment dots and pair dots are rounded to the
+    1e-12 grid in BOTH engines so the argmax and the threshold compare
+    never sit on sub-ulp noise (the l_graph_pagerank pin applied to a
+    flat-position-join oracle).
+
+    Scale: assignment is a broadcast of K centroid vectors against a
+    map-only scan (argmax per row, no shuffle); the pair stage
+    shuffles once keyed on cluster_id with fan-out Σ|cluster|² — the
+    SemDeDup contract — and at production scale K grows with N to hold
+    |cluster| constant. The anti-join keep set is |duplicates|-sized.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dots = e.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cent)
+    ).select(
+        "vec_id",
+        "cid",
+        dround(vdot(F.col("embedding"), F.col("ce")), 12).alias("d"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+    )
+    assign = (
+        dots.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+    )
+    # assigned-embedding frame feeds both pair sides — stage it once
+    ea = e.select("vec_id", "embedding").join(assign, "vec_id").localCheckpoint()
+    a = ea.toDF("va", "ea", "cluster_id")
+    b = ea.toDF("vb", "eb", "cluster_id")
+    dup = (
+        a.join(b, "cluster_id")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            dround(vdot(F.col("ea"), F.col("eb")), 12) >= SEMDEDUP_TAU
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ea.select("vec_id", "cluster_id")
+        .join(dup.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.when(F.col("is_dup").isNotNull(), 0).otherwise(1).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+l_dedup_semantic.__doc__ = (
+    l_dedup_semantic.__doc__.replace("{{TAU}}", str(SEMDEDUP_TAU))
+    .replace("{{K}}", str(SEMDEDUP_K))
+)

@@ -1320,3 +1320,52 @@ def m_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "m_path_trigrams",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def m_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral PATH MINING: the top-10 most common 3-step event
+    sequences across all users — the sequential-pattern signal behind
+    funnel discovery and next-action models (m_event_transitions counts
+    single hops; order-3 paths distinguish 'view>cart>purchase' from
+    'cart>view>purchase'). Per-user event streams order by (ts,
+    event_id) — the repo-standard unique tiebreak — and each position
+    contributes one trigram via two LEADs sharing ONE window spec.
+
+    Scale: one user_id-keyed shuffle for the window (both leads fold
+    into a single Window node over the same frame), then the trigram
+    count is a standard partial+final hash agg keyed by a short path
+    string; top-10 with a unique (n, path) total order plans
+    TakeOrderedAndProject. Path cardinality is |event_types|^3 — tiny
+    — so the final agg is broadcast-light at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

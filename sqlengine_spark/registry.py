@@ -111,6 +111,9 @@ PRIORITY_ORDER = (
     "a_stream_python_datasource",
     "h_sql_exec_immediate",
     "d_agg_approx_top_k",
+    "h_csv_funcs",
+    "m_path_trigrams",
+    "l_dedup_semantic",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
