@@ -923,3 +923,85 @@ def j_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _restore_partitions(spark, _prev_parts)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "j_statestore_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def j_statestore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE READER (Spark 4 ``statestore`` batch format): run a
+    checkpointed streaming aggregation to completion, then open its
+    state store AS A TABLE and audit the raw operator state — the
+    introspection surface for debugging stuck streaming jobs, verifying
+    state migrations, and reconciling a stream's internal state against
+    the source of truth without touching the running query. The audit
+    here IS the verification: the per-key state rows (key struct +
+    value struct, unpacked to scalars) must hash-equal the batch GROUP
+    BY over the same data — a streaming-state-vs-batch-semantics
+    equality the sink-level _stream ops can't see (they check emitted
+    OUTPUT; this checks the STATE behind it).
+
+    The summed metric is integer cents (cast-truncate per row), so the
+    cross-batch accumulation order cannot move the hash (CLAUDE.md
+    rule 11e). Shuffle/state partitions pin to the harness knob
+    (rule 11b) — which also exercises that the reader sees EVERY state
+    partition, not just partition 0.
+
+    Scale: the state-store scan is one InputPartition per state
+    partition (parallel like any file source); state size is |keys|,
+    never |stream|. Reading at a specific batchId/operator is an
+    option flag — the same reader audits any point in the checkpoint's
+    retained history.
+    """
+    src = stage_events(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sqlengine_statestore_ckpt_")
+    sink = f"ss_audit_{os.getpid()}_{int(time.time() * 1e6)}"
+    with pinned_stream_partitions(spark):
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.expr("CAST(value * 100 AS BIGINT)")).alias(
+                    "total_cents"
+                ),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(sink)
+    try:
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                # state value fields carry the PHYSICAL agg names
+                # (count/sum), not the query aliases
+                F.col("value.count").alias("n"),
+                F.col("value.sum").alias("total_cents"),
+            )
+        )
+        rows = state.collect()  # bounded: one row per distinct key
+        schema = state.schema
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)

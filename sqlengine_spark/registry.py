@@ -114,6 +114,7 @@ PRIORITY_ORDER = (
     "h_csv_funcs",
     "m_path_trigrams",
     "l_dedup_semantic",
+    "j_statestore_audit",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
