@@ -1290,3 +1290,58 @@ def h_csv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "h_xml_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS k_rt,
+           o_orderstatus AS s_rt,
+           o_orderkey AS q_rt,
+           'STRUCT<k: BIGINT>' AS inferred
+    FROM orders WHERE o_orderkey % 89 = 0 ORDER BY o_orderkey
+    """,
+)
+def h_xml_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML SCALAR functions (from_xml / to_xml / schema_of_xml, Spark
+    4) — the embedded-XML column family, completing the scalar
+    parse/serialize trio beside h_json_extract and h_csv_funcs (the
+    xpath family in h_xml_funcs extracts point values; from_xml parses
+    the WHOLE envelope into a typed struct once). Two pins: an XML
+    envelope built by string concat parses back to the original typed
+    fields, and a to_xml→from_xml round trip recovers the value
+    without ever comparing Spark's XML RENDERING as a string (element
+    layout/indentation is engine-private, the same reason h_csv_funcs
+    never string-compares doubles). schema_of_xml folds to a plan-time
+    constant.
+
+    Scale: codegen scalar expressions in the scan projection — no
+    shuffle, no Python."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 89) == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    envelope = F.concat(
+        F.lit("<r><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s></r>"),
+    )
+    parsed = F.from_xml(envelope, F.lit("k BIGINT, s STRING"))
+    rt = F.from_xml(
+        F.to_xml(F.struct(F.col("o_orderkey").alias("q"))),
+        F.lit("q BIGINT"),
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            parsed.getField("k").alias("k_rt"),
+            parsed.getField("s").alias("s_rt"),
+            rt.getField("q").alias("q_rt"),
+            F.schema_of_xml(F.lit("<r><k>1</k></r>")).alias("inferred"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -115,6 +115,7 @@ PRIORITY_ORDER = (
     "m_path_trigrams",
     "l_dedup_semantic",
     "j_statestore_audit",
+    "h_xml_scalar",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
