@@ -910,3 +910,77 @@ def test_logreg_train_matches_oracle_on_random_corpora(spark, data):
         rows.append((did, txt, lang, "src0", len(txt)))
     got, want = _roundtrip_documents(spark, rows, "l_ml_logreg_train")
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_theilsen_matches_oracle_on_random_streams(spark, data):
+    """Attack m_ts_theilsen's determinism pins on random event streams:
+    adversarial values at cent-rounding boundaries (x.005, negatives —
+    the cast-truncate-toward-zero path), single-day users (no pairs →
+    user dropped by BOTH engines), even/odd pair counts (median
+    interpolation), and multiple events per day (the order-immune
+    integer-cent sum)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    POOL = [0.005, -0.005, 1.015, 33.333, -12.345, 0.1 + 0.2, 50.0,
+            -0.004999, 2.675]
+    rows = []
+    eid = 0
+    n_users = data.draw(st.integers(1, 3))
+    for u in range(n_users):
+        n_days = data.draw(st.integers(1, 4))
+        for d in range(n_days):
+            for _ in range(data.draw(st.integers(0, 3))):
+                v = POOL[data.draw(st.integers(0, len(POOL) - 1))]
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2026, 3, 1 + d, 12, 0, 0),
+                        u,
+                        "click",
+                        v,
+                        "{}",
+                    )
+                )
+                eid += 1
+    if not rows:
+        rows.append((0, dt.datetime(2026, 3, 1), 0, "click", 1.0, "{}"))
+    base = tempfile.mkdtemp(prefix="sqlengine_theilsen_prop_")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.createDataFrame(
+            rows,
+            schema="event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "events.parquet")
+        )
+        result = all_queries()["m_ts_theilsen"](spark, base)
+        got = canon_rows(result.columns, result.collect())
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{os.path.join(base, 'events.parquet')}/*.parquet')"
+            )
+            cur = con.execute(all_oracles()["m_ts_theilsen"])
+            cols = [d[0] for d in cur.description]
+            want = canon_rows(cols, cur.fetchall())
+        finally:
+            con.close()
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
