@@ -359,3 +359,82 @@ def k_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 20
         """
     )
+
+
+@query(
+    "k_udtf_table_input",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value,
+               lag(value) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS pv
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND value > pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND value < pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+    FROM s GROUP BY event_type
+    """,
+)
+def k_udtf_table_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 4 ``TABLE(...)
+    PARTITION BY ... ORDER BY ...``) — the set-based UDTF form: the
+    engine partitions and ORDERS the input, instantiates the UDTF once
+    per partition, streams the partition's rows through ``eval`` in
+    order, and collects ``terminate``'s summary — custom per-group
+    SEQUENTIAL logic (here: counting direction changes in each event
+    type's value series, which needs the order, not just the bag)
+    without collect() or a window-function workaround. Completes the
+    tier-K UDTF matrix: k_udtf_split (lateral scalar), k_udtf_
+    polymorphic (analyze-time schema), and now table-valued input.
+    The oracle restates the sequential scan declaratively (lag over
+    the same (ts, event_id) total order), so the engine's
+    partition-ordering contract itself is hash-verified.
+
+    Scale: PARTITION BY shuffles once on the key exactly like a
+    groupBy; each partition streams through its UDTF instance with
+    O(1) state here (prev value + three counters) — the same execution
+    shape as applyInPandas but row-streaming, no per-partition
+    materialization. Python-side cost is the usual serialization tax;
+    production keys this at |event types| parallelism."""
+    load_tables(spark, sf_dir, ("events",))
+
+    @udtf(
+        returnType="event_type string, n_events bigint, n_up bigint,"
+        " n_down bigint"
+    )
+    class RunStats:
+        def __init__(self):
+            self.key = None
+            self.prev = None
+            self.n = 0
+            self.up = 0
+            self.down = 0
+
+        def eval(self, row):
+            self.key = row["event_type"]
+            v = row["value"]
+            self.n += 1
+            if self.prev is not None:
+                if v > self.prev:
+                    self.up += 1
+                elif v < self.prev:
+                    self.down += 1
+            self.prev = v
+
+        def terminate(self):
+            if self.key is not None:
+                yield self.key, self.n, self.up, self.down
+
+    spark.udtf.register("run_stats_udtf", RunStats)
+    return spark.sql(
+        """
+        SELECT * FROM run_stats_udtf(
+            TABLE(SELECT event_type, value, ts, event_id FROM events)
+            PARTITION BY event_type ORDER BY (ts, event_id)
+        )
+        """
+    )

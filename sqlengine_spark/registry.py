@@ -116,6 +116,7 @@ PRIORITY_ORDER = (
     "l_dedup_semantic",
     "j_statestore_audit",
     "h_xml_scalar",
+    "k_udtf_table_input",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
