@@ -1005,3 +1005,139 @@ def j_statestore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "j_stream_stream_left",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (
+        SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+               - INTERVAL 10 MINUTE AS w
+    )
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           p.event_id AS purchase_id
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.event_id, c.user_id, NULL
+    FROM c, wm
+    WHERE c.ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    """,
+)
+def j_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join with WATERMARK FINALIZATION — the
+    semantically hardest streaming join: matched rows emit as both
+    sides arrive (across micro-batch boundaries), but a click with NO
+    purchase in its hour can only emit null-padded once the engine
+    PROVES no match can still arrive — when the watermark passes the
+    end of the click's join window and its buffered state expires.
+    Both sides carry 10-minute watermarks plus the interval condition,
+    so state is evicted batch-by-batch, and the eviction itself
+    produces the outer rows.
+
+    The oracle states the FINALIZATION CONTRACT itself (the
+    j_tumbling_append_watermark philosophy): all matched pairs, UNION
+    the unmatched clicks whose window end lies strictly below the
+    final global watermark = least(max click ts, max purchase ts) -
+    10 min. Clicks newer than that are still buffered when the finite
+    feed ends — exactly what a real always-on stream would hold — and
+    the engine's eviction predicate (strict <, pinned empirically at
+    both SFs) is hash-verified against the declarative restatement.
+    The feed arrives as two time-ordered micro-batches (split at the
+    median ts), so cross-batch matching AND mid-stream eviction both
+    execute; no row is ever late (watermark only advances between
+    batches).
+
+    Scale: join state is bounded by the lateness horizon + the 1 h
+    join window (rows age out every batch) — the difference between
+    O(horizon) and O(stream) buffering; both sides shuffle on user_id
+    exactly like the batch plan. Unbounded-state variant = the
+    no-watermark inner sibling j_stream_stream_join.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cut = ev.agg(
+        F.percentile_approx(F.unix_timestamp("ts"), 0.5).alias("c")
+    ).collect()[0]["c"]  # bounded: 1 scalar
+    first = ev.filter(F.unix_timestamp("ts") <= cut)
+    second = ev.filter(F.unix_timestamp("ts") > cut)
+
+    base = tempfile.mkdtemp(prefix="sqlengine_ssleft_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+    sink = f"ssl_sink_{os.getpid()}_{int(time.time() * 1000)}"
+    _prev = _pin_partitions(spark)
+    try:
+        SCH = (
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        stream = spark.readStream.schema(SCH).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("user_id").alias("c_user"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("user_id").alias("p_user"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("interval 1 hour")
+            ),
+            "leftOuter",
+        ).select(
+            "click_id", F.col("c_user").alias("user_id"), "purchase_id"
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for i, chunk in enumerate((first, second)):
+                stage = os.path.join(base, f"stage{i}")
+                chunk.coalesce(1).write.parquet(stage)
+                for f in os.listdir(stage):
+                    if f.endswith(".parquet"):
+                        shutil.copy(
+                            os.path.join(stage, f),
+                            os.path.join(src, f"wave{i}.parquet"),
+                        )
+                q.processAllAvailable()
+            rows = spark.table(sink).collect()
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(sink)
+        return spark.createDataFrame(
+            rows,
+            schema="click_id long, user_id long, purchase_id long",
+        )
+    finally:
+        _restore_partitions(spark, _prev)
+        shutil.rmtree(base, ignore_errors=True)

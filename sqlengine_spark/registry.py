@@ -117,6 +117,7 @@ PRIORITY_ORDER = (
     "j_statestore_audit",
     "h_xml_scalar",
     "k_udtf_table_input",
+    "j_stream_stream_left",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",
