@@ -984,3 +984,72 @@ def test_theilsen_matches_oracle_on_random_streams(spark, data):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.large_base_example,  # 8 seed vectors x 64 floats
+    ],
+)
+@given(data=st.data())
+def test_semdedup_matches_oracle_on_random_embeddings(spark, data):
+    """Attack l_dedup_semantic's float pins on random embeddings: dots
+    are arbitrary doubles (not the fixture's nice values), including
+    exact-duplicate vectors (dot ties in the argmax — the cid tiebreak
+    must agree), vectors equidistant from two centroids, and pair dots
+    near the 0.35 threshold. The 1e-12 grid rounding must keep both
+    engines' argmax and threshold decisions identical on every
+    example."""
+    import os
+    import shutil
+    import tempfile
+
+    from sqlengine_spark.operators.tier_l_llm import SEMDEDUP_K
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    n_vec = data.draw(st.integers(SEMDEDUP_K, SEMDEDUP_K + 8))
+    vecs = []
+    for vid in range(n_vec):
+        if vid >= SEMDEDUP_K and data.draw(st.booleans()):
+            src = data.draw(st.integers(0, vid - 1))
+            vec = list(vecs[src][1])  # exact duplicate: forces ties
+        else:
+            vec = [
+                data.draw(
+                    st.floats(
+                        min_value=-1.0,
+                        max_value=1.0,
+                        allow_nan=False,
+                        width=32,
+                    )
+                )
+                for _ in range(64)
+            ]
+        vecs.append((vid, vec, vid % 3))
+    base = tempfile.mkdtemp(prefix="sqlengine_semdedup_prop_")
+    try:
+        spark.createDataFrame(
+            vecs, schema="vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "embeddings.parquet")
+        )
+        result = all_queries()["l_dedup_semantic"](spark, base)
+        got = canon_rows(result.columns, result.collect())
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+                f"'{os.path.join(base, 'embeddings.parquet')}/*.parquet')"
+            )
+            cur = con.execute(all_oracles()["l_dedup_semantic"])
+            cols = [d[0] for d in cur.description]
+            want = canon_rows(cols, cur.fetchall())
+        finally:
+            con.close()
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
