@@ -1062,3 +1062,92 @@ def c_join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("side") == 1).select(
         "event_id", "user_id", "last_price", "n_orders", "ltv"
     )
+
+
+@query(
+    "c_join_asof_nearest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts AS t, event_id,
+               CAST(NULL AS TIMESTAMP) AS ord_date, 1 AS side
+        FROM events
+        UNION ALL
+        SELECT o_custkey, o_orderdate, NULL, o_orderdate, 0 FROM orders
+    ), m AS (
+        SELECT *,
+            MAX(ord_date) OVER (PARTITION BY user_id ORDER BY t, side
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back,
+            MIN(ord_date) OVER (PARTITION BY user_id ORDER BY t, side
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd
+        FROM u
+    )
+    SELECT event_id, user_id,
+           CASE WHEN back IS NULL THEN fwd
+                WHEN fwd IS NULL THEN back
+                WHEN t - back <= fwd - t THEN back ELSE fwd
+           END AS nearest_orderdate
+    FROM m
+    WHERE side = 1 AND (back IS NOT NULL OR fwd IS NOT NULL)
+    """,
+)
+def c_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' (the pandas merge_asof variant
+    c_join_asof doesn't cover): each event pairs with its user's
+    CLOSEST order in either time direction — backward wins ties,
+    including the exact-timestamp case. One union-merge pass computes
+    BOTH candidates: the running MAX(ord_date) over the preceding
+    frame (backward) and the running MIN over the following frame
+    (forward) share the single user_id shuffle and sort, then a
+    codegen CASE arbitrates on interval distance (timestamp
+    subtraction compares at full microsecond precision in both
+    engines — no epoch truncation, Spark unix_timestamp would drop
+    the fractional second the fixture carries).
+
+    Scale: identical to c_join_asof — ONE shuffle on user_id, zero row
+    multiplication (the bidirectional range-join spelling would fan
+    out |events/user| x |orders/user| twice over)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ord_date"),
+        F.lit(1).alias("side"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("ord_date"),
+        F.lit(0).alias("side"),
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    m = (
+        o.unionByName(ev)
+        .withColumn("back", F.max("ord_date").over(wb))
+        .withColumn("fwd", F.min("ord_date").over(wf))
+    )
+    nearest = (
+        F.when(F.col("back").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("back"))
+        .when(
+            (F.col("t") - F.col("back")) <= (F.col("fwd") - F.col("t")),
+            F.col("back"),
+        )
+        .otherwise(F.col("fwd"))
+    )
+    return (
+        m.filter(
+            (F.col("side") == 1)
+            & (F.col("back").isNotNull() | F.col("fwd").isNotNull())
+        )
+        .select("event_id", "user_id", nearest.alias("nearest_orderdate"))
+    )

@@ -1788,3 +1788,130 @@ l_dedup_semantic.__doc__ = (
     l_dedup_semantic.__doc__.replace("{{TAU}}", str(SEMDEDUP_TAU))
     .replace("{{K}}", str(SEMDEDUP_K))
 )
+
+
+#: RRF constant (Cormack et al. 2009) and per-retriever candidate depth.
+RRF_K = 60
+RRF_DEPTH = 50
+
+
+@query(
+    "l_rag_rerank_rrf",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), j AS (
+        SELECT d.doc_id,
+               (SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
+                 AS cos,
+               len(list_filter(string_split(d.text, ' '),
+                               w -> w IN ('table', 'join'))) * 1.0
+                 / len(string_split(d.text, ' ')) AS kw
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, q
+        WHERE d.doc_id <> 0
+    ), dt AS (
+        SELECT doc_id, rd FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+                   AS rd FROM j) WHERE rd <= {RRF_DEPTH}
+    ), st AS (
+        SELECT doc_id, rs FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY kw DESC, doc_id)
+                   AS rs FROM j) WHERE rs <= {RRF_DEPTH}
+    )
+    SELECT COALESCE(dt.doc_id, st.doc_id) AS doc_id,
+           CAST(dt.rd AS BIGINT) AS rd,
+           CAST(st.rs AS BIGINT) AS rs,
+           ROUND((COALESCE(1.0 / ({RRF_K} + dt.rd), 0.0)
+                  + COALESCE(1.0 / ({RRF_K} + st.rs), 0.0)) * 1e9, 0)
+             / 1e9 AS rrf
+    FROM dt FULL JOIN st ON dt.doc_id = st.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def l_rag_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    RAG-stack way to merge retrievers WITHOUT comparable scores: each
+    retriever contributes 1/(k + rank) for the documents in its top-N
+    list, and the fused top-10 ranks by the sum. Unlike
+    l_hybrid_search's weighted score blend, RRF is scale-free (a
+    BM25 score and a cosine live on different scales; ranks don't),
+    which is why production stacks default to it. Dense list: cosine
+    to the query vector (vdot — bit-identical doubles, so the rank
+    order itself is deterministic); sparse list: query-term density.
+    Documents missing from one list contribute only the other term
+    (FULL join + coalesce).
+
+    Scale: each retriever's candidate list is depth-bounded (top-50
+    here — production fuses top-k lists, never corpora), so the
+    rank-assignment window runs on <= RRF_DEPTH rows per retriever
+    (whitelisted bounded global window) and the fusion join touches
+    <= 2·depth rows. The candidate generation itself is the scale
+    path already pinned by the sim-search tier (broadcast query +
+    TakeOrdered; IVF/LSH composes in front unchanged)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    words = F.split(F.col("text"), " ")
+    kw = F.size(F.filter(words, lambda w: w.isin("table", "join"))) * F.lit(
+        1.0
+    ) / F.size(words)
+    j = (
+        d.filter(F.col("doc_id") != 0)
+        .join(e, d.doc_id == e.vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            vdot(F.col("embedding"), F.col("qe")).alias("cos"),
+            kw.alias("kw"),
+        )
+        .localCheckpoint()  # one corpus pass feeds both retriever lists
+    )
+    dt = (
+        j.orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("rd"),
+        )
+    )
+    st = (
+        j.orderBy(F.col("kw").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("kw").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("rs"),
+        )
+    )
+    fused = (
+        dt.join(st, "doc_id", "full")
+        .select(
+            "doc_id",
+            "rd",
+            "rs",
+            (
+                F.round(
+                    (
+                        F.coalesce(
+                            F.lit(1.0) / (F.lit(RRF_K) + F.col("rd")),
+                            F.lit(0.0),
+                        )
+                        + F.coalesce(
+                            F.lit(1.0) / (F.lit(RRF_K) + F.col("rs")),
+                            F.lit(0.0),
+                        )
+                    )
+                    * 1e9,
+                    0,
+                )
+                / 1e9
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

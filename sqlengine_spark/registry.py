@@ -118,6 +118,8 @@ PRIORITY_ORDER = (
     "h_xml_scalar",
     "k_udtf_table_input",
     "j_stream_stream_left",
+    "c_join_asof_nearest",
+    "l_rag_rerank_rrf",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
     "a_scan_python_datasource",

@@ -150,6 +150,7 @@ CARTESIAN_WHITELIST = {
                              # (the fact join itself is (key,salt)-keyed
                              # shuffled-hash — asserted below)
     "l_hybrid_search",       # 1-row query vector broadcast
+    "l_rag_rerank_rrf",      # 1-row query vector broadcast
     "l_topic_cooccur",       # 1-row corpus-count broadcast
     "d_agg_theta_setops",    # two 1-row sketch aggregates joined
     "l_sim_search_batch",    # 10-row query batch broadcast
@@ -221,6 +222,10 @@ LINT_SKIP = {
 # WindowExec: input provably bounded before the window.
 GLOBAL_WINDOW_WHITELIST = {
     "i_monotonic_id_rank",  # filter-bounded input, docstring-scoped
+    "l_rag_rerank_rrf",     # rank assignment over the top-RRF_DEPTH
+                            # (50-row) candidate list per retriever —
+                            # depth-bounded by construction (TakeOrdered
+                            # feeds the window), never the corpus
     "l_tokens_zipf_fit",    # vocabulary-bounded rank (|distinct tokens|
                             # after the frequency agg — the PMI C(V,2)
                             # bounded-input class); two-pass bucketed
