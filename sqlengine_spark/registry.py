@@ -97,11 +97,13 @@ PRIORITY_ORDER = (
     "i_sample_hash",
     "i_sample_weighted",
     "f_sort_local",
-    # -- ROUND-8 QUEUE (swap up to slots 13-50 next round; round-7-built
-    #    keys sit at the HEAD so the newest code earns driver evidence
-    #    first — the r6-verdict precedent; then 32 staged oracled keys,
-    #    then the rows-only tail. Over the 38-slot budget: spill the
-    #    tail of this block to the r9 window.) ---------------------------
+    # -- ROUND-8 QUEUE (swap up to slots 13-50 next round; the EIGHTEEN
+    #    round-7-built keys sit at the HEAD so the newest code earns
+    #    driver evidence first — the r6-verdict precedent; then the 32
+    #    staged oracled keys, then the rows-only tail. 18 + 32 + 7 =
+    #    57 keys against a 38-slot window: r8 takes the first 38
+    #    (18 r7 keys + 20 staged), r9 takes the remaining 12 oracled +
+    #    7 rows-only and closes driver coverage.) -----------------------
     "l_dedup_substring",
     "l_chunk_cdc",
     "m_ts_theilsen",
