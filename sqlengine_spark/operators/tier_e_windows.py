@@ -522,3 +522,60 @@ def e_win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         dround(F.col("revenue") / F.col("t"), 6).alias("pct_of_total"),
     )
+
+
+@query(
+    "e_win_count_distinct",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(DISTINCT o_orderpriority)
+               OVER (PARTITION BY o_custkey) AS n_prio_set,
+           COUNT(DISTINCT o_orderpriority)
+               OVER (PARTITION BY o_custkey) AS n_prio_rank
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_orderkey
+    """,
+)
+def e_win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate over a window — a surface Spark's WindowExec
+    does NOT support natively (`count(distinct x) OVER (...)` raises
+    DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), so the engine provides the
+    two standard scale-safe rewrites and proves them equivalent against
+    an engine (DuckDB) that supports the construct directly:
+
+    1. ``size(collect_set(x)) OVER (PARTITION BY g)`` — exact, state is
+       the per-partition distinct SET (bounded here by the 5-value
+       priority domain; for unbounded domains prefer rewrite 2).
+    2. the dense_rank trick — ``max(dense_rank() OVER (g ORDER BY x))
+       OVER (g)`` — constant state per row, works for any domain
+       cardinality because it never materializes the distinct set.
+
+    Scale: one shuffle on o_custkey serves all three window specs
+    (same partition key); rewrite 2 adds only a per-partition sort on
+    the rank key. The distinct-set state of rewrite 1 is the classic
+    100 TB trap (a hot key with millions of distinct values holds them
+    all in one window buffer) — the docstring-level guidance is
+    rewrite 2, and this operator demonstrates both agree.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    part = W.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderpriority").over(part))
+        .cast("long")
+        .alias("n_prio_set"),
+        F.dense_rank()
+        .over(part.orderBy("o_orderpriority"))
+        .alias("_dr"),
+    )
+    return (
+        ranked.select(
+            "o_orderkey",
+            "o_custkey",
+            "n_prio_set",
+            F.max("_dr").over(part).cast("long").alias("n_prio_rank"),
+        )
+        .orderBy("o_orderkey")
+    )

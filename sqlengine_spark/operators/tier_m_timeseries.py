@@ -1369,3 +1369,81 @@ def m_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "m_yoy_growth",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name, year(o.o_orderdate) AS yr,
+               CAST(SUM(CAST(trunc(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), lagged AS (
+        SELECT n_name, yr, cents,
+               lag(cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev
+        FROM rev
+    )
+    SELECT n_name, yr,
+           ROUND(cents / 100.0 * 100, 0) / 100 AS revenue,
+           ROUND((cents - prev) * 100.0 / prev * 100, 0) / 100 + 0
+               AS yoy_pct
+    FROM lagged
+    WHERE prev IS NOT NULL
+    ORDER BY n_name, yr
+    """,
+)
+def m_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the period-over-period
+    comparison pattern (LAG over a calendar-keyed rollup) every BI and
+    metrics pipeline layers on top of windowed aggregation.
+
+    Float pins: yearly revenue is summed as truncated integer CENTS
+    (CLAUDE.md rule 11e — the BIGINT sum is order-immune, unlike a raw
+    double SUM), so the LAG and the growth ratio start from identical
+    exact integers in both engines; the single double division is then
+    bit-identical. Growth straddles zero, hence dround's +0.0 and the
+    oracle's ``+ 0`` (rule 5b).
+
+    Scale: one fact shuffle for the (nation, year) rollup with map-side
+    partials (dims broadcast — |customer| rows but the join key is the
+    fact side's o_custkey, left to AQE/broadcast by size); the window
+    then operates on |nations| x |years| rows — calendar-sized,
+    independent of fact volume. This is the plan shape that survives
+    100 TB: nothing after the first rollup scales with row count.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice * 100 AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("yr")
+    lagged = rev.withColumn("prev", F.lag("cents").over(w))
+    return (
+        lagged.filter(F.col("prev").isNotNull())
+        .select(
+            "n_name",
+            "yr",
+            dround(F.col("cents") / 100.0, 2).alias("revenue"),
+            dround(
+                (F.col("cents") - F.col("prev"))
+                * F.lit(100.0)
+                / F.col("prev"),
+                2,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("n_name", "yr")
+    )

@@ -104,6 +104,9 @@ PRIORITY_ORDER = (
     #    57 keys against a 38-slot window: r8 takes the first 38
     #    (18 r7 keys + 20 staged), r9 takes the remaining 12 oracled +
     #    7 rows-only and closes driver coverage.) -----------------------
+    # late-round-7 batch (newest first within the r8 queue):
+    "e_win_count_distinct",
+    "m_yoy_growth",
     "l_dedup_substring",
     "l_chunk_cdc",
     "m_ts_theilsen",
