@@ -1,0 +1,312 @@
+"""Tier L (extension) — in-engine ML / embedding / graph analytics the
+LLM-data-pipeline mandate calls for beyond the dedup+ANN core: closed-form
+model fitting, multi-objective data pruning, dimensionality reduction,
+corpus classification, diversity-aware reranking, and connected
+components. Every operator is expressed as distributed DataFrame algebra
+(partial aggregates, keyed shuffles, broadcast dims) — no driver-side
+data paths beyond provably-bounded scalars — and each carries a DuckDB
+oracle stating the same ground truth through an independent formulation.
+
+Float policy (CLAUDE.md rules 4/5b/6/11e): every cross-row float SUM is
+quantized to fixed-point BIGINT before aggregation (order-immune in both
+engines); post-aggregation arithmetic is written as the IDENTICAL double
+expression on both sides so results are bit-equal before dround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround, vdot
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import load_tables, table
+
+
+@query(
+    "l_ml_linreg_normal",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y)  AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * y)  AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y)  AS BIGINT) AS s2y,
+               CAST(SUM(y * y)   AS BIGINT) AS syy
+        FROM (
+            SELECT CAST(trunc(l_quantity) AS BIGINT) AS x1,
+                   CAST(trunc(l_discount * 100) AS BIGINT) AS x2,
+                   CAST(trunc(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem
+        )
+    ), c AS (
+        SELECT n,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+               CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+        FROM m
+    ), b AS (
+        SELECT n, cyy, c1y, c2y, m1, m2, my,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        FROM c
+    )
+    SELECT n,
+           ROUND((my - b1 * m1 - b2 * m2) * 1e4, 0) / 1e4 + 0 AS beta0,
+           ROUND(b1 * 1e6, 0) / 1e6 + 0 AS beta_qty,
+           ROUND(b2 * 1e6, 0) / 1e6 + 0 AS beta_disc,
+           ROUND((1.0 - (cyy - b1 * c1y - b2 * c2y) / cyy) * 1e6, 0) / 1e6 + 0 AS r2
+    FROM b
+    """,
+)
+def l_ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multivariate OLS (normal equations): fit
+    ``l_extendedprice ~ l_quantity + l_discount`` in ONE distributed
+    pass by accumulating the 2-feature moment matrix (n, Σx, Σxx', Σxy,
+    Σyy) and solving the 2x2 system on the driver side of the plan —
+    the textbook way to train linear models inside a SQL engine without
+    an iterative optimizer (cf. MADlib / Spark MLlib's normal-equation
+    solver path).
+
+    Determinism: every moment is an exact BIGINT sum of truncated
+    fixed-point features (quantity integral, discount in percent
+    points, price in truncated whole DOLLARS — cents-squared sums
+    overflow BIGINT at sf0.1: measured 2.2e19 > 2^63; at ~100x this
+    scale the production fix is Welford-style centered accumulation or
+    per-partition HUGEINT — CLAUDE.md rule 11e), so both engines
+    solve from IDENTICAL integers; the centered moments, betas, and R²
+    are then the same double expression evaluated on the same inputs,
+    bit-equal before rounding. Betas straddle zero → +0 guards
+    (rule 5b).
+
+    Scale: one lineitem scan, nine BIGINT partial aggregates with
+    map-side combine, a 1-row result — the ideal 100 TB shape (the
+    moment matrix for p features is p², so even p=100 ships 10k
+    scalars per partition). No shuffle of raw rows at all.
+    """
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+                   SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+                   SUM(x1 * x2) AS s12, SUM(x1 * y) AS s1y,
+                   SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+            FROM (
+                SELECT CAST(l_quantity AS BIGINT) AS x1,
+                       CAST(l_discount * 100 AS BIGINT) AS x2,
+                       CAST(l_extendedprice AS BIGINT) AS y
+                FROM lineitem
+            )
+        ), c AS (
+            SELECT n,
+                   CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+                   CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+                   CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+                   CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+                   CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+                   CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+            FROM m
+        ), b AS (
+            SELECT n, cyy, c1y, c2y, m1, m2, my,
+                   (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+                   (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+            FROM c
+        )
+        SELECT n,
+               ROUND((my - b1 * m1 - b2 * m2) * 1e4) / 1e4 + 0.0 AS beta0,
+               ROUND(b1 * 1e6) / 1e6 + 0.0 AS beta_qty,
+               ROUND(b2 * 1e6) / 1e6 + 0.0 AS beta_disc,
+               ROUND((1.0 - (cyy - b1 * c1y - b2 * c2y) / cyy) * 1e6) / 1e6 + 0.0 AS r2
+        FROM b
+        """
+    )
+
+
+@query(
+    "l_pareto_front",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, length(text) AS n_len,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    AS DOUBLE) / length(text) AS alpha_ratio
+        FROM documents WHERE lang = 'en'
+    )
+    SELECT d.doc_id, d.n_len,
+           ROUND(d.alpha_ratio * 1e6, 0) / 1e6 AS alpha_ratio
+    FROM s d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s e
+        WHERE e.n_len >= d.n_len AND e.alpha_ratio >= d.alpha_ratio
+          AND (e.n_len > d.n_len OR e.alpha_ratio > d.alpha_ratio)
+    )
+    ORDER BY d.doc_id
+    """,
+)
+def l_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-objective Pareto-front pruning: keep every English document
+    NOT weakly dominated on (length, alphabetic-character ratio) — the
+    skyline operator data-curation pipelines use to trade off quality
+    signals without collapsing them into one weighted score.
+
+    Algorithm (Spark side): the rollup-skyline — aggregate the corpus
+    to ONE row per distinct length (max alpha_ratio), run the
+    strictly-longer running max over that LENGTH-DOMAIN-sized rollup
+    (``RANGE 1 PRECEDING`` under n_len DESC ⇒ strictly greater
+    lengths), and broadcast the |distinct lengths|-row skyline spine
+    back onto the corpus. A doc survives iff no strictly-longer length
+    class reaches its ratio and it is the ratio-max of its own length
+    class (ties on both axes survive together — weak Pareto
+    semantics). The DuckDB oracle states the same front through the
+    quadratic NOT EXISTS definition — an independent formulation.
+
+    Determinism: alpha_ratio is ONE double division of two exact
+    integers (identical both engines); comparisons and maxes operate on
+    those exact doubles, so the surviving set is bit-stable. Rounding
+    happens only at output (never feeds a comparison).
+
+    Scale: the corpus passes through one n_len-keyed hash agg
+    (map-side partials) and one broadcast equi-join — never a global
+    sort and never the oracle's O(n²) nested loop. The only
+    unpartitioned window runs over the rollup, whose row count is
+    bounded by the LENGTH VALUE DOMAIN, not the corpus (the
+    l_tokens_zipf_fit bounded-input class; whitelisted with that
+    justification in test_plans.py).
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    s = d.select(
+        "doc_id",
+        F.length("text").alias("n_len"),
+        (
+            F.length(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+            ).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+    )
+    per_len = s.groupBy("n_len").agg(F.max("alpha_ratio").alias("mx"))
+    w_longer = (
+        W.orderBy(F.col("n_len").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    spine = per_len.select(
+        "n_len",
+        "mx",
+        F.max("mx").over(w_longer).alias("best_longer"),
+    )
+    return (
+        s.join(F.broadcast(spine), "n_len")
+        .filter(
+            (
+                F.col("best_longer").isNull()
+                | (F.col("best_longer") < F.col("alpha_ratio"))
+            )
+            & (F.col("alpha_ratio") == F.col("mx"))
+        )
+        .select(
+            "doc_id",
+            "n_len",
+            dround(F.col("alpha_ratio"), 6).alias("alpha_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "l_embedding_rp",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(0, 7)) AS j),
+    pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+    terms AS (
+        SELECT e.vec_id, d.j,
+               CAST(trunc(
+                   (CASE WHEN substring(md5(d.j::VARCHAR || '_' || p.i::VARCHAR), 1, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                         THEN 1.0 ELSE -1.0 END)
+                   * CAST(e.embedding[p.i] AS DOUBLE) * 1e9
+               ) AS BIGINT) AS tq
+        FROM embeddings e, dims d, pos p
+        WHERE e.vec_id < 100
+    )
+    SELECT vec_id, j,
+           ROUND(CAST(SUM(tq) AS BIGINT) / 1e9 * 1e6, 0) / 1e6 + 0 AS proj
+    FROM terms
+    GROUP BY vec_id, j
+    ORDER BY vec_id, j
+    """,
+)
+def l_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection (Johnson–Lindenstrauss): reduce 64-dim
+    embeddings to 8 dims with a DETERMINISTIC ±1 sign matrix derived
+    from md5(j_i) parity — the hash-seeded sketch that lets a 100 TB
+    pipeline shrink vectors for ANN pre-filtering without shipping a
+    projection matrix (both engines, and any executor, re-derive the
+    same signs from the hash; cf. Achlioptas 2003 database-friendly
+    projections).
+
+    Determinism: each term sign·v·1e9 is truncated to BIGINT per
+    (position, output-dim) BEFORE summation (rule 11e — the 64-term
+    float sum would be order-sensitive; the integer sum is immune);
+    Spark's CAST truncates while DuckDB's rounds, so the oracle spells
+    trunc() (rule 6). md5 of the identical string is identical.
+
+    Scale: posexplode fans each vector to 64·8 = 512 terms — a map-side
+    expansion with no shuffle until the (vec_id, j) partial-agg
+    combine; the sign matrix never materializes anywhere. At 1000
+    executors this is embarrassingly parallel; the output is 8× smaller
+    than the input. The vec_id < 100 cap only bounds the ORACLE
+    comparison surface, not the technique.
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dims = F.broadcast(
+        table(spark, sf_dir, "embeddings")
+        .sparkSession.range(0, 8)
+        .select(F.col("id").cast("int").alias("j"))
+    )
+    terms = (
+        e.select(
+            "vec_id", F.posexplode("embedding").alias("i0", "v")
+        )
+        .crossJoin(dims)
+        .select(
+            "vec_id",
+            "j",
+            F.expr(
+                """
+                CAST(
+                    (CASE WHEN substring(
+                              md5(concat(CAST(j AS STRING), '_',
+                                         CAST(i0 + 1 AS STRING))), 1, 1)
+                          IN ('0','2','4','6','8','a','c','e')
+                     THEN 1.0D ELSE -1.0D END)
+                    * CAST(v AS DOUBLE) * 1e9
+                AS BIGINT)
+                """
+            ).alias("tq"),
+        )
+    )
+    return (
+        terms.groupBy("vec_id", "j")
+        .agg(F.sum("tq").alias("sq"))
+        .select(
+            "vec_id",
+            "j",
+            dround(F.col("sq") / F.lit(1e9), 6).alias("proj"),
+        )
+        .orderBy("vec_id", "j")
+    )

@@ -107,6 +107,9 @@ PRIORITY_ORDER = (
     # late-round-7 batch (newest first within the r8 queue):
     "e_win_count_distinct",
     "m_yoy_growth",
+    "l_ml_linreg_normal",
+    "l_pareto_front",
+    "l_embedding_rp",
     "l_dedup_substring",
     "l_chunk_cdc",
     "m_ts_theilsen",

@@ -154,6 +154,10 @@ CARTESIAN_WHITELIST = {
     "l_topic_cooccur",       # 1-row corpus-count broadcast
     "d_agg_theta_setops",    # two 1-row sketch aggregates joined
     "l_sim_search_batch",    # 10-row query batch broadcast
+    "l_embedding_rp",        # 8-row output-dim table broadcast (the
+                             # JL sign matrix is hash-derived, never
+                             # materialized; per-vector fan-out is a
+                             # fixed 64x8 map-side expansion)
     "m_rolling_wau",         # 1-row date-bounds broadcast
     "t_q22_sales_opportunity",  # 1-row AVG(acctbal) scalar broadcast
     "t_q11_important_stock",    # 1-row nation-total scalar broadcast
@@ -230,6 +234,11 @@ GLOBAL_WINDOW_WHITELIST = {
                             # after the frequency agg — the PMI C(V,2)
                             # bounded-input class); two-pass bucketed
                             # rank substitutes at web-scale vocabularies
+    "l_pareto_front",       # skyline spine runs over the per-LENGTH
+                            # rollup (|distinct doc lengths| rows —
+                            # value-domain bounded, same class), never
+                            # the corpus; corpus side is hash-agg +
+                            # broadcast join only
 }
 
 import pytest
@@ -865,3 +874,37 @@ def test_theilsen_pair_join_keyed_on_user(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_linreg_normal_single_pass_no_join(spark):
+    # the moment matrix must come from ONE scan-side partial aggregate:
+    # no join anywhere in the moment computation (the 2x2 solve is
+    # scalar arithmetic over the 1-row aggregate)
+    plan = _plan(spark, "l_ml_linreg_normal")
+    assert "Join" not in plan, "OLS moments must not plan a join"
+    assert plan.count("Scan parquet") == 2, "one lineitem scan (tree + detail)"
+    assert "HashAggregate" in plan  # partial+final moment agg
+
+
+def test_pareto_front_broadcast_spine_no_sort_on_corpus(spark):
+    # corpus side: hash agg + broadcast join; the skyline window may
+    # only run over the per-length rollup (value-domain bounded)
+    plan = _plan(spark, "l_pareto_front")
+    assert "BroadcastHashJoin" in plan, "spine must broadcast-join back"
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_rp_partial_agg_after_expansion(spark):
+    # the 512-term fan-out must combine map-side: partial HashAggregate
+    # keyed (vec_id, j) before the single exchange
+    plan = _plan(spark, "l_embedding_rp")
+    assert "HashAggregate" in plan
+    assert plan.count("Scan parquet") == 2, "one embeddings scan (tree + detail)"
+
+
+def test_yoy_growth_broadcast_dims_calendar_window(spark):
+    # nation dim broadcast; the window runs over the (nation, year)
+    # rollup — the fact table is touched only by the first aggregation
+    plan = _plan(spark, "m_yoy_growth")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
