@@ -25,21 +25,19 @@ _ORACLES: dict[str, str] = {}
 #: The driver's CORRECTNESS pass checks the FIRST 50 keys of
 #: ``queries()`` in dict order (round-2 finding), so this list spends
 #: that window deliberately — and ROTATES it each round so that over
-#: rounds every key earns a real driver row. Round-7 rotation (per the
-#: round-6 verdict items 1+5): keep the 12 per-tier anchors as slots
-#: 1-12, spend slots 13-50 on 38 never-driver-checked ORACLED keys —
-#: the FIVE operators built in round 6 go FIRST (newest code earns
-#: driver evidence first, verdict item 1), then the pre-staged r7 queue
-#: in order (the four r6-deferred keys, tier-M remainder, the text/
-#: pipeline batch, scan/sample/sort keys). Every r7 window slot is
-#: SQL-oracled; the two rows-only queue keys (i_sample_stratified,
-#: l_text_langid) are deferred to the r8 block's rows-only tail. The
-#: ROUND-8 queue is staged as the next ordered block: 39 keys = 32
-#: oracled (d_agg/h_/k_/e_/g_ mechanical remainder) then 7 rows-only
-#: (sketch/approx/stub paths recording ran-clean rows the way r4-r6
-#: did) — one more than the 38-slot window, so r8 either drops one
-#: repeat anchor or spills the last rows-only key to r9. Keys verified
-#: in r1-r6 sit dead last (they re-verify if the window ever widens).
+#: rounds every key earns a real driver row. Round-8 rotation (the
+#: block swap staged at the end of round 7): keep the 12 per-tier
+#: anchors as slots 1-12, spend slots 13-50 on the first 38 keys of
+#: the r8 queue — the 23 round-7-built operators FIRST (newest code
+#: earns driver evidence first, the r6-verdict precedent), then 15 of
+#: the staged mechanical remainder (a_scan/d_agg/h_ keys). Operators
+#: built DURING round 8 are inserted at the head of the window (slot
+#: 13), bumping the window tail onto the r9 queue head. The ROUND-9
+#: queue is the remaining block: the rest of the staged oracled keys
+#: then the 7-key rows-only tail (sketch/approx/stub paths recording
+#: ran-clean rows the way r4-r6 did) — r9 closes driver coverage with
+#: slots to spare. Keys verified in r1-r7 sit dead last (they
+#: re-verify if the window ever widens).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
 #: new registration without an explicit slot fails CI.
 PRIORITY_ORDER = (
@@ -56,55 +54,11 @@ PRIORITY_ORDER = (
     "j_tumbling_1h",
     "k_udf_pandas_scalar",
     "l_dedup_exact",
-    # -- slots 13-50: ROUND-7 window — never-driver-checked, oracled --
-    # r6-built operators first (newest code earns evidence first):
-    "l_dsir_weight",
-    "l_quality_gate_domain",
-    "a_sink_python_datasource",
-    "h_sql_variables",
-    "h_date_names",
-    # then the staged r7 queue in order:
-    "m_attribution_last_touch",
-    "l_corpus_divergence",
-    "l_hybrid_search",
-    "l_sim_search_batch",
-    "m_ts_ffill",
-    "m_ts_zscore_roll",
-    "m_ts_autocorr",
-    "m_ts_calendar_dim",
-    "l_text_quality",
-    "l_text_fingerprint",
-    "l_text_token_count",
-    "l_text_normalize",
-    "l_text_scrub",
-    "l_text_repetition",
-    "l_text_lm_score",
-    "l_topic_cooccur",
-    "l_tokens_zipf_fit",
-    "l_bpe_encode",
-    "l_tokenizer_stats",
-    "l_multimodal_header_parse",
-    "l_fingerprint_winnow",
-    "l_domain_mix",
-    "l_vector_quantize",
-    "l_winsorize",
-    "l_ml_score_linear",
-    "l_multimodal_framesample",
-    "l_shuffle_shard",
-    "l_dataset_card",
-    "a_scan_text_roundtrip",
-    "a_table_stats",
-    "i_sample_hash",
-    "i_sample_weighted",
-    "f_sort_local",
-    # -- ROUND-8 QUEUE (swap up to slots 13-50 next round; the EIGHTEEN
-    #    round-7-built keys sit at the HEAD so the newest code earns
-    #    driver evidence first — the r6-verdict precedent; then the 32
-    #    staged oracled keys, then the rows-only tail. 18 + 32 + 7 =
-    #    57 keys against a 38-slot window: r8 takes the first 38
-    #    (18 r7 keys + 20 staged), r9 takes the remaining 12 oracled +
-    #    7 rows-only and closes driver coverage.) -----------------------
-    # late-round-7 batch (newest first within the r8 queue):
+    # -- slots 13-50: ROUND-8 window — never-driver-checked, oracled --
+    # round-7-built operators first (newest code earns evidence first;
+    # late-round-7 batch at the very head), then 15 staged mechanical
+    # keys. New round-8 operators insert HERE (slot 13), bumping the
+    # window tail onto the r9 queue head:
     "e_win_count_distinct",
     "m_yoy_growth",
     "l_ml_linreg_normal",
@@ -143,6 +97,11 @@ PRIORITY_ORDER = (
     "h_sql_pipe",
     "h_collation",
     "h_interval_arith",
+    # -- ROUND-9 QUEUE (swap up to slots 13-50 next round): 17 staged
+    #    oracled keys, then the 7-key rows-only tail (ran-clean rows,
+    #    approx/stub/nondeterministic paths) — 24 keys against a
+    #    38-slot window, so r9 CLOSES driver coverage with ~14 slots
+    #    spare for round-8/9-built operators bumped from the window. --
     "h_sql_identifier",
     "h_mask",
     "h_crypto",
@@ -160,7 +119,7 @@ PRIORITY_ORDER = (
     "h_xml_funcs",
     "h_variant_funcs",
     "e_win_pct_of_total",
-    # r8 rows-only tail (ran-clean rows, approx/stub/nondeterministic):
+    # r9 rows-only tail (ran-clean rows, approx/stub/nondeterministic):
     "i_sample_stratified",
     "l_text_langid",
     "l_dedup_simhash",
@@ -168,7 +127,47 @@ PRIORITY_ORDER = (
     "l_kmeans_assign",
     "l_bpe_train",
     "l_sim_search_pq",
-    # -- verified in r1-r6 (dead last; re-verify if window widens) -----
+    # -- verified in r1-r7 (dead last; re-verify if window widens) -----
+    # round-7 window keys (driver-checked r7):
+    "l_dsir_weight",
+    "l_quality_gate_domain",
+    "a_sink_python_datasource",
+    "h_sql_variables",
+    "h_date_names",
+    "m_attribution_last_touch",
+    "l_corpus_divergence",
+    "l_hybrid_search",
+    "l_sim_search_batch",
+    "m_ts_ffill",
+    "m_ts_zscore_roll",
+    "m_ts_autocorr",
+    "m_ts_calendar_dim",
+    "l_text_quality",
+    "l_text_fingerprint",
+    "l_text_token_count",
+    "l_text_normalize",
+    "l_text_scrub",
+    "l_text_repetition",
+    "l_text_lm_score",
+    "l_topic_cooccur",
+    "l_tokens_zipf_fit",
+    "l_bpe_encode",
+    "l_tokenizer_stats",
+    "l_multimodal_header_parse",
+    "l_fingerprint_winnow",
+    "l_domain_mix",
+    "l_vector_quantize",
+    "l_winsorize",
+    "l_ml_score_linear",
+    "l_multimodal_framesample",
+    "l_shuffle_shard",
+    "l_dataset_card",
+    "a_scan_text_roundtrip",
+    "a_table_stats",
+    "i_sample_hash",
+    "i_sample_weighted",
+    "f_sort_local",
+    # r1-r6-verified keys:
     "j_dedup_within_watermark",
     "t_q03_shipping",
     "t_q04_order_priority",
