@@ -1,0 +1,732 @@
+"""Tier S (extension, round 8) — statistical analytics, experimentation,
+and modern engine surfaces: one-pass correlation matrices, hash-split
+A/B testing with sample-ratio-mismatch guards, weighted medians, content
+entropy scoring, funnel latency quantiles, inter-judge agreement, plus
+three Spark-4 API surfaces (``df.stat.crosstab``, ``df.transpose()``,
+``Observation``/``df.observe``) a production pipeline leans on for
+contingency analysis, report pivoting, and zero-extra-scan data-quality
+counters.
+
+Float policy (CLAUDE.md rules 4/5b/6/9/11e): every cross-row float SUM
+is either an exact integer sum (counts, fixed-point BIGINT quantities)
+or a per-group quantized fixed-point term summed as BIGINT; all
+post-aggregation arithmetic is the IDENTICAL double expression on both
+engines, so outputs are bit-equal before dround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import load_tables, table
+
+
+@query(
+    "d_agg_corr_matrix",
+    oracle="""
+    WITH m AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+               CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(q * q) AS BIGINT) AS sqq,
+               CAST(SUM(p * p) AS BIGINT) AS spp,
+               CAST(SUM(d * d) AS BIGINT) AS sdd,
+               CAST(SUM(t * t) AS BIGINT) AS stt,
+               CAST(SUM(q * p) AS BIGINT) AS sqp,
+               CAST(SUM(q * d) AS BIGINT) AS sqd,
+               CAST(SUM(q * t) AS BIGINT) AS sqt,
+               CAST(SUM(p * d) AS BIGINT) AS spd,
+               CAST(SUM(p * t) AS BIGINT) AS spt,
+               CAST(SUM(d * t) AS BIGINT) AS sdt
+        FROM (
+            SELECT CAST(trunc(l_quantity) AS BIGINT) AS q,
+                   CAST(trunc(l_extendedprice) AS BIGINT) AS p,
+                   CAST(trunc(l_discount * 100) AS BIGINT) AS d,
+                   CAST(trunc(l_tax * 100) AS BIGINT) AS t
+            FROM lineitem
+        )
+    ), c AS (
+        SELECT
+            ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) * 1e6, 0) / 1e6 + 0 AS c_qp,
+            ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * 1e6, 0) / 1e6 + 0 AS c_qd,
+            ROUND((CAST(n AS DOUBLE) * CAST(sqt AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(st AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * 1e6, 0) / 1e6 + 0 AS c_qt,
+            ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * 1e6, 0) / 1e6 + 0 AS c_pd,
+            ROUND((CAST(n AS DOUBLE) * CAST(spt AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(st AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * 1e6, 0) / 1e6 + 0 AS c_pt,
+            ROUND((CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * 1e6, 0) / 1e6 + 0 AS c_dt
+        FROM m
+    )
+    SELECT 'qty'   AS x, 'price' AS y, c_qp AS corr FROM c UNION ALL
+    SELECT 'qty',         'disc',      c_qd         FROM c UNION ALL
+    SELECT 'qty',         'tax',       c_qt         FROM c UNION ALL
+    SELECT 'price',       'disc',      c_pd         FROM c UNION ALL
+    SELECT 'price',       'tax',       c_pt         FROM c UNION ALL
+    SELECT 'disc',        'tax',       c_dt         FROM c
+    """,
+)
+def d_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX over 4 lineitem features in
+    ONE distributed pass: accumulate the full moment matrix (n, Σx,
+    Σx², Σxy for every pair) as exact BIGINT partial aggregates, then
+    derive all 6 correlations from the single 1-row moment frame with
+    ``stack`` — the feature-covariance primitive behind data-drift
+    monitors and feature-selection passes (``df.stat.corr`` computes
+    one pair per scan; this is the p-feature generalization).
+
+    Determinism: features are fixed-point BIGINTs (quantity integral,
+    price in truncated dollars, discount/tax in percent points —
+    identical trunc on the identical double both engines, rule 6), so
+    every moment is an exact integer sum, order-immune (rule 11e).
+    The correlation formula is the same double expression on identical
+    BIGINT inputs → bit-equal before rounding; corrs straddle zero →
+    +0 guards (rule 5b). Oracle CTE is MATERIALIZED (rule 7) so DuckDB
+    aggregates once, not once per UNION branch.
+
+    Scale: one lineitem scan, 15 BIGINT aggregates with map-side
+    combine, a 1-row shuffle, a 6-row output. p features ship p²/2
+    scalars per partition — p=100 is still ~5k numbers. Dollar-grain
+    price keeps Σp² < 2^63 through ~sf10 per the l_ml_linreg_normal
+    overflow analysis; beyond that, per-partition HUGEINT or Welford
+    centering (docstring there).
+    """
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+                   SUM(q * q) AS sqq, SUM(p * p) AS spp,
+                   SUM(d * d) AS sdd, SUM(t * t) AS stt,
+                   SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(q * t) AS sqt,
+                   SUM(p * d) AS spd, SUM(p * t) AS spt, SUM(d * t) AS sdt
+            FROM (
+                SELECT CAST(l_quantity AS BIGINT) AS q,
+                       CAST(l_extendedprice AS BIGINT) AS p,
+                       CAST(l_discount * 100 AS BIGINT) AS d,
+                       CAST(l_tax * 100 AS BIGINT) AS t
+                FROM lineitem
+            )
+        ), c AS (
+            SELECT
+                ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) * 1e6) / 1e6 + 0.0 AS c_qp,
+                ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * 1e6) / 1e6 + 0.0 AS c_qd,
+                ROUND((CAST(n AS DOUBLE) * CAST(sqt AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(st AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * 1e6) / 1e6 + 0.0 AS c_qt,
+                ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * 1e6) / 1e6 + 0.0 AS c_pd,
+                ROUND((CAST(n AS DOUBLE) * CAST(spt AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(st AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * 1e6) / 1e6 + 0.0 AS c_pt,
+                ROUND((CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * 1e6) / 1e6 + 0.0 AS c_dt
+            FROM m
+        )
+        SELECT stack(6,
+                     'qty',   'price', c_qp,
+                     'qty',   'disc',  c_qd,
+                     'qty',   'tax',   c_qt,
+                     'price', 'disc',  c_pd,
+                     'price', 'tax',   c_pt,
+                     'disc',  'tax',   c_dt) AS (x, y, corr)
+        FROM c
+        """
+    )
+
+
+@query(
+    "m_ab_test_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events
+        GROUP BY user_id
+    ), a AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE arm = 'A') AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE arm = 'B') AS BIGINT) AS n_b,
+               CAST(SUM(converted) FILTER (WHERE arm = 'A') AS BIGINT) AS conv_a,
+               CAST(SUM(converted) FILTER (WHERE arm = 'B') AS BIGINT) AS conv_b
+        FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6, 0) / 1e6 AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6, 0) / 1e6 AS p_b,
+           ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                 * 1e6, 0) / 1e6 + 0 AS z,
+           ROUND(((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                  * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                  / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+                  + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                  * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                  / (CAST(n_a + n_b AS DOUBLE) / 2.0))
+                 * 1e6, 0) / 1e6 AS srm_chi2
+    FROM a
+    """,
+)
+def m_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: deterministic hash-split A/B assignment
+    (md5(user_id) first hex nibble → arm, the standard reproducible
+    bucketing so every engine and every replay assigns identically),
+    per-user conversion (an above-average buyer: ≥14 purchase events —
+    this fixture's users ALL purchase at least once, so "any purchase"
+    degenerates to pool=1 and a zero z-denominator under ANSI mode),
+    two-proportion pooled z-statistic, and the sample-ratio-mismatch
+    chi² guard every experiment platform runs before trusting the
+    z-test.
+
+    Determinism: arms and conversions are exact integer counts from
+    identical md5 nibbles; z and chi² are the same double expression on
+    those integers — bit-equal both engines. z straddles zero → +0
+    guard (rule 5b); DuckDB SUM(int) is HUGEINT → CAST AS BIGINT
+    (rule 10).
+
+    Scale: one events scan → user-keyed partial-agg (map-side combine
+    collapses each user's events before the shuffle) → 4 scalar
+    aggregates → 1 row. Per-user state is 2 bits; 100 TB of events
+    shuffles |users| tiny rows. The md5-nibble split generalizes to
+    any traffic fraction by widening the nibble set.
+    """
+    e = table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14, 1
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                    "0", "1", "2", "3", "4", "5", "6", "7"
+                ),
+                "A",
+            )
+            .otherwise("B")
+            .alias("arm"),
+            "converted",
+        )
+    )
+    a = u.agg(
+        F.count(F.when(F.col("arm") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ca = F.col("conv_a").cast("double")
+    cb = F.col("conv_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    half = (na + nb) / F.lit(2.0)
+    return a.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        dround(ca / na, 6).alias("p_a"),
+        dround(cb / nb, 6).alias("p_b"),
+        dround(
+            (ca / na - cb / nb)
+            / F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+            6,
+        ).alias("z"),
+        dround(
+            (na - half) * (na - half) / half + (nb - half) * (nb - half) / half,
+            6,
+        ).alias("srm_chi2"),
+    )
+
+
+@query(
+    "d_agg_weighted_median",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY l_returnflag, l_extendedprice
+    ), c AS (
+        SELECT l_returnflag, price, w,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        FROM g
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN 2 * cum >= tot THEN price END) AS w_median,
+           CAST(MAX(tot) AS BIGINT) AS total_w
+    FROM c
+    GROUP BY l_returnflag
+    """,
+)
+def d_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group: the smallest ``l_extendedprice`` whose
+    cumulative ``l_quantity`` weight reaches half the group total — the
+    robust center estimate quality pipelines prefer over the mean when
+    weights (token counts, durations, quantities) skew. No native
+    weighted-median exists in either engine; this states it as the
+    canonical collapse→cumulate→threshold window construction.
+
+    Determinism: weights are exact BIGINTs, so the cumulative and total
+    window sums are order-immune integers (rule 9 does not bite — no
+    float window sums anywhere); the ``2*cum >= tot`` threshold is
+    integer arithmetic; the median itself is an INPUT value, never a
+    derived float. DuckDB windowed SUM(BIGINT) is HUGEINT → CAST
+    (rule 10).
+
+    Scale: ties collapse in a (flag, price)-keyed partial agg BEFORE
+    the window, so the per-flag sort sees |distinct prices| rows, not
+    |lineitem|; the window partitions by flag (no unpartitioned
+    window). At 100 TB with near-unique weights, the same shape runs as
+    a per-group sort — or swap the spine for the m_ts-style binned
+    two-pass if even distinct values explode.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(F.lit(2) * F.col("cum") >= F.col("tot"), F.col("price"))).alias(
+            "w_median"
+        ),
+        F.max("tot").alias("total_w"),
+    )
+
+
+@query(
+    "l_text_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, substring(lower(text), i.i, 1) AS c
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) i
+        WHERE length(text) >= 1
+    ), cls AS (
+        SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ch GROUP BY doc_id, c
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CAST(trunc(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS s_q
+        FROM cls GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars, n_classes,
+           ROUND((ln(CAST(n AS DOUBLE))
+                  - (CAST(s_q AS DOUBLE) / 1e9) / CAST(n AS DOUBLE)) * 1e6, 0)
+               / 1e6 + 0 AS entropy_nats
+    FROM agg
+    """,
+)
+def l_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the cheap
+    gibberish/boilerplate detector LLM-data pipelines run alongside
+    length/punctuation filters: natural text sits ~2.7-3.2 nats, base64
+    blobs and key-mash higher, repeated-char padding near zero.
+    H = ln(n) − (Σ c·ln c)/n over per-character class counts.
+
+    Determinism: the per-class term c·ln(c)·1e9 is truncated to BIGINT
+    per (doc, char) BEFORE the per-doc sum (rule 11e — the ≤~60-term
+    float sum would be association-sensitive; the integer sum is
+    immune; identical trunc-vs-CAST semantics pinned per rule 6), and
+    ln of identical doubles is identical libm both engines (the
+    l_dsir_weight / tf-idf precedent).
+
+    Scale: explode to one row per character, partial-agg to (doc, char)
+    classes map-side, shuffle only |docs|·|alphabet| rows, then a
+    doc-keyed agg. Linear in corpus bytes, embarrassingly parallel —
+    the same shape as l_text_fingerprint's shingle explode.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    ch = (
+        d.select("doc_id", F.lower(F.col("text")).alias("lt"))
+        .select(
+            "doc_id",
+            "lt",
+            F.explode(F.sequence(F.lit(1), F.length("lt"))).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(lt, i, 1)").alias("c"))
+    )
+    cls = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    term = (
+        F.col("cnt").cast("double")
+        * F.log(F.col("cnt").cast("double"))
+        * F.lit(1e9)
+    ).cast("bigint")
+    agg = cls.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("n_classes"),
+        F.sum(term).alias("s_q"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        "n_classes",
+        dround(
+            F.log(F.col("n").cast("double"))
+            - (F.col("s_q").cast("double") / F.lit(1e9)) / F.col("n").cast("double"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+@query(
+    "d_stat_crosstab",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag_l_linestatus,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS "F",
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS "O"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — the contingency-table API surface: one
+    row per ``l_returnflag``, one count column per ``l_linestatus``
+    value, zero-filled for absent combinations. The oracle states the
+    same table via FILTERed counts (the portable spelling; crosstab's
+    column-per-value output is exactly a pivot on counts).
+
+    Determinism: pure integer counts; crosstab's first column is named
+    ``<col1>_<col2>`` by the API contract and the value-derived columns
+    ('F', 'O') come from a 2-value domain fixed by the fixture.
+
+    Scale: Spark implements crosstab as groupBy(col1, col2).count()
+    + a driver-side pivot over the DISTINCT VALUE GRID — safe only
+    while |v1|·|v2| is small (here 3×2); for wide domains use the
+    d_pivot explicit-values form instead (that caveat is the reason
+    both surfaces exist).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.stat.crosstab("l_returnflag", "l_linestatus")
+
+
+@query(
+    "d_transpose",
+    oracle="""
+    WITH g AS MATERIALIZED (
+        SELECT l_returnflag AS f,
+               CAST(CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(trunc(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS sum_price,
+               CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty' AS key,
+           MAX(CASE WHEN f = 'A' THEN sum_qty END) AS "A",
+           MAX(CASE WHEN f = 'N' THEN sum_qty END) AS "N",
+           MAX(CASE WHEN f = 'R' THEN sum_qty END) AS "R"
+    FROM g
+    UNION ALL
+    SELECT 'sum_price',
+           MAX(CASE WHEN f = 'A' THEN sum_price END),
+           MAX(CASE WHEN f = 'N' THEN sum_price END),
+           MAX(CASE WHEN f = 'R' THEN sum_price END)
+    FROM g
+    UNION ALL
+    SELECT 'n_rows',
+           MAX(CASE WHEN f = 'A' THEN n_rows END),
+           MAX(CASE WHEN f = 'N' THEN n_rows END),
+           MAX(CASE WHEN f = 'R' THEN n_rows END)
+    FROM g
+    """,
+)
+def d_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.transpose()`` (Spark 4.0) — flip a per-group metrics frame
+    so metrics become rows and groups become columns: the
+    report-orientation pivot analysts apply to small aggregate outputs.
+    First column's values ('A','N','R') become the new column names per
+    the API contract; all metric cells must share one type (double).
+
+    Determinism: every metric is exact — integer-valued quantity sum,
+    fixed-point cents sum divided by 100.0 (the identical double both
+    engines), row count — so no float-sum hash risk (rule 9). The
+    oracle restates the transpose as conditional aggregation over a
+    MATERIALIZED CTE (rule 7).
+
+    Scale: transpose COLLECTS the frame to the driver and re-emits it
+    as a local relation — by contract it is a small-result operator
+    (here 3×4 after full map-side aggregation). The heavy lifting
+    (the groupBy over lineitem) is distributed; never transpose an
+    unaggregated table.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("double")
+            .alias("sum_qty"),
+            (
+                F.sum((F.col("l_extendedprice") * 100).cast("bigint")) / F.lit(100.0)
+            ).alias("sum_price"),
+            F.count("*").cast("double").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return g.transpose()
+
+
+@query(
+    "a_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(trunc(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    """,
+)
+def a_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` + ``Observation`` — piggyback data-quality
+    counters on a pipeline action with ZERO extra scans: the metrics
+    (row count, quantity and cents totals) accumulate on executors
+    while the action runs and surface on the driver afterwards. This is
+    how a 100 TB ingest job records reconciliation totals without
+    re-reading anything; re-stated here as a 1-row DataFrame so the
+    driver contract can hash it.
+
+    Determinism: all three metrics are exact integer aggregates
+    (fixed-point cents per rule 11e; CAST-vs-trunc pinned per rule 6).
+    The bounded ``spark.createDataFrame`` of the 3-scalar observation
+    dict is the API's contract, not a driver-side data path.
+
+    Scale: observed metrics are AccumulatorV2s merged task-side —
+    constant memory per executor, no shuffle, no second job. The
+    consuming action here is a count() over the filtered scan (filter
+    pushed to parquet).
+    """
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    obs = Observation("ingest_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum((F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "sum_price_cents"
+        ),
+    )
+    observed.count()  # the pipeline action the metrics ride on
+    m = obs.get  # bounded by construction: exactly 3 scalars
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["sum_price_cents"])],
+        "n_rows bigint, sum_qty bigint, sum_price_cents bigint",
+    )
+
+
+@query(
+    "m_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vts
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    ), c AS (
+        SELECT v.user_id,
+               (epoch_us(MIN(e.ts)) - epoch_us(MIN(v.vts))) / 1e6 AS lat_s
+        FROM v JOIN events e
+          ON e.user_id = v.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= v.vts
+        GROUP BY v.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewers,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) * 1e6, 0) / 1e6
+               AS conv_rate,
+           ROUND(quantile_cont(lat_s, 0.5) * 1e3, 0) / 1e3 AS median_s,
+           ROUND(quantile_cont(lat_s, 0.9) * 1e3, 0) / 1e3 AS p90_s
+    FROM c
+    """,
+)
+def m_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, the time from FIRST 'view' to the
+    first 'purchase' at-or-after it; reported as conversion rate plus
+    exact median and p90 latency — the time-to-value readout product
+    analytics pairs with m_funnel_stages' stage counts.
+
+    Determinism: latencies are exact microsecond BIGINT differences
+    (Spark unix_micros ≡ DuckDB epoch_us) divided by 1e6 — identical
+    doubles; exact interpolated percentiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, the d_agg_percentile_exact pin) over
+    identical inputs interpolate identically.
+
+    Scale: first-view is a user-keyed partial agg; the purchase match
+    is a user-keyed equi-join with the time predicate as a residual
+    filter (hash join, never a range cross product); the percentile
+    runs over |converted users| rows. All shuffles are user-keyed and
+    collapse map-side first.
+    """
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    lat = (
+        v.join(p, (v.user_id == p.user_id) & (p.pts >= v.vts))
+        .groupBy(v.user_id)
+        .agg(
+            (
+                (F.unix_micros(F.min("pts")) - F.unix_micros(F.min("vts")))
+                / F.lit(1e6)
+            ).alias("lat_s")
+        )
+    )
+    n_viewers = v.count()  # bounded: one scalar for the readout row
+    return lat.agg(
+        F.lit(n_viewers).cast("bigint").alias("n_viewers"),
+        F.count("*").alias("n_converted"),
+        dround(F.count("*").cast("double") / F.lit(float(n_viewers)), 6).alias(
+            "conv_rate"
+        ),
+        dround(F.percentile("lat_s", F.lit(0.5)), 3).alias("median_s"),
+        dround(F.percentile("lat_s", F.lit(0.9)), 3).alias("p90_s"),
+    )
+
+
+@query(
+    "l_judge_kappa",
+    oracle="""
+    WITH j AS (
+        SELECT CASE WHEN substring(md5(text), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE 0 END AS ja,
+               CASE WHEN substring(md5(text || '|judge-b'), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE 0 END AS jb
+        FROM documents
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ja = jb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+               CAST(SUM(ja) AS BIGINT) AS a1,
+               CAST(SUM(jb) AS BIGINT) AS b1
+        FROM j
+    )
+    SELECT n,
+           ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) * 1e6, 0) / 1e6 AS po,
+           ROUND((CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE)
+                  * CAST(b1 AS DOUBLE) / CAST(n AS DOUBLE)
+                  + CAST(n - a1 AS DOUBLE) / CAST(n AS DOUBLE)
+                  * CAST(n - b1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6, 0) / 1e6
+               AS pe,
+           ROUND((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE)
+                     * CAST(b1 AS DOUBLE) / CAST(n AS DOUBLE)
+                     + CAST(n - a1 AS DOUBLE) / CAST(n AS DOUBLE)
+                     * CAST(n - b1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (1.0 - (CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE)
+                           * CAST(b1 AS DOUBLE) / CAST(n AS DOUBLE)
+                           + CAST(n - a1 AS DOUBLE) / CAST(n AS DOUBLE)
+                           * CAST(n - b1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * 1e6, 0) / 1e6 + 0 AS kappa
+    FROM a
+    """,
+)
+def l_judge_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-judge agreement (Cohen's kappa) between two binary
+    document labelers — the calibration metric LLM-as-judge pipelines
+    compute before trusting model-generated quality labels. Judges here
+    are deterministic content-hash stand-ins (md5 nibble of the text /
+    salted text — the same honest-stub pattern as the multimodal
+    decode tier: the Spark-side metric plumbing is real, the model
+    call is replaced by a reproducible function of content).
+
+    Determinism: agreement and marginals are exact integer counts;
+    po, pe, kappa are the same double expression both engines. Kappa
+    straddles zero for independent judges → +0 guard (rule 5b).
+
+    Scale: one scan, 4 integer aggregates, 1 row — map-side combine
+    does everything; label columns in a real deployment arrive
+    precomputed and the agg is identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    nib = lambda c: F.when(  # noqa: E731 — local 2-use shorthand
+        F.substring(F.md5(c), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        1,
+    ).otherwise(0)
+    j = d.select(
+        nib(F.col("text")).alias("ja"),
+        nib(F.concat(F.col("text"), F.lit("|judge-b"))).alias("jb"),
+    )
+    a = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("ja") == F.col("jb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum("ja").cast("bigint").alias("a1"),
+        F.sum("jb").cast("bigint").alias("b1"),
+    )
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pa = F.col("a1").cast("double") / n
+    pb = F.col("b1").cast("double") / n
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return a.select(
+        "n",
+        dround(po, 6).alias("po"),
+        dround(pe, 6).alias("pe"),
+        dround((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

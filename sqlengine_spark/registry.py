@@ -55,10 +55,18 @@ PRIORITY_ORDER = (
     "k_udf_pandas_scalar",
     "l_dedup_exact",
     # -- slots 13-50: ROUND-8 window — never-driver-checked, oracled --
-    # round-7-built operators first (newest code earns evidence first;
-    # late-round-7 batch at the very head), then 15 staged mechanical
-    # keys. New round-8 operators insert HERE (slot 13), bumping the
-    # window tail onto the r9 queue head:
+    # round-8-built operators first (newest code earns evidence first):
+    "d_agg_corr_matrix",
+    "m_ab_test_ztest",
+    "d_agg_weighted_median",
+    "l_text_entropy",
+    "d_stat_crosstab",
+    "d_transpose",
+    "a_observe_metrics",
+    "m_time_to_convert",
+    "l_judge_kappa",
+    # then the round-7-built operators (late-round-7 batch at the very
+    # head), then staged mechanical keys up to slot 50:
     "e_win_count_distinct",
     "m_yoy_growth",
     "l_ml_linreg_normal",
@@ -88,6 +96,12 @@ PRIORITY_ORDER = (
     "d_agg_salted",
     "d_agg_moments",
     "d_agg_percentile_disc",
+    # -- ROUND-9 QUEUE (swap up to slots 13-50 next round): 9 staged
+    #    oracled keys bumped from the r8 window by the round-8-built
+    #    batch, 17 more staged oracled keys, then the 7-key rows-only
+    #    tail (ran-clean rows, approx/stub/nondeterministic paths) —
+    #    33 keys against a 38-slot window, so r9 still CLOSES driver
+    #    coverage with slots spare for round-9-built operators. -------
     "d_agg_bitmap_distinct",
     "d_agg_grouping_id",
     "d_agg_listagg",
@@ -97,11 +111,6 @@ PRIORITY_ORDER = (
     "h_sql_pipe",
     "h_collation",
     "h_interval_arith",
-    # -- ROUND-9 QUEUE (swap up to slots 13-50 next round): 17 staged
-    #    oracled keys, then the 7-key rows-only tail (ran-clean rows,
-    #    approx/stub/nondeterministic paths) — 24 keys against a
-    #    38-slot window, so r9 CLOSES driver coverage with ~14 slots
-    #    spare for round-8/9-built operators bumped from the window. --
     "h_sql_identifier",
     "h_mask",
     "h_crypto",
