@@ -54,6 +54,9 @@ HEADLINE = [
                              # dedup — the Lee-et-al span signal; one
                              # checkpointed shingle scan + 16-byte-key
                              # flag join (tracks the new dedup family)
+    "l_ml_naive_bayes",      # round 8: one-pass NB train + broadcast-
+                             # model scoring + argmax — tracks the
+                             # in-engine classifier family
 ]
 # l_graph_triangles is NOT benched: the part co-purchase fixture graph
 # is degenerately DENSE (avg degree ~120 at sf0.1 — every order mixes
