@@ -493,3 +493,155 @@ def l_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "l_mmr_rerank",
+    oracle="""
+    WITH cand AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding,
+               (SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s) AS rel
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id LIMIT 12
+    ), sims AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               (SELECT SUM(a.embedding[s.i]::DOUBLE * b.embedding[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s) AS d
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), s1 AS MATERIALIZED (
+        SELECT vec_id, rel, 0.7 * rel AS score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ), s2 AS MATERIALIZED (
+        SELECT c.vec_id, c.rel,
+               0.7 * c.rel - 0.3 * MAX(s.d) AS score
+        FROM cand c JOIN sims s ON s.va = c.vec_id
+        WHERE s.vb IN (SELECT vec_id FROM s1)
+          AND c.vec_id NOT IN (SELECT vec_id FROM s1)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    ), s3 AS MATERIALIZED (
+        SELECT c.vec_id, c.rel,
+               0.7 * c.rel - 0.3 * MAX(s.d) AS score
+        FROM cand c JOIN sims s ON s.va = c.vec_id
+        WHERE s.vb IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+          AND c.vec_id NOT IN
+              (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    ), s4 AS MATERIALIZED (
+        SELECT c.vec_id, c.rel,
+               0.7 * c.rel - 0.3 * MAX(s.d) AS score
+        FROM cand c JOIN sims s ON s.va = c.vec_id
+        WHERE s.vb IN (SELECT vec_id FROM s1 UNION ALL
+                       SELECT vec_id FROM s2 UNION ALL
+                       SELECT vec_id FROM s3)
+          AND c.vec_id NOT IN
+              (SELECT vec_id FROM s1 UNION ALL
+               SELECT vec_id FROM s2 UNION ALL
+               SELECT vec_id FROM s3)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    )
+    SELECT rank, vec_id,
+           ROUND(rel * 1e6, 0) / 1e6 + 0 AS rel,
+           ROUND(score * 1e6, 0) / 1e6 + 0 AS mmr_score
+    FROM (
+        SELECT 1 AS rank, * FROM s1 UNION ALL
+        SELECT 2, * FROM s2 UNION ALL
+        SELECT 3, * FROM s3 UNION ALL
+        SELECT 4, * FROM s4
+    )
+    """,
+)
+def l_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998): greedily pick 4 results from the query's top-12 cosine
+    candidates, each step maximizing λ·relevance − (1−λ)·max-similarity
+    to the already-selected set (λ=0.7) — the diversity-aware rerank
+    RAG pipelines apply after l_rag_rerank_rrf-style fusion so the
+    context window isn't filled with near-duplicates of one hit.
+
+    Determinism: vectors are unit-norm (cosine ≡ dot) and every dot is
+    vdot's sequential double fold ≡ DuckDB's ordered correlated-
+    subquery SUM — bit-identical doubles — so argmax comparisons agree
+    exactly; ties break on vec_id ASC; scores can straddle zero → +0
+    guards. The oracle unrolls the same greedy recursion as chained
+    MATERIALIZED CTEs (rule 7).
+
+    Scale: candidate generation is the l_sim_search_topk map-only
+    top-k; the greedy loop then runs on the TOP-K ONLY — pairwise sims
+    among 12 candidates (144 rows, localCheckpoint-ed once), k=4
+    bounded 1-row collects steering the recursion (the PCA/k-means
+    bounded-driver-step pattern; k and top-k are constants, never
+    corpus-sized). At 100 TB nothing changes: MMR cost is O(k·topk),
+    independent of corpus size.
+    """
+    from sqlengine_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    cand = spark.sql(
+        """
+        SELECT /*+ BROADCAST(q) */ e.vec_id, e.embedding,
+               aggregate(zip_with(e.embedding, q.qe,
+                                  (x, y) -> CAST(x AS DOUBLE)
+                                            * CAST(y AS DOUBLE)),
+                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS rel
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id LIMIT 12
+        """
+    ).localCheckpoint()  # 12 rows; one scan feeds sims + every step
+    a = cand.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    from sqlengine_spark.functions import vdot
+
+    sims = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select("va", "vb", vdot(F.col("ea"), F.col("eb")).alias("d"))
+        .localCheckpoint()  # 132 rows
+    )
+    rel_only = cand.select("vec_id", "rel")
+    picked: list[tuple[int, int, float, float]] = []  # bounded: k=4 rows
+    sel_ids: list[int] = []
+    for rank in range(1, 5):
+        if not sel_ids:
+            row = rel_only.orderBy(
+                F.col("rel").desc(), F.col("vec_id").asc()
+            ).first()
+            score = 0.7 * row["rel"]
+        else:
+            row = (
+                rel_only.filter(~F.col("vec_id").isin(sel_ids))
+                .join(
+                    sims.filter(F.col("vb").isin(sel_ids)),
+                    F.col("va") == F.col("vec_id"),
+                )
+                .groupBy("vec_id", "rel")
+                .agg(F.max("d").alias("maxsim"))
+                .select(
+                    "vec_id",
+                    "rel",
+                    (
+                        F.lit(0.7) * F.col("rel")
+                        - F.lit(0.3) * F.col("maxsim")
+                    ).alias("score"),
+                )
+                .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+                .first()
+            )
+            score = row["score"]
+        sel_ids.append(row["vec_id"])
+        picked.append((rank, row["vec_id"], row["rel"], score))
+    out = spark.createDataFrame(
+        picked, "rank int, vec_id long, rel double, mmr_score double"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        dround(F.col("rel"), 6).alias("rel"),
+        dround(F.col("mmr_score"), 6).alias("mmr_score"),
+    )

@@ -730,3 +730,201 @@ def l_judge_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(pe, 6).alias("pe"),
         dround((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+@query(
+    "l_dp_noisy_counts",
+    oracle="""
+    WITH g AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        GROUP BY source
+    ), u AS (
+        SELECT source, n,
+               (CAST(('0x' || substring(md5('dp-eps1|' || source), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS c
+        FROM g
+    )
+    SELECT source,
+           ROUND((CAST(n AS DOUBLE)
+                  - 1.0 * sign(c) * ln(1.0 - 2.0 * abs(c))) * 1e4, 0) / 1e4
+               AS noisy_count
+    FROM u
+    """,
+)
+def l_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (ε=1 Laplace mechanism):
+    per-source document counts plus Laplace(Δf/ε)=Laplace(1) noise —
+    the standard mechanism for publishing training-corpus composition
+    stats without revealing individual membership. The noise draw is
+    inverse-CDF sampling, X = −b·sign(U)·ln(1−2|U|), over a SEEDED
+    uniform derived from md5('dp-eps1|'||source) — deterministic and
+    reproducible in both engines (a production release rotates the
+    seed per publication; the mechanism and scale are identical).
+
+    Determinism: the md5-nibble-derived uniform is exact ((h+0.5)/2^32
+    keeps U strictly inside (0,1), so ln's argument never hits 0);
+    sign/abs/ln on identical doubles are identical (rule 4 precedent);
+    counts are exact BIGINTs. Only the final value rounds.
+
+    Scale: one source-keyed partial-agg count (map-side combine), then
+    per-group scalar math — the noise costs nothing at any scale, and
+    sensitivity Δf=1 is exact because each document contributes to
+    exactly one group.
+    """
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count("*").alias("n"))
+    c = (
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dp-eps1|"), F.col("source"))), 1, 8), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    return g.select(
+        "source",
+        dround(
+            F.col("n").cast("double")
+            - F.lit(1.0) * F.signum(c) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c)),
+            4,
+        ).alias("noisy_count"),
+    )
+
+
+@query(
+    "l_subsample_ci",
+    oracle="""
+    WITH reps AS (
+        SELECT r.r, d.doc_id, d.n_chars
+        FROM documents d, (SELECT unnest(generate_series(0, 15)) AS r) r
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '|'
+                            || CAST(r.r AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')
+    ), rm AS (
+        SELECT r,
+               CAST(trunc(CAST(SUM(n_chars) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS qm
+        FROM reps GROUP BY r
+    ), s AS (
+        SELECT CAST(SUM(qm) AS BIGINT) AS sq,
+               CAST(COUNT(*) AS BIGINT) AS nr,
+               CAST(MIN(qm) AS BIGINT) AS qmin,
+               CAST(MAX(qm) AS BIGINT) AS qmax
+        FROM rm
+    ), dev AS (
+        SELECT CAST(SUM((rm.qm * s.nr - s.sq) * (rm.qm * s.nr - s.sq))
+                    AS BIGINT) AS dd,
+               MAX(s.nr) AS nr, MAX(s.sq) AS sq,
+               MAX(s.qmin) AS qmin, MAX(s.qmax) AS qmax
+        FROM rm, s
+    )
+    SELECT (SELECT ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                         * 1e6, 0) / 1e6
+            FROM documents) AS est,
+           ROUND(sqrt(CAST(dd AS DOUBLE)
+                      / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE))
+                      / CAST(nr - 1 AS DOUBLE)) / 1e6 * 1e6, 0) / 1e6
+               AS rep_sd,
+           ROUND(CAST(qmin AS DOUBLE) / 1e6 * 1e6, 0) / 1e6 AS rep_min,
+           ROUND(CAST(qmax AS DOUBLE) / 1e6 * 1e6, 0) / 1e6 AS rep_max
+    FROM dev
+    """,
+)
+def l_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty for a corpus statistic WITHOUT distributional
+    assumptions: a 16-replica half-sampling ensemble (each doc joins
+    replica r iff md5(doc_id|r) nibble < 8 — the deterministic,
+    engine-reproducible stand-in for bootstrap resampling), reporting
+    the full-corpus mean of n_chars plus the spread (sd, min, max) of
+    the replica means — how a 100 TB pipeline attaches error bars to
+    any quality metric it monitors.
+
+    Determinism: each replica mean is ONE double division of two exact
+    integers, then quantized to fixed-point BIGINT (rule 11e), so the
+    cross-replica sum/min/max/deviation arithmetic is pure-integer and
+    order-immune; the deviation sum uses the algebraic identity
+    Σ(qm·R − Σqm)² = R²·Σ(qm − mean)² to stay integral (magnitudes
+    bounded: |qm| ≤ 1e9 at this corpus, diffs ≤ 1e8, squares ≤ 1e16·16
+    < 2^63). sqrt of identical doubles is identical.
+
+    Scale: the replica explode is ×16 on (doc_id, n_chars) pairs only
+    — two narrow columns, map-side partial aggs, a 16-row shuffle.
+    The statistic generalizes to any per-doc metric.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"),
+        )
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).isin("0", "1", "2", "3", "4", "5", "6", "7")
+        )
+    )
+    rm = reps.groupBy("r").agg(
+        (
+            F.sum("n_chars").cast("double")
+            / F.count("*").cast("double")
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("qm")
+    )
+    s = rm.agg(
+        F.sum("qm").alias("sq"),
+        F.count("*").alias("nr"),
+        F.min("qm").alias("qmin"),
+        F.max("qm").alias("qmax"),
+    )
+    dev = (
+        rm.crossJoin(F.broadcast(s))
+        .select(
+            ((F.col("qm") * F.col("nr") - F.col("sq"))
+             * (F.col("qm") * F.col("nr") - F.col("sq"))).alias("d2"),
+            "nr",
+            "sq",
+            "qmin",
+            "qmax",
+        )
+        .groupBy()
+        .agg(
+            F.sum("d2").alias("dd"),
+            F.max("nr").alias("nr"),
+            F.max("sq").alias("sq"),
+            F.max("qmin").alias("qmin"),
+            F.max("qmax").alias("qmax"),
+        )
+    )
+    est = d.agg(
+        dround(
+            F.sum("n_chars").cast("double") / F.count("*").cast("double"), 6
+        ).alias("est")
+    )
+    return est.crossJoin(
+        dev.select(
+            dround(
+                F.sqrt(
+                    F.col("dd").cast("double")
+                    / (F.col("nr").cast("double") * F.col("nr").cast("double"))
+                    / (F.col("nr") - 1).cast("double")
+                )
+                / F.lit(1e6),
+                6,
+            ).alias("rep_sd"),
+            dround(F.col("qmin").cast("double") / F.lit(1e6), 6).alias("rep_min"),
+            dround(F.col("qmax").cast("double") / F.lit(1e6), 6).alias("rep_max"),
+        )
+    )

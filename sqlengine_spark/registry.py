@@ -56,6 +56,9 @@ PRIORITY_ORDER = (
     "l_dedup_exact",
     # -- slots 13-50: ROUND-8 window — never-driver-checked, oracled --
     # round-8-built operators first (newest code earns evidence first):
+    "l_mmr_rerank",
+    "l_dp_noisy_counts",
+    "l_subsample_ci",
     "l_ml_naive_bayes",
     "d_agg_corr_matrix",
     "m_ab_test_ztest",
@@ -93,15 +96,15 @@ PRIORITY_ORDER = (
     "l_rag_rerank_rrf",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
-    "a_scan_python_datasource",
-    "d_agg_salted",
-    "d_agg_moments",
     # -- ROUND-9 QUEUE (swap up to slots 13-50 next round): 9 staged
     #    oracled keys bumped from the r8 window by the round-8-built
     #    batch, 17 more staged oracled keys, then the 7-key rows-only
     #    tail (ran-clean rows, approx/stub/nondeterministic paths) —
     #    33 keys against a 38-slot window, so r9 still CLOSES driver
     #    coverage with slots spare for round-9-built operators. -------
+    "a_scan_python_datasource",
+    "d_agg_salted",
+    "d_agg_moments",
     "d_agg_percentile_disc",
     "d_agg_bitmap_distinct",
     "d_agg_grouping_id",

@@ -171,6 +171,10 @@ CARTESIAN_WHITELIST = {
     "l_corpus_divergence",      # |slices|x|vocab| smoothing grid:
                                 # langs (5 rows) x broadcast vocab agg —
                                 # vocabulary-bounded like l_topic_cooccur
+    "l_subsample_ci",           # 16-row replica-mean frame x 1-row
+                                # stats frame x 1-row estimate frame —
+                                # every cross side is replica-count or
+                                # scalar bounded
     "l_ml_naive_bayes",         # |classes|-row (5) class-stats table
                                 # broadcast to the test-token stream —
                                 # the per-class score fan-out is value-
