@@ -341,34 +341,44 @@ def l_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
               FROM trt GROUP BY lang, tok) t
         JOIN cls c ON c.lang = t.lang
-    ), tet AS (
-        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
-        FROM (SELECT doc_id, unnest(string_split(lt, ' ')) AS tok FROM te)
-        GROUP BY doc_id, tok
+    ), qlp AS MATERIALIZED (
+        SELECT lang, tok, CAST(trunc(lpv * 1e12) AS BIGINT) AS q FROM lp
+    ), qcls AS MATERIALIZED (
+        SELECT lang,
+               CAST(trunc(ln(1.0 / CAST(n_c + vsz AS DOUBLE)) * 1e12)
+                    AS BIGINT) AS qdef,
+               CAST(trunc(ln(CAST(nd_c AS DOUBLE) / CAST(nd AS DOUBLE))
+                          * 1e12) AS BIGINT) AS qprior
+        FROM cls
+    ), dt AS (
+        SELECT doc_id, lang AS true_lang,
+               CAST(len(string_split(lt, ' ')) AS BIGINT) AS mtot
+        FROM te
+    ), matched AS (
+        SELECT tt.doc_id, l.lang,
+               CAST(SUM(l.q) AS BIGINT) AS ms,
+               CAST(COUNT(*) AS BIGINT) AS mm
+        FROM (SELECT doc_id, unnest(string_split(lt, ' ')) AS tok FROM te) tt
+        JOIN qlp l ON l.tok = tt.tok
+        GROUP BY tt.doc_id, l.lang
     ), sc AS (
-        SELECT tt.doc_id, c.lang,
-               CAST(SUM(CAST(trunc(
-                   CAST(tt.m AS DOUBLE)
-                   * COALESCE(l.lpv,
-                              ln(1.0 / CAST(c.n_c + c.vsz AS DOUBLE)))
-                   * 1e12) AS BIGINT)) AS BIGINT)
-               + CAST(trunc(ln(CAST(c.nd_c AS DOUBLE) / CAST(c.nd AS DOUBLE))
-                            * 1e12) AS BIGINT) AS score
-        FROM tet tt
-        CROSS JOIN cls c
-        LEFT JOIN lp l ON l.lang = c.lang AND l.tok = tt.tok
-        GROUP BY tt.doc_id, c.lang, c.n_c, c.vsz, c.nd_c, c.nd
+        SELECT d.doc_id, d.true_lang, c.lang,
+               COALESCE(ma.ms, 0)
+               + (d.mtot - COALESCE(ma.mm, 0)) * c.qdef
+               + c.qprior AS score
+        FROM dt d
+        CROSS JOIN qcls c
+        LEFT JOIN matched ma ON ma.doc_id = d.doc_id AND ma.lang = c.lang
     ), pred AS (
-        SELECT doc_id, lang AS pred_lang,
+        SELECT true_lang, lang AS pred_lang,
                ROW_NUMBER() OVER (PARTITION BY doc_id
                                   ORDER BY score DESC, lang ASC) AS rk
         FROM sc
     )
-    SELECT te.lang AS true_lang, p.pred_lang,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM pred p JOIN te ON te.doc_id = p.doc_id
-    WHERE p.rk = 1
-    GROUP BY te.lang, p.pred_lang
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred
+    WHERE rk = 1
+    GROUP BY true_lang, pred_lang
     """,
 )
 def l_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,106 +400,162 @@ def l_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint-vocabulary corpus plus cross-engine agreement under
     Hypothesis-randomized labelled corpora.
 
-    Determinism (rules 6/11e): every log term is computed from EXACT
+    Determinism (rules 6/11e): every log is computed from EXACT
     integer counts, so ln() sees the identical double in both engines
-    (libm-identical — the l_dsir_weight precedent); each per-(doc,
-    class, token) contribution m·log p·1e12 is truncated to BIGINT
-    BEFORE the per-doc sum (toward-zero trunc on negatives matches
-    Spark CAST — oracle spells trunc()), making the score an
-    order-immune integer; argmax ties break on lang ASC, exact over
-    integers.
+    (libm-identical — the l_dsir_weight precedent); each log-prob is
+    truncated to fixed-point BIGINT per TOKEN TYPE (q = trunc(lp·1e12);
+    toward-zero trunc on negatives matches Spark CAST — oracle spells
+    trunc()), so a doc's score Σ m_t·q(t,c) is pure-integer and — key
+    property — LINEAR in the multiplicities. Linearity lets the unseen-
+    token mass collapse algebraically: score = Σ_matched m·q +
+    (M − M_matched)·qdefault + qprior, exact, no per-token class
+    fan-out. Argmax ties break on lang ASC over exact integers.
 
-    Scale: the model IS a DataFrame — (class, token) counts partial-
-    aggregate map-side and stay distributed; scoring is test-tokens ×
-    |classes| (a 5-row broadcast) left-joined to the BROADCAST model
-    (vocab·classes rows — for web-scale vocabularies swap to a
-    token-keyed shuffle join; the plan is hinted, not collected). No
-    iteration, no driver-side model state: NB trains in exactly one
-    pass, which is why it remains the 100 TB baseline classifier.
+    Scale (x10/x100 measured — BASELINE.md round-8 note): the model IS
+    a DataFrame — (class, token) counts partial-aggregate map-side; the
+    scoring join touches tokens ONCE (inner join to the broadcast
+    model, which only fans out matched (token, class) pairs) and the
+    |classes| grid attaches at DOC level (|test docs|·5 rows), not
+    token level. For web-scale vocabularies swap the broadcast for a
+    token-keyed shuffle join — same algebra. No iteration, no driver-
+    side model state: NB trains in exactly one pass, which is why it
+    remains the 100 TB baseline classifier.
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower(F.col("text")).alias("lt")
     )
     tr = d.filter(F.col("doc_id") % 2 == 0)
     te = d.filter(F.col("doc_id") % 2 == 1)
-    # ONE tokenize pass feeds vocabulary size, train-doc count, class
-    # stats (split() always yields >=1 token per doc, so
-    # countDistinct(doc_id) over tokens == the doc count) and the model
-    # counts — localCheckpoint, not persist, so repeat invocations
-    # re-scan honestly (CLAUDE.md rules 8a/11a). Paired-interleaved at
-    # sf0.1 this is runtime-NEUTRAL (2.36 vs 2.48 s medians — the tiny
-    # fixture is scheduling-floor-bound, not tokenize-bound); the single
-    # tokenize pass is kept for the 100 TB shape, where re-running the
-    # corpus explode once per consumer (4x) is the dominant cost.
+    # The train token stream is consumed exactly ONCE: the (lang,
+    # token) model partial-agg collapses it map-side to the vocab-sized
+    # count table, which is localCheckpoint-ed (the staged model table
+    # of a production run — vocab x classes rows, NOT corpus-sized).
+    # Vocabulary size, class token totals, the smoothed log-prob model
+    # and the class constants all derive from that checkpoint, so the
+    # two bounded collects and the model broadcast do not re-run the
+    # corpus explode (pre-checkpoint they re-executed it ~4x; measured
+    # in BASELINE.md's round-8 note). Class doc counts come from a
+    # doc_id/lang-pruned scan that never decodes text.
     trt = tr.select(
         "doc_id", "lang", F.explode(F.split("lt", " ")).alias("tok")
-    ).localCheckpoint()
-    v_nd = trt.agg(
-        F.countDistinct("tok").alias("vsz"),
-        F.countDistinct("doc_id").alias("nd"),
     )
+    ct = (
+        trt.groupBy("lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    v = ct.select("tok").distinct().agg(F.count("*").alias("vsz"))
     cls = (
-        trt.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_c"),
-            F.countDistinct("doc_id").alias("nd_c"),
-        )
-        .crossJoin(v_nd)
+        tr.groupBy("lang")
+        .agg(F.count("*").alias("nd_c"))
+        .crossJoin(tr.agg(F.count("*").alias("nd")))
+        .join(ct.groupBy("lang").agg(F.sum("cnt").alias("n_c")), "lang")
+        .crossJoin(v)
+        .localCheckpoint()  # |classes| rows
     )
-    ct = trt.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
     lp = ct.join(cls.select("lang", "n_c", "vsz"), "lang").select(
         "lang",
         "tok",
-        F.log(
-            (F.col("cnt") + 1).cast("double")
-            / (F.col("n_c") + F.col("vsz")).cast("double")
-        ).alias("lpv"),
-    )
-    tet = (
-        te.select("doc_id", F.explode(F.split("lt", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("m"))
-    )
-    c = cls.select(
-        F.col("lang").alias("c_lang"), "n_c", "vsz", "nd_c", "nd"
-    )
-    term = (
-        F.col("m").cast("double")
-        * F.coalesce(
-            F.col("lpv"),
-            F.log(F.lit(1.0) / (F.col("n_c") + F.col("vsz")).cast("double")),
+        (
+            F.log(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("n_c") + F.col("vsz")).cast("double")
+            )
+            * F.lit(1e12)
         )
-        * F.lit(1e12)
-    ).cast("bigint")
-    prior_q = (
-        F.log(F.col("nd_c").cast("double") / F.col("nd").cast("double"))
-        * F.lit(1e12)
-    ).cast("bigint")
-    sc = (
-        tet.crossJoin(F.broadcast(c))
-        .join(
-            F.broadcast(lp),
-            (F.col("c_lang") == lp.lang) & (tet.tok == lp.tok),
-            "left",
+        .cast("bigint")
+        .alias("q"),
+    )
+    qcls = cls.select(
+        F.col("lang").alias("c_lang"),
+        (
+            F.log(F.lit(1.0) / (F.col("n_c") + F.col("vsz")).cast("double"))
+            * F.lit(1e12)
         )
-        .groupBy("doc_id", "c_lang", "n_c", "vsz", "nd_c", "nd")
-        .agg(F.sum(term).alias("s_q"))
-        .select(
-            "doc_id",
-            "c_lang",
-            (F.col("s_q") + prior_q).alias("score"),
+        .cast("bigint")
+        .alias("qdef"),
+        (
+            F.log(F.col("nd_c").cast("double") / F.col("nd").cast("double"))
+            * F.lit(1e12)
         )
+        .cast("bigint")
+        .alias("qprior"),
     )
-    w = W.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("c_lang").asc()
+    # The class DOMAIN is bounded (a classifier's label set), so the
+    # per-class score counters PIVOT into one doc-keyed aggregation and
+    # the argmax becomes a scalar CASE — no doc x class grid join, no
+    # window, exactly ONE shuffle of |test docs| thin rows. The class
+    # constants (qdef, qprior) are |classes|-bounded collects turned
+    # into literals (the d_pivot explicit-values pattern).
+    qconst = {
+        r["c_lang"]: (r["qdef"], r["qprior"]) for r in qcls.collect()
+    }
+    labels = sorted(qconst)  # the class domain, from the same collect
+    if not labels:  # empty train half: no model, no predictions
+        return spark.createDataFrame(
+            [], "true_lang string, pred_lang string, n bigint"
+        )
+    # posexplode, with the doc's token total derived as max(pos)+1
+    # INSIDE the aggregation: carrying size(split(lt)) as a projected
+    # column through the Generate re-evaluates the full-document split
+    # PER TOKEN ROW (CollapseProject merges any pre-projection back) —
+    # quadratic in document length, measured 13 s vs 0.6 s at x10 docs
+    # for the bare explode. The position column is generator output, so
+    # nothing document-sized is recomputed per token.
+    tokrows = te.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.posexplode(F.split("lt", " ")).alias("pos", "tok"),
+    ).join(F.broadcast(lp), "tok", "left")
+    # true_lang is functionally dependent on doc_id — fold it into the
+    # GROUPING KEY, not a string MAX aggregate: a STRING aggregation
+    # buffer is immutable, which silently demotes the whole aggregation
+    # to SortAggregate (measured at x10 docs: two full sorts of the
+    # fanned token stream). All buffers below are primitive bigints.
+    aggs = [(F.max("pos") + 1).cast("bigint").alias("mtot")]
+    for c in labels:
+        aggs.append(
+            F.sum(F.when(F.col("lang") == c, F.col("q"))).alias(f"ms_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("lang") == c, F.lit(1)).otherwise(0))
+            .cast("bigint")
+            .alias(f"mm_{c}")
+        )
+    per_doc = tokrows.groupBy("doc_id", "true_lang").agg(*aggs)
+    # Materialize the per-class scores as REAL COLUMNS before building
+    # the argmax CASE: inlining the score expression into every
+    # pairwise comparison duplicates its subtree O(|classes|^2) times
+    # and blows up Catalyst analysis + codegen (measured at x10 docs:
+    # 34 s with inlined subtrees vs 7 s via this projection — the
+    # rule-8d wide-codegen failure mode).
+    scored = per_doc.select(
+        "true_lang",
+        *[
+            (
+                F.coalesce(F.col(f"ms_{c}"), F.lit(0))
+                + (F.col("mtot") - F.col(f"mm_{c}")) * F.lit(qconst[c][0])
+                + F.lit(qconst[c][1])
+            ).alias(f"s_{c}")
+            for c in labels
+        ],
     )
-    pred = (
-        sc.select("doc_id", "c_lang", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("c_lang").alias("pred_lang"))
-    )
+    # First label (asc) whose score >= every LATER label's score is the
+    # argmax with lang-ASC tie-break (finite-descent argument: any
+    # earlier better label would have qualified first), so the CASE
+    # chain only needs suffix comparisons — O(|classes|^2/2) terms.
+    pred = None
+    for i, c in enumerate(labels):
+        cond = None
+        for other in labels[i + 1:]:
+            term = F.col(f"s_{c}") >= F.col(f"s_{other}")
+            cond = term if cond is None else (cond & term)
+        if cond is None:  # last label: the CASE's ELSE arm
+            pred = F.lit(c) if pred is None else pred.otherwise(c)
+        else:
+            pred = F.when(cond, c) if pred is None else pred.when(cond, c)
     return (
-        pred.join(te.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        scored.select("true_lang", pred.alias("pred_lang"))
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
