@@ -398,3 +398,78 @@ def n_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderpriority string"
     ).parquet(path)
+
+
+@query(
+    "n_wap_publish",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def n_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: every batch lands in an UNPUBLISHED staging
+    directory, a data-quality audit runs against the STAGED files (null
+    keys, negative totals, emptiness), and only batches that pass are
+    atomically published by appending their directory to a manifest —
+    the lakehouse ingestion gate (Iceberg WAP / Delta CDF audit flows)
+    that keeps bad batches invisible to readers forever.
+
+    Two batches here: the urgent+high orders (clean → audited →
+    published) and a copy with every 7th order key NULLed (audit
+    counts 'null key' violations → REJECTED, never published). The
+    read-back goes through the manifest, so the result equals batch 1
+    exactly — which is what the oracle states over the source table.
+    The audit counts are bounded 1-row collects (the gate decision is
+    a driver-side commit-protocol step, like the WriterCommitMessage
+    handling in a_sink_python_datasource).
+
+    Scale: staging writes are ordinary distributed sinks; the audit is
+    a pushed-down aggregate over the staged files only (not the
+    table); publish is an O(1) manifest append per batch. Readers list
+    the manifest, never the staging root, so partial/aborted/rejected
+    batches cost nothing to skip.
+    """
+    import json
+    import os
+
+    base = _scratch("wap_publish")
+    os.makedirs(base, exist_ok=True)
+    manifest = os.path.join(base, "_manifest.json")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    published: list[str] = []
+
+    def stage_audit_publish(batch_df, name: str) -> None:
+        stage_dir = os.path.join(base, "_staging", name)
+        batch_df.write.mode("overwrite").parquet(stage_dir)
+        staged = spark.read.parquet(stage_dir)
+        # audit runs on the staged FILES (what readers would see)
+        bad = staged.filter(
+            F.col("o_orderkey").isNull() | (F.col("o_totalprice") < 0)
+        ).count()
+        total = staged.count()
+        if bad == 0 and total > 0:
+            published.append(stage_dir)
+
+    clean = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    stage_audit_publish(clean, "batch1_clean")
+    poisoned = clean.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+    stage_audit_publish(poisoned, "batch2_poisoned")
+    with open(manifest, "w") as fh:
+        json.dump({"published": published}, fh)
+    with open(manifest) as fh:  # readers resolve through the manifest
+        dirs = json.load(fh)["published"]
+    assert dirs == [os.path.join(base, "_staging", "batch1_clean")]
+    return (
+        spark.read.parquet(*dirs)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )

@@ -928,3 +928,118 @@ def l_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("qmax").cast("double") / F.lit(1e6), 6).alias("rep_max"),
         )
     )
+
+
+@query(
+    "h_str_advanced",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '01234') AS t_name,
+           repeat(left(p_name, 3), 2) AS rep3,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           rpad(right(p_name, 4), 8, '.') AS tail_pad,
+           reverse(p_brand) AS rev_brand,
+           split_part(p_type, ' ', 2) AS type_mid,
+           printf('%05d:%s', p_size, p_brand) AS fmt,
+           ascii(p_name) AS first_code,
+           chr(65 + (p_size % 26)) AS size_chr
+    FROM part
+    """,
+)
+def h_str_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced string-function surface: translate / repeat / lpad /
+    rpad / reverse / left / right / split_part / format_string /
+    ascii / chr — the remaining scalar string toolkit beyond
+    h_str_basic's concat/substr/trim/case family. Spark
+    ``format_string`` is printf-compatible with DuckDB ``printf`` for
+    the pinned %05d/%s directives. (``initcap`` and ``overlay`` are
+    Spark-only — DuckDB 1.0 has neither; they are exercised in pytest
+    rather than the cross-engine oracle.)
+
+    Scale: pure codegen scan projections — zero shuffle, zero marginal
+    cost at any scale.
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "01234").alias("t_name"),
+        F.repeat(F.expr("left(p_name, 3)"), 2).alias("rep3"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.rpad(F.expr("right(p_name, 4)"), 8, ".").alias("tail_pad"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.split_part("p_type", F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.format_string("%05d:%s", "p_size", "p_brand").alias("fmt"),
+        F.ascii("p_name").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("p_size") % 26)).alias("size_chr"),
+    )
+
+
+@query(
+    "l_pref_pairs",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id DESC) AS rk_top,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars ASC, doc_id ASC) AS rk_bot
+        FROM documents
+    )
+    SELECT t.source,
+           t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+           t.n_chars AS chosen_score, b.n_chars AS rejected_score,
+           CAST(t.n_chars - b.n_chars AS BIGINT) AS margin
+    FROM ranked t JOIN ranked b
+      ON t.source = b.source AND t.rk_top = 1 AND b.rk_bot = 1
+    """,
+)
+def l_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF preference-pair construction: for every prompt group (here
+    ``source``), emit a (chosen, rejected) document pair — the
+    highest- vs lowest-scoring response under a total order — plus the
+    score margin used for DPO-style filtering of low-signal pairs. The
+    score column stands in for a reward-model / LLM-judge output (the
+    honest-stub convention; here ``n_chars`` under a (score, doc_id)
+    total order so ties are deterministic).
+
+    Scale: one source-keyed shuffle; both extremes come from the same
+    partitioned window pass (WindowGroupLimit prunes to the per-group
+    top/bottom rows before the join, which is |groups|-sized on both
+    sides). Generalizes to per-prompt candidate sets keyed by prompt
+    id at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w_top = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").desc()
+    )
+    w_bot = W.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    top = (
+        d.select("source", "doc_id", "n_chars", F.row_number().over(w_top).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("doc_id").alias("chosen_doc"),
+            F.col("n_chars").alias("chosen_score"),
+        )
+    )
+    bot = (
+        d.select("source", "doc_id", "n_chars", F.row_number().over(w_bot).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("doc_id").alias("rejected_doc"),
+            F.col("n_chars").alias("rejected_score"),
+        )
+    )
+    return top.join(bot, "source").select(
+        "source",
+        "chosen_doc",
+        "rejected_doc",
+        "chosen_score",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score"))
+        .cast("bigint")
+        .alias("margin"),
+    )

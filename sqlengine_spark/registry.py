@@ -56,6 +56,9 @@ PRIORITY_ORDER = (
     "l_dedup_exact",
     # -- slots 13-50: ROUND-8 window — never-driver-checked, oracled --
     # round-8-built operators first (newest code earns evidence first):
+    "h_str_advanced",
+    "l_pref_pairs",
+    "n_wap_publish",
     "l_mmr_rerank",
     "l_dp_noisy_counts",
     "l_subsample_ci",
@@ -93,15 +96,16 @@ PRIORITY_ORDER = (
     "k_udtf_table_input",
     "j_stream_stream_left",
     "c_join_asof_nearest",
+    # -- ROUND-9 QUEUE (swap up to slots 13-50 next round): the keys
+    #    bumped from the r8 window by the 16 round-8-built operators
+    #    (1 late-r7 key + 12 staged oracled), 17 more staged oracled
+    #    keys, then the 7-key rows-only tail (ran-clean rows,
+    #    approx/stub/nondeterministic paths) — 37 keys against a
+    #    38-slot window, so r9 still CLOSES driver coverage; any
+    #    round-9-built operators spill the tail to r10. --------------
     "l_rag_rerank_rrf",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
-    # -- ROUND-9 QUEUE (swap up to slots 13-50 next round): 9 staged
-    #    oracled keys bumped from the r8 window by the round-8-built
-    #    batch, 17 more staged oracled keys, then the 7-key rows-only
-    #    tail (ran-clean rows, approx/stub/nondeterministic paths) —
-    #    33 keys against a 38-slot window, so r9 still CLOSES driver
-    #    coverage with slots spare for round-9-built operators. -------
     "a_scan_python_datasource",
     "d_agg_salted",
     "d_agg_moments",
