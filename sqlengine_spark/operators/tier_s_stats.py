@@ -1043,3 +1043,269 @@ def l_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("margin"),
     )
+
+
+@query(
+    "l_simhash_hamming_join",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), bits AS (
+        SELECT f.doc_id, b.b,
+               CASE WHEN SUM(f.tf * (((CAST(('0x' || substring(md5(f.tok), 1, 8))
+                                            AS BIGINT) >> b.b) & 1) * 2 - 1)) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM tf f, (SELECT unnest(generate_series(0, 17)) AS b) b
+        GROUP BY f.doc_id, b.b
+    ), fp AS (
+        SELECT doc_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS f
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 2
+    """,
+)
+def l_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pair join with an EXACT hamming
+    threshold: 18-bit Charikar fingerprints (bit b = sign of the
+    tf-weighted ±1 sum over md5-derived token hash bits), candidate
+    pairs from 3 disjoint 6-bit bands, exact ``bit_count(xor)`` ≤ 2
+    verification. The pigeonhole makes banding LOSSLESS here: ≤2
+    differing bits cannot touch all 3 bands, so some band matches
+    exactly — which is why the ORACLE can state the answer as the
+    brute-force all-pairs hamming join and the banded plan must
+    reproduce it bit-for-bit (the rows-only l_dedup_simhash sibling
+    keeps the 64-bit production geometry; this operator pins the
+    blocking-completeness THEOREM cross-engine).
+
+    Determinism: fingerprints are signs of exact integer sums (ties
+    at 0 → bit 0, pinned identically); all 18 bit-sums come from ONE
+    doc-keyed aggregation with pure-bigint buffers (the NB pivot
+    lesson — no per-bit fan-out Spark-side; the oracle uses the
+    fan-out form as the independent formulation). Spark ``^``/
+    ``bit_count`` ≡ DuckDB ``xor``/``bit_count`` on BIGINT.
+
+    Scale: tf explode partial-aggregates map-side; fingerprints are
+    |docs| rows of 8 bytes; each band join is an equi-join on a 6-bit
+    key (64 buckets — salt by a fingerprint prefix when |docs|/64
+    exceeds partition memory); verification is O(candidates). Never
+    the oracle's O(N²).
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    bitsums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf") * (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(18)
+        ]
+    )
+    fp = bitsums.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+            for b in range(18)
+        )
+        .cast("bigint")
+        .alias("f"),
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
+    b_ = fp.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+    pairs = None
+    for band in range(3):
+        cand = a.join(
+            b_,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.shiftright(F.col("fa"), band * 6).bitwiseAND(F.lit(63))
+                == F.shiftright(F.col("fb"), band * 6).bitwiseAND(F.lit(63))
+            ),
+        )
+        pairs = cand if pairs is None else pairs.unionAll(cand)
+    return (
+        pairs.dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+@query(
+    "l_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id) AS pos
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' '
+                   || lead(tok, 2) OVER w AS g
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), ref AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 5
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND((1.0 - CAST(COUNT(r.g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 * 1e4, 0) / 1e4 AS novelty
+    FROM grams d LEFT JOIN ref r ON r.g = d.g
+    GROUP BY d.doc_id
+    """,
+)
+def l_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative n-gram novelty: the fraction of a document's
+    distinct word trigrams NOT in the corpus's common-trigram set
+    (trigrams spanning ≥5 distinct docs) — low novelty flags
+    boilerplate/templated/memorized text, high novelty flags fresh
+    content; the profiling complement to l_decontaminate's exact
+    benchmark matching.
+
+    Determinism: trigram order comes from token POSITION (posexplode
+    ≡ row_number over the unnest, both engines preserve array order);
+    counts are exact integers; novelty is one double division.
+
+    Scale: trigram construction is two LEADs in one doc-partitioned
+    window over exploded tokens (the m_path_trigrams shape); the
+    common-gram set partial-aggregates to |distinct grams| and joins
+    back broadcast-or-shuffled on the gram key. Linear in corpus
+    tokens.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            ).alias("g"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "g")
+        .distinct()
+    )
+    ref = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("g")
+    )
+    return (
+        grams.join(ref.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dround(
+                F.lit(1.0)
+                - F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "m_markov_2step",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), c AS (
+        SELECT event_type AS a, next_type AS b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ), p AS (
+        SELECT a, b,
+               CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY a) AS DOUBLE) AS p
+        FROM c
+    )
+    SELECT p1.a AS from_type, p2.b AS to_type,
+           ROUND(CAST(SUM(CAST(trunc(p1.p * p2.p * 1e15) AS BIGINT))
+                      AS DOUBLE) / 1e15 * 1e6, 0) / 1e6 AS p2step
+    FROM p p1 JOIN p p2 ON p1.b = p2.a
+    GROUP BY p1.a, p2.b
+    """,
+)
+def m_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step Markov transition probabilities: estimate the 1-step
+    event-type transition matrix from per-user ordered event pairs,
+    then compose it with itself (P² = P·P, a matrix product written as
+    a self-join + sum over the intermediate state) — "where will this
+    user be in two events?", the chain algebra behind journey
+    simulation and absorbing-state funnel models (extends
+    m_event_transitions, which stops at 1-step counts).
+
+    Determinism: 1-step probabilities are single exact-integer
+    divisions; each product P(a,b)·P(b,c) is the identical double both
+    engines and is truncated to fixed-point BIGINT per INTERMEDIATE
+    STATE before the sum over b (rule 11e — a 5-term float sum is
+    association-sensitive; the integer sum is immune).
+
+    Scale: pair extraction is one user-keyed window; the transition
+    matrix is |event types|² rows (value-domain bounded), so the
+    matrix product is a tiny broadcast self-join regardless of event
+    volume. Higher powers iterate the same join with bounded state.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("a"), F.col("next_type").alias("b")
+    ).agg(F.count("*").alias("n"))
+    p = c.select(
+        "a",
+        "b",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("a")).cast("double")
+        ).alias("p"),
+    )
+    p1 = p.select(F.col("a").alias("from_type"), F.col("b").alias("mid"), F.col("p").alias("pa"))
+    p2 = p.select(F.col("a").alias("mid"), F.col("b").alias("to_type"), F.col("p").alias("pb"))
+    return (
+        p1.join(F.broadcast(p2), "mid")
+        .groupBy("from_type", "to_type")
+        .agg(
+            dround(
+                F.sum(
+                    (F.col("pa") * F.col("pb") * F.lit(1e15)).cast("bigint")
+                ).cast("double")
+                / F.lit(1e15),
+                6,
+            ).alias("p2step")
+        )
+    )
