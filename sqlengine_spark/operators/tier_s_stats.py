@@ -1309,3 +1309,138 @@ def m_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p2step")
         )
     )
+
+
+@query(
+    "e_win_time_range",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               / 100.0 AS roll_1h_value,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_1h_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def e_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame: per-user rolling 1-hour totals where
+    the frame is defined by the ORDER-BY TIMESTAMP value (``RANGE
+    BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``), not a row
+    count — the event-time sliding metric e_win_range_frame's numeric
+    range and e_win_sliding_avg's row frame cannot express when event
+    spacing is irregular.
+
+    Determinism: the rolling SUM is over CENTS BIGINTs (rule 9/11e —
+    DuckDB computes window sums with a segment tree, Spark
+    sequentially, so a raw double window sum differs in the last ulp;
+    the integer sum is association-immune), divided by 100.0 only at
+    output. The raw timestamp projects as unix micros (a BIGINT both
+    engines), never as a raw ts column.
+
+    Scale: one user-keyed window shuffle; the frame bound is resolved
+    per row by binary search within the sorted partition — cost is
+    O(rows log rows) per partition regardless of the interval width.
+    Both engines bound peak frame STATE by the 1-hour horizon.
+    """
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               unix_micros(ts) AS ts_us,
+               CAST(SUM(CAST(value * 100 AS BIGINT)) OVER w AS DOUBLE)
+                   / CAST(100.0 AS DOUBLE) AS roll_1h_value,
+               COUNT(*) OVER w AS roll_1h_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                           AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "k_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(trunc(l_extendedprice * 100) AS BIGINT) *
+                    CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT)
+               AS weighted_cents,
+           CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(CAST(SUM(CAST(trunc(l_extendedprice * 100) AS BIGINT) *
+                          CAST(trunc(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / 100.0
+                 / CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS DOUBLE)
+                 * 1e4, 0) / 1e4 AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def k_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` (Spark 4): per-group logic receives the
+    WHOLE group as a ``pyarrow.Table`` and returns one — the
+    zero-pandas grouped Python extension surface (k_apply_in_pandas'
+    sibling without the pandas conversion tax; k_map_in_arrow covers
+    the ungrouped variant). The UDF computes a quantity-weighted mean
+    price per return flag with pyarrow compute kernels.
+
+    Determinism: all accumulation inside the UDF is INTEGER (cents x
+    integral quantity via pyarrow's int64 sum — Arrow kernels never
+    see a float until the final division, which is the identical
+    double expression the oracle states).
+
+    Scale: groupBy shuffles once; each group streams into the UDF as
+    Arrow batches with zero-copy column access. Per-group state must
+    fit an executor (3 groups here) — for high-cardinality keys the
+    same logic belongs in plain aggregates; this surface exists for
+    genuinely per-group-imperative logic (model-per-group fits,
+    per-entity solvers).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def wavg(t: "pa.Table") -> "pa.Table":
+        # trunc + unsafe cast = toward-zero truncation, matching Spark
+        # CAST(double AS BIGINT) / the oracle's trunc() (rule 6); the
+        # default safe cast REFUSES fractional floats.
+        cents = pc.cast(
+            pc.trunc(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+            safe=False,
+        )
+        qty = pc.cast(pc.trunc(t.column("l_quantity")), pa.int64(), safe=False)
+        wsum = pc.sum(pc.multiply(cents, qty)).as_py()
+        qsum = pc.sum(qty).as_py()
+        flag = t.column("l_returnflag")[0].as_py()
+        wavg_price = round((wsum / 100.0 / qsum) * 1e4) / 1e4 + 0.0
+        return pa.table(
+            {
+                "l_returnflag": [flag],
+                "n_rows": [t.num_rows],
+                "weighted_cents": [wsum],
+                "sum_qty": [qsum],
+                "wavg_price": [wavg_price],
+            },
+            schema=pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("n_rows", pa.int64()),
+                    ("weighted_cents", pa.int64()),
+                    ("sum_qty", pa.int64()),
+                    ("wavg_price", pa.float64()),
+                ]
+            ),
+        )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        wavg,
+        schema=(
+            "l_returnflag string, n_rows bigint, weighted_cents bigint, "
+            "sum_qty bigint, wavg_price double"
+        ),
+    )

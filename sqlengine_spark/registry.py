@@ -56,6 +56,8 @@ PRIORITY_ORDER = (
     "l_dedup_exact",
     # -- slots 13-50: ROUND-8 window — never-driver-checked, oracled --
     # round-8-built operators first (newest code earns evidence first):
+    "e_win_time_range",
+    "k_apply_in_arrow",
     "l_simhash_hamming_join",
     "l_ngram_novelty",
     "m_markov_2step",
@@ -94,8 +96,6 @@ PRIORITY_ORDER = (
     "h_csv_funcs",
     "m_path_trigrams",
     "l_dedup_semantic",
-    "j_statestore_audit",
-    "h_xml_scalar",
     # -- ROUND-9 QUEUE (swap up to slots 13-50 next round): the keys
     #    bumped from the r8 window by the 16 round-8-built operators
     #    (1 late-r7 key + 12 staged oracled), 17 more staged oracled
@@ -103,6 +103,8 @@ PRIORITY_ORDER = (
     #    approx/stub/nondeterministic paths) — 37 keys against a
     #    38-slot window, so r9 still CLOSES driver coverage; any
     #    round-9-built operators spill the tail to r10. --------------
+    "j_statestore_audit",
+    "h_xml_scalar",
     "k_udtf_table_input",
     "j_stream_stream_left",
     "c_join_asof_nearest",
