@@ -971,3 +971,33 @@ def test_text_entropy_class_collapse_before_doc_agg(spark):
     assert "Generate" in plan          # the sequence/explode fan-out
     assert plan.count("HashAggregate") >= 3
     assert "Join" not in plan
+
+
+def test_simhash_band_joins_are_hash_joins(spark):
+    # each of the 3 band candidate joins must plan as an equi hash
+    # join on the 6-bit band key (the doc_a < doc_b conjunct is a
+    # residual filter), never a cartesian; fingerprints come from ONE
+    # doc-keyed bigint-buffer aggregation (no SortAggregate — the NB
+    # string-buffer lesson)
+    plan = _plan(spark, "l_simhash_hamming_join")
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin") >= 3
+
+
+def test_markov_2step_broadcast_matrix_product(spark):
+    # the P x P composition joins two |types|^2-row frames — broadcast,
+    # never a shuffle of the event table beyond the pair extraction
+    plan = _plan(spark, "m_markov_2step")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_range_window_partitioned_integer_sum(spark):
+    # the interval RANGE frame runs under a user partition (global
+    # sweep) and the rolling SUM input is the cents BIGINT, not the
+    # raw double (rule 9)
+    plan = _plan(spark, "e_win_time_range")
+    assert "Window" in plan
+    assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan.upper()

@@ -1132,3 +1132,30 @@ def test_separable_corpus_naive_bayes_perfect_diagonal(spark):
     assert rows, "separable corpus must produce predictions"
     assert all(r["true_lang"] == r["pred_lang"] for r in rows), rows
     assert sum(r["n"] for r in rows) == 12  # 4 test docs x 3 classes
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=corpora)
+def test_random_corpus_simhash_banding_is_lossless(spark, docs):
+    """The banded simhash pair join must equal the brute-force
+    all-pairs hamming oracle on ANY corpus — the pigeonhole (hamming
+    <= 2 over 3 disjoint 6-bit bands => some band matches exactly)
+    under randomized attack. Small vocab => heavy fingerprint
+    collisions, the adversarial case for pair dedup."""
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    sf_dir = _stage_corpus(spark, docs)
+    sdf = all_queries()["l_simhash_hamming_join"](spark, sf_dir)
+    got = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        cur = con.execute(all_oracles()["l_simhash_hamming_join"])
+        cols = [d[0] for d in cur.description]
+        want = canon_rows(cols, [tuple(r) for r in cur.fetchall()])
+    finally:
+        con.close()
+    assert got == want
