@@ -175,12 +175,6 @@ CARTESIAN_WHITELIST = {
                                 # stats frame x 1-row estimate frame —
                                 # every cross side is replica-count or
                                 # scalar bounded
-    "l_ml_naive_bayes",         # |classes|-row (5) class-stats table
-                                # broadcast to the test-token stream —
-                                # the per-class score fan-out is value-
-                                # domain bounded; the MODEL join itself
-                                # is a BroadcastHashJoin (asserted in
-                                # test_naive_bayes_model_joins_broadcast)
     "l_graph_pagerank",         # 1-row N-count broadcast seeding the
                                 # uniform rank vector; edge join and
                                 # iterations are keyed shuffles
