@@ -1444,3 +1444,153 @@ def k_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty bigint, wavg_price double"
         ),
     )
+
+
+@query(
+    "m_retention_curve",
+    oracle="""
+    WITH fa AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT e.user_id,
+               date_diff('day', f.d0, CAST(e.ts AS DATE)) AS dn
+        FROM events e JOIN fa f ON f.user_id = e.user_id
+    ), days AS (SELECT unnest(generate_series(1, 7)) AS n)
+    SELECT d.n,
+           CAST((SELECT COUNT(*) FROM fa) AS BIGINT) AS cohort_size,
+           CAST(COUNT(a.user_id) AS BIGINT) AS retained,
+           ROUND(CAST(COUNT(a.user_id) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM fa) AS DOUBLE) * 1e6, 0) / 1e6
+               AS retention
+    FROM days d LEFT JOIN act a ON a.dn = d.n
+    GROUP BY d.n
+    """,
+)
+def m_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention curve (N = 1..7): the share of ALL users active
+    again exactly N days after their first event — the product-health
+    curve that complements m_cohort_retention's week-cohort matrix
+    (single curve over the whole user base, day granularity).
+
+    Determinism: day offsets are exact integer DATE arithmetic (Spark
+    datediff ≡ DuckDB date_diff('day')); counts exact; one double
+    division per output row.
+
+    Scale: first-day is a user-keyed partial agg; activity distinct
+    collapses (user, day-offset) map-side; the 7-row day spine joins
+    broadcast. Linear in events, |users| intermediate.
+    """
+    e = table(spark, sf_dir, "events")
+    fa = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    act = (
+        e.join(fa, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("dn"),
+        )
+        .distinct()
+    )
+    days = spark.range(1, 8).select(F.col("id").cast("int").alias("n"))
+    cohort = fa.agg(F.count("*").alias("cohort_size"))
+    return (
+        days.join(act, days.n == act.dn, "left")
+        .groupBy("n")
+        .agg(F.count("user_id").alias("retained"))
+        .crossJoin(F.broadcast(cohort))
+        .select(
+            "n",
+            "cohort_size",
+            "retained",
+            dround(
+                F.col("retained").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "l_quality_composite_gate",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, source,
+               CAST(length(text) AS BIGINT) AS len,
+               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                    AS BIGINT) AS punct,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ), gated AS (
+        SELECT doc_id, source,
+               CASE WHEN len >= 100 THEN 1 ELSE 0 END
+               + CASE WHEN punct * 20 <= len THEN 1 ELSE 0 END
+               + CASE WHEN toks * 3 <= len AND len <= toks * 12
+                      THEN 1 ELSE 0 END AS votes
+        FROM sig
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN votes >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN votes >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6, 0) / 1e6 AS keep_rate
+    FROM gated
+    GROUP BY source
+    """,
+)
+def l_quality_composite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate: three cheap signals vote per document —
+    minimum length, punctuation density (≤5%), and mean-token-length
+    band (3-12 chars) — and a document survives with ≥2 votes
+    (Gopher-rule style majority gating, the standard way pipelines
+    combine weak filters without one noisy signal vetoing everything).
+    Reported as per-source keep rates, the mixture-shift audit run
+    before and after every gate change.
+
+    Determinism: every signal and threshold is pure integer arithmetic
+    (ratio thresholds stated as cross-multiplications — punct/len ≤
+    0.05 becomes punct·20 ≤ len — so no float ever feeds a
+    comparison); one double division at output.
+
+    Scale: single scan, codegen projections, source-keyed partial agg.
+    The vote pattern extends to any signal set; expensive signals
+    (entropy, novelty, model scores) join in as precomputed columns.
+    """
+    d = table(spark, sf_dir, "documents")
+    sig = d.select(
+        "source",
+        F.length("text").cast("bigint").alias("len"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", ""))
+        .cast("bigint")
+        .alias("punct"),
+        F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+    )
+    votes = (
+        F.when(F.col("len") >= 100, 1).otherwise(0)
+        + F.when(F.col("punct") * 20 <= F.col("len"), 1).otherwise(0)
+        + F.when(
+            (F.col("toks") * 3 <= F.col("len"))
+            & (F.col("len") <= F.col("toks") * 12),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        sig.select("source", votes.alias("votes"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("votes") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            dround(
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("keep_rate"),
+        )
+    )

@@ -103,6 +103,9 @@ PRIORITY_ORDER = (
     #    approx/stub/nondeterministic paths) — 37 keys against a
     #    38-slot window, so r9 still CLOSES driver coverage; any
     #    round-9-built operators spill the tail to r10. --------------
+    # late-round-8 batch (r9 queue head — newest first):
+    "m_retention_curve",
+    "l_quality_composite_gate",
     "j_statestore_audit",
     "h_xml_scalar",
     "k_udtf_table_input",

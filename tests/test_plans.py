@@ -171,6 +171,8 @@ CARTESIAN_WHITELIST = {
     "l_corpus_divergence",      # |slices|x|vocab| smoothing grid:
                                 # langs (5 rows) x broadcast vocab agg —
                                 # vocabulary-bounded like l_topic_cooccur
+    "m_retention_curve",        # 7-row day spine x 1-row cohort-size
+                                # scalar — both cross sides constant
     "l_subsample_ci",           # 16-row replica-mean frame x 1-row
                                 # stats frame x 1-row estimate frame —
                                 # every cross side is replica-count or
