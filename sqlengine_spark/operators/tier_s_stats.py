@@ -1594,3 +1594,57 @@ def l_quality_composite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+@query(
+    "a_scan_nested_pruning",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS price,
+           o_orderpriority AS priority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+    """,
+)
+def a_scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema column pruning + predicate pushdown: stage orders
+    as a NESTED parquet table (a ``meta`` struct of status/priority
+    beside a ``fin`` struct of price), then read back projecting and
+    filtering individual struct LEAVES. Spark's nested-schema-pruning
+    rule must narrow ``ReadSchema`` to just the referenced leaf fields
+    and push the leaf predicates into the scan — at 100 TB, reading
+    two leaves of a 200-field event envelope instead of the whole
+    struct IS the feature (asserted in
+    tests/test_plans.py::test_nested_pruning_reads_only_leaves).
+
+    Determinism: pure restaging of existing columns; the oracle states
+    the same rows off the FLAT source table.
+
+    Scale: the staged write is an ordinary distributed sink; the read
+    is a leaf-pruned scan — IO proportional to referenced leaves, not
+    struct width.
+    """
+    from sqlengine_spark.operators.tier_a_scans import _scratch
+
+    o = table(spark, sf_dir, "orders")
+    path = _scratch("orders_nested")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_custkey").alias("custkey"),
+        ).alias("fin"),
+    )
+    nested.write.mode("overwrite").parquet(path)
+    r = spark.read.parquet(path)
+    return r.filter(
+        (F.col("meta.status") == "O") & (F.col("fin.price") > 150000)
+    ).select(
+        "o_orderkey",
+        F.col("fin.price").alias("price"),
+        F.col("meta.priority").alias("priority"),
+    )

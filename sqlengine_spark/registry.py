@@ -104,6 +104,7 @@ PRIORITY_ORDER = (
     #    38-slot window, so r9 still CLOSES driver coverage; any
     #    round-9-built operators spill the tail to r10. --------------
     # late-round-8 batch (r9 queue head — newest first):
+    "a_scan_nested_pruning",
     "m_retention_curve",
     "l_quality_composite_gate",
     "j_statestore_audit",

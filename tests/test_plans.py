@@ -997,3 +997,15 @@ def test_time_range_window_partitioned_integer_sum(spark):
     plan = _plan(spark, "e_win_time_range")
     assert "Window" in plan
     assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan.upper()
+
+
+def test_nested_pruning_reads_only_leaves(spark):
+    # the nested read must prune to the referenced struct LEAVES: the
+    # unreferenced fin.custkey leaf may not appear in ReadSchema, and
+    # the leaf predicates must reach the parquet scan as pushed filters
+    plan = _plan(spark, "a_scan_nested_pruning")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][-1]
+    assert "custkey" not in read_schema, read_schema
+    assert "price" in read_schema and "status" in read_schema
+    assert "PushedFilters" in plan
+    assert "IsNotNull" in plan or "EqualTo" in plan
