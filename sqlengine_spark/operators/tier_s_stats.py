@@ -16,6 +16,8 @@ engines, so outputs are bit-equal before dround.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -346,11 +348,16 @@ def d_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l_text_entropy",
     oracle="""
-    WITH ch AS (
-        SELECT doc_id, substring(lower(text), i.i, 1) AS c
-        FROM documents,
-             LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) i
+    WITH lt AS (
+        SELECT doc_id, lower(text) AS lt FROM documents
         WHERE length(text) >= 1
+    ), ch AS (
+        -- index the SAME string both engines walk: generate_series over
+        -- length(lt), not length(text) (r8 advice — Unicode lowercase
+        -- can change string length)
+        SELECT doc_id, substring(lt, i.i, 1) AS c
+        FROM lt,
+             LATERAL (SELECT unnest(generate_series(1, length(lt))) AS i) i
     ), cls AS (
         SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM ch GROUP BY doc_id, c
@@ -1151,17 +1158,12 @@ def l_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l_ngram_novelty",
     oracle="""
-    WITH tok AS (
-        SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id) AS pos
-        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    WITH grams AS (
+        SELECT DISTINCT doc_id, unnest(
+            list_transform(generate_series(1, len(a) - 2),
+                           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
               FROM documents)
-    ), grams AS (
-        SELECT DISTINCT doc_id,
-               tok || ' ' || lead(tok, 1) OVER w || ' '
-                   || lead(tok, 2) OVER w AS g
-        FROM tok
-        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        QUALIFY lead(tok, 2) OVER w IS NOT NULL
     ), ref AS (
         SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 5
     )
@@ -1414,7 +1416,12 @@ def k_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsum = pc.sum(pc.multiply(cents, qty)).as_py()
         qsum = pc.sum(qty).as_py()
         flag = t.column("l_returnflag")[0].as_py()
-        wavg_price = round((wsum / 100.0 / qsum) * 1e4) / 1e4 + 0.0
+        # math.floor(x*1e4 + 0.5) = half-AWAY-from-zero on positive
+        # values, matching DuckDB ROUND / the repo's dround convention;
+        # Python round() is banker's (half-to-even) and would flip the
+        # hash on a .5 boundary at the 4th decimal (r8 advice).
+        x = (wsum / 100.0 / qsum) * 1e4
+        wavg_price = math.floor(x + 0.5) / 1e4 + 0.0
         return pa.table(
             {
                 "l_returnflag": [flag],
