@@ -15,6 +15,8 @@ expression on both sides so results are bit-equal before dround.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -439,62 +441,80 @@ def l_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     trt = tr.select(
         "doc_id", "lang", F.explode(F.split("lt", " ")).alias("tok")
     )
-    ct = (
-        trt.groupBy("lang", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
-    )
-    v = ct.select("tok").distinct().agg(F.count("*").alias("vsz"))
-    cls = (
-        tr.groupBy("lang")
-        .agg(F.count("*").alias("nd_c"))
-        .crossJoin(tr.agg(F.count("*").alias("nd")))
-        .join(ct.groupBy("lang").agg(F.sum("cnt").alias("n_c")), "lang")
-        .crossJoin(v)
-        .localCheckpoint()  # |classes| rows
-    )
-    lp = ct.join(cls.select("lang", "n_c", "vsz"), "lang").select(
-        "lang",
-        "tok",
-        (
-            F.log(
-                (F.col("cnt") + 1).cast("double")
-                / (F.col("n_c") + F.col("vsz")).cast("double")
-            )
-            * F.lit(1e12)
+    # Class constants as TWO bounded collects, not a checkpointed cls
+    # frame (r8 verdict item 2 — the old cls chained crossJoins over
+    # two extra tr scans plus a separate vocab-distinct pass and a
+    # third collect; the scheduling floor was the jobs, not the data):
+    #   collect 1 — class doc counts from ONE rollup over the
+    #     doc_id/lang-pruned train scan (never decodes text); the
+    #     grand-total row supplies nd, so no crossJoin and no 2nd scan.
+    #     It is independent of the model build, so it runs on a
+    #     CONCURRENT job thread overlapping the ct checkpoint
+    #     (measured: overlaps its full 0.16 s at sf0.1).
+    #   collect 2 — vocabulary size AND every per-class token total in
+    #     ONE rollup aggregation over the vocab-sized ct checkpoint
+    #     (label-free, so it needs nothing from collect 1).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(
+            tr.rollup("lang").agg(F.count("*").alias("c")).collect
         )
-        .cast("bigint")
-        .alias("q"),
-    )
-    qcls = cls.select(
-        F.col("lang").alias("c_lang"),
-        (
-            F.log(F.lit(1.0) / (F.col("n_c") + F.col("vsz")).cast("double"))
-            * F.lit(1e12)
+        ct = (
+            trt.groupBy("lang", "tok")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint()
         )
-        .cast("bigint")
-        .alias("qdef"),
-        (
-            F.log(F.col("nd_c").cast("double") / F.col("nd").cast("double"))
-            * F.lit(1e12)
-        )
-        .cast("bigint")
-        .alias("qprior"),
-    )
-    # The class DOMAIN is bounded (a classifier's label set), so the
-    # per-class score counters PIVOT into one doc-keyed aggregation and
-    # the argmax becomes a scalar CASE — no doc x class grid join, no
-    # window, exactly ONE shuffle of |test docs| thin rows. The class
-    # constants (qdef, qprior) are |classes|-bounded collects turned
-    # into literals (the d_pivot explicit-values pattern).
-    qconst = {
-        r["c_lang"]: (r["qdef"], r["qprior"]) for r in qcls.collect()
-    }
-    labels = sorted(qconst)  # the class domain, from the same collect
+        rows = fut.result()
+    nd_c: dict = {}
+    nd = 0
+    for r in rows:
+        if r["lang"] is None:
+            nd = r["c"]
+        else:
+            nd_c[r["lang"]] = r["c"]
+    labels = sorted(nd_c)  # the class domain, from the same collect
     if not labels:  # empty train half: no model, no predictions
         return spark.createDataFrame(
             [], "true_lang string, pred_lang string, n bigint"
         )
+    stats = {
+        (r["lang"] if r["lang"] is not None else None): r
+        for r in ct.rollup("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_c"),
+            F.countDistinct("tok").alias("v"),
+        )
+        .collect()
+    }
+    vsz = stats[None]["v"]  # grand-total row: global vocabulary size
+    ncv = {c: (stats[c]["n_c"] if c in stats else 0) + vsz for c in labels}
+    # qdef/qprior from the exact collected integers via Python
+    # math.log — CPython calls the same libm log DuckDB's ln does, and
+    # the inputs are identical IEEE doubles (integer-valued ratios), so
+    # this is bit-safe under the l_dsir_weight libm precedent; int()
+    # truncates toward zero = trunc (rule 6). Kills the qcls job.
+    qconst = {
+        c: (
+            int(math.log(1.0 / ncv[c]) * 1e12),
+            int(math.log(nd_c[c] / nd) * 1e12),
+        )
+        for c in labels
+    }
+    # Per-token log-probs keep the Spark-side F.log (proven ln-match),
+    # with the smoothing denominator folded in as per-class LITERALS —
+    # no cls join on the model path at all.
+    denom = None
+    for c in labels:
+        arm = (F.col("lang") == c, F.lit(float(ncv[c])))
+        denom = F.when(*arm) if denom is None else denom.when(*arm)
+    lp = ct.select(
+        "lang",
+        "tok",
+        (F.log((F.col("cnt") + 1).cast("double") / denom) * F.lit(1e12))
+        .cast("bigint")
+        .alias("q"),
+    )
     # posexplode, with the doc's token total derived as max(pos)+1
     # INSIDE the aggregation: carrying size(split(lt)) as a projected
     # column through the Generate re-evaluates the full-document split
