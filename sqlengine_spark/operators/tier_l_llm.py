@@ -762,18 +762,77 @@ def l_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id").join(dup_ids, "vec_id", "left_anti")
 
 
-@query("l_dedup_simhash")  # rows-only: banded hamming blocking is engine-specific
+@query(
+    "l_dedup_simhash",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), hx AS (
+        SELECT doc_id, tok, tf,
+               CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS h_lo,
+               CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h_hi
+        FROM tf
+    ), bits AS (
+        SELECT h.doc_id, b.b,
+               CASE WHEN SUM(h.tf * (2 * (CASE WHEN b.b < 32
+                        THEN (h.h_lo >> b.b) & 1
+                        ELSE (h.h_hi >> (b.b - 32)) & 1 END) - 1)) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM hx h, (SELECT unnest(generate_series(0, 63)) AS b) b
+        GROUP BY h.doc_id, b.b
+    ), fpb AS (
+        SELECT doc_id, b // 8 AS band,
+               CAST(SUM(bit * (1 << (b % 8))) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id, b // 8
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM fpb x JOIN fpb y ON x.band = y.band AND x.sig = y.sig
+                             AND x.doc_id < y.doc_id
+    ), tokset AS (
+        SELECT DISTINCT doc_id, tok FROM tf
+    ), cnt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tokset GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN tokset sa ON sa.doc_id = c.doc_a
+        JOIN tokset sb ON sb.doc_id = c.doc_b AND sb.tok = sa.tok
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           ROUND(CAST(v.i AS DOUBLE)
+                 / CAST(ca.n + cb.n - v.i AS DOUBLE) * 1e6, 0) / 1e6
+               AS jaccard
+    FROM inter v
+    JOIN cnt ca ON ca.doc_id = v.doc_a
+    JOIN cnt cb ON cb.doc_id = v.doc_b
+    WHERE CAST(v.i AS DOUBLE) / CAST(ca.n + cb.n - v.i AS DOUBLE) >= 0.7
+    """,
+)
 def l_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via 64-bit SimHash (Charikar) with banded
     hamming blocking + exact verification:
 
     1. per doc, weighted token features: bit b of the fingerprint is
-       sign(Σ_tokens tf · (bit b of xxhash64(token) ? +1 : -1)) — all 64
+       sign(Σ_tokens tf · (bit b of hash(token) ? +1 : -1)) — all 64
        bit-sums in ONE aggregation pass over exploded tokens;
     2. near-identical docs differ in only a few bits, so split the
        fingerprint into 8 bands of 8 bits: pairs agreeing on ANY full
        band meet (detects hamming distance ≤ 7 deterministically);
     3. verify candidates with exact token-Jaccard, keep J ≥ 0.7.
+
+    Graduated from rows-only to a full SQL oracle in round 9 (r8
+    verdict item 8): the token hash is two md5-derived 32-bit halves
+    (hex chars 1-8 → bits 32-63, 9-16 → bits 0-31) — byte-identical
+    in both engines — instead of Spark-only xxhash64, so the oracle
+    can restate the banding brute-force (all-pairs EXISTS-band via a
+    per-band signature join) plus the exact set-Jaccard ≥ 0.7 verify.
+    Sign ties at 0 → bit 0, pinned identically; the J ≥ 0.7 compare
+    is the identical double division in both engines.
 
     Same two-shuffle shape as MinHash-LSH (doc-grouped signature, then
     band-bucket join); SimHash signatures are 8 bytes vs MinHash's
@@ -784,13 +843,18 @@ def l_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.col("text"), " ")).alias("t"),
     ).groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-    h = F.xxhash64("t")
+    h_lo = F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("bigint")
+    h_hi = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint")
+
+    def hbit(b: int):
+        half, off = (h_lo, b) if b < 32 else (h_hi, b - 32)
+        return F.shiftright(half, off).bitwiseAND(F.lit(1))
+
     bits = tok.groupBy("doc_id").agg(
         *[
             (
                 F.sum(
-                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-                    .otherwise(-F.col("tf"))
+                    F.when(hbit(b) == 1, F.col("tf")).otherwise(-F.col("tf"))
                 )
                 > 0
             )

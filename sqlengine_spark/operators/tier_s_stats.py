@@ -1131,27 +1131,31 @@ def l_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
     b_ = fp.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+
+    def band_of(col: str, k: int):
+        return F.shiftright(F.col(col), k * 6).bitwiseAND(F.lit(63))
+
+    # FIRST-MATCH banding (r9 x10 stress fix): each band join carries
+    # the residual predicate "no EARLIER band agrees" plus the pushed
+    # hamming <= 2 filter, so every qualifying pair materializes in
+    # exactly one branch — the old unionAll + dropDuplicates shuffled
+    # ~3x the (already output-bound) candidate stream through an extra
+    # exchange; the residuals evaluate inside the band hash join's
+    # probe, so nothing past the join is shuffled at all (measured at
+    # x10 docs: 23.3 -> 4.3 s, under DuckDB's 5.6 s brute force —
+    # BASELINE.md round-9 note).
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     pairs = None
     for band in range(3):
+        cond = (F.col("doc_a") < F.col("doc_b")) & (ham <= 2)
+        for earlier in range(band):
+            cond = cond & (band_of("fa", earlier) != band_of("fb", earlier))
         cand = a.join(
-            b_,
-            (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.shiftright(F.col("fa"), band * 6).bitwiseAND(F.lit(63))
-                == F.shiftright(F.col("fb"), band * 6).bitwiseAND(F.lit(63))
-            ),
+            b_, cond & (band_of("fa", band) == band_of("fb", band))
         )
         pairs = cand if pairs is None else pairs.unionAll(cand)
-    return (
-        pairs.dropDuplicates(["doc_a", "doc_b"])
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-            .cast("int")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 2)
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
 
 
