@@ -1,0 +1,547 @@
+"""Tier U (extension, round 9) — curation calibration and deterministic
+sampling surfaces a training-data pipeline runs between dedup and
+packing: MinHash estimator calibration against exact ground truth (the
+first fully SQL-oracled MinHash here — md5-derived hashes replay
+bit-for-bit in DuckDB, following the round-9 l_dedup_simhash
+graduation), corpus duplicate-n-gram rates (the RefinedWeb-style
+repetition metric, per source), deterministic hash-bucketed negative
+sampling for contrastive training pairs, and a Rocchio
+nearest-centroid language classifier in quantized TF-IDF space (an
+oracled sibling of the rows-only l_text_langid).
+
+Float policy (CLAUDE.md rules 4/5b/6/9/11e): every cross-row float SUM
+is an exact integer sum (counts or fixed-point BIGINT weights); all
+post-aggregation arithmetic is the IDENTICAL double expression on both
+engines; doubles in output pass through dround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+# ---------------------------------------------------------------------------
+# shared: 60-bit engine-portable hash (md5 hex prefix → BIGINT).  15 hex
+# chars = 60 bits < 2^63, so the signed BIGINT cast is overflow-safe in
+# BOTH engines (16 chars would wrap Spark's cast and error DuckDB's).
+# ---------------------------------------------------------------------------
+
+
+def _h60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_N_HASH = 16  # minhash signature length: 4 bands x 4 rows
+_N_BANDS, _BAND_ROWS = 4, 4
+
+
+def _minhash_calibration_oracle() -> str:
+    mins = ",\n               ".join(
+        "MIN({h}) AS m{s}".format(h=_h60_sql(f"'{s}|' || sh"), s=s)
+        for s in range(_N_HASH)
+    )
+    band_sqls = []
+    for band in range(_N_BANDS):
+        lo = band * _BAND_ROWS
+        eq = " AND ".join(
+            f"a.m{s} = b.m{s}" for s in range(lo, lo + _BAND_ROWS)
+        )
+        resid = ""
+        for earlier in range(band):
+            elo = earlier * _BAND_ROWS
+            eeq = " AND ".join(
+                f"a.m{s} = b.m{s}" for s in range(elo, elo + _BAND_ROWS)
+            )
+            resid += f" AND NOT ({eeq})"
+        cols = ", ".join(
+            [f"a.m{s} AS am{s}" for s in range(_N_HASH)]
+            + [f"b.m{s} AS bm{s}" for s in range(_N_HASH)]
+        )
+        band_sqls.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {cols}\n"
+            f"         FROM sig a JOIN sig b\n"
+            f"           ON {eq} AND a.doc_id < b.doc_id{resid}"
+        )
+    cand = "\n        UNION ALL\n        ".join(band_sqls)
+    matches = " + ".join(
+        f"CAST(am{s} = bm{s} AS INT)" for s in range(_N_HASH)
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 4),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                           w[i+3] || ' ' || w[i+4])) AS sh
+        FROM w WHERE len(w) >= 5
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ), cand AS (
+        {cand}
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    ), cnt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(({matches}) / CAST({_N_HASH} AS DOUBLE) * 1e6) / 1e6 + 0.0
+               AS est_j,
+           ROUND(COALESCE(v.i, 0) / CAST(ca.n + cb.n - COALESCE(v.i, 0)
+                 AS DOUBLE) * 1e6) / 1e6 + 0.0 AS exact_j,
+           ROUND(ABS(({matches}) / CAST({_N_HASH} AS DOUBLE)
+                 - COALESCE(v.i, 0) / CAST(ca.n + cb.n - COALESCE(v.i, 0)
+                   AS DOUBLE)) * 1e6) / 1e6 + 0.0 AS abs_err
+    FROM cand c
+    LEFT JOIN inter v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+    JOIN cnt ca ON ca.doc_id = c.doc_a
+    JOIN cnt cb ON cb.doc_id = c.doc_b
+    """
+
+
+@query("l_minhash_calibration", oracle=_minhash_calibration_oracle())
+def l_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATOR CALIBRATION: for every banded-LSH
+    candidate pair, emit the 16-hash MinHash estimate next to the exact
+    5-gram-shingle Jaccard and the absolute error — the measurement a
+    pipeline owner runs before trusting an LSH dedup threshold (pick
+    bands/rows from the observed error curve, not the textbook
+    formula).
+
+    This is the first fully ORACLED MinHash in the repo (the production
+    l_dedup_near_minhash stays on xxhash64 + recall pytest): the row
+    hashes are 60-bit md5-prefix values (``'{s}|' || shingle``) that
+    DuckDB replays bit-for-bit, so signature mins, band collisions,
+    estimate and exact Jaccard all hash-match cross-engine.
+
+    Shape: one shingle explode → distinct, ONE 16-min aggregation pass
+    for the full signature (no per-hash scan), then 4 first-match band
+    self-joins (each band join carries the residual "no earlier band
+    agreed", the r9 l_simhash_hamming_join lesson — every candidate
+    pair materializes in exactly ONE branch, no dedup shuffle), then
+    the exact-verify stage joins candidate pairs to shingle postings.
+
+    Scale: band joins are equi-joins on 4-column signature keys —
+    collision groups are true near-dup clusters, so candidate volume is
+    output-bound, never N²; the verify stage is |cands| x shingles — the
+    same bounded shape as _verify_jaccard. The signature frame is
+    localCheckpointed: 8 join sides + the estimate read one
+    materialization (CLAUDE.md rule 11a).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+                )
+            ).alias("sh"),
+        )
+        .filter(F.size(toks) >= 5)
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(_h60(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"m{s}")
+                for s in range(_N_HASH)
+            ]
+        )
+        .localCheckpoint()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{s}").alias(f"am{s}") for s in range(_N_HASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{s}").alias(f"bm{s}") for s in range(_N_HASH)],
+    )
+
+    def band_eq(band: int) -> Column:
+        lo = band * _BAND_ROWS
+        cond = F.lit(True)
+        for s in range(lo, lo + _BAND_ROWS):
+            cond = cond & (F.col(f"am{s}") == F.col(f"bm{s}"))
+        return cond
+
+    cands = None
+    for band in range(_N_BANDS):
+        cond = (F.col("doc_a") < F.col("doc_b")) & band_eq(band)
+        for earlier in range(band):
+            cond = cond & ~band_eq(earlier)
+        piece = a.join(b, cond)
+        cands = piece if cands is None else cands.unionAll(piece)
+
+    matches = sum(
+        (F.col(f"am{s}") == F.col(f"bm{s}")).cast("int") for s in range(_N_HASH)
+    )
+    est = matches / F.lit(float(_N_HASH))
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("f_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("f_b"))
+    inter = (
+        cands.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("f_a") == F.col("f_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    exact = i0 / (F.col("na") + F.col("nb") - i0).cast("double")
+    return (
+        cands.select("doc_a", "doc_b", est.alias("est_raw"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            F.broadcast(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(F.col("est_raw"), 6).alias("est_j"),
+            dround(exact, 6).alias("exact_j"),
+            dround(F.abs(F.col("est_raw") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+@query(
+    "l_dup_ngram_rate",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(w) - 7),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                           w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                           w[i+6] || ' ' || w[i+7])) AS g
+        FROM w WHERE len(w) >= 8
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_8grams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_8grams,
+           ROUND((1.0 - COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE)) * 1e6)
+               / 1e6 + 0.0 AS dup_rate
+    FROM g GROUP BY source
+    """,
+)
+def l_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-8-gram rate — the corpus REPETITION metric
+    (RefinedWeb / Gopher "rep" family): what fraction of 8-gram
+    occurrences in a source are re-occurrences of an already-seen
+    8-gram. High dup_rate flags boilerplate-heavy or template-generated
+    sources before they poison a training mix; unlike the per-document
+    l_text_repetition this is corpus-level, so it catches cross-document
+    boilerplate a per-doc metric can't see.
+
+    Shape: the 8-gram list is built INSIDE the generator argument (one
+    transform over the split array — no expression projected alongside
+    the explode, rule 12a), then a single source-keyed aggregation
+    computes occurrence count, distinct count, and distinct docs in one
+    pass. ``size >= 8`` guards the descending-sequence trap (rule 11d).
+
+    Scale: one explode + one partial+final agg keyed on ~|sources|;
+    COUNT(DISTINCT g) expands per source but stays map-side-combinable
+    on (source, g). At 100 TB the distinct count would move to an HLL
+    sketch (d_agg_approx_distinct pattern); the exact form is the
+    calibration oracle.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g = d.filter(F.size(toks) >= 8).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 7),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+            )
+        ).alias("g"),
+    )
+    total = F.count("*")
+    dist = F.countDistinct("g")
+    return g.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        total.alias("total_8grams"),
+        dist.alias("distinct_8grams"),
+        dround(
+            F.lit(1.0) - dist / total.cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "l_negative_sampling",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id AS query_doc, lang, source,
+               doc_id % 8 AS bkt
+        FROM documents WHERE doc_id % 20 = 0
+    ), c AS (
+        SELECT doc_id AS neg_doc, lang, source,
+               doc_id % 8 AS bkt
+        FROM documents
+    ), ranked AS (
+        SELECT q.query_doc, c.neg_doc, q.lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_doc
+                   ORDER BY md5(CAST(q.query_doc AS VARCHAR) || ':' ||
+                                CAST(c.neg_doc AS VARCHAR)), c.neg_doc
+               ) AS neg_rank
+        FROM q JOIN c ON c.lang = q.lang AND c.bkt = q.bkt
+                     AND c.source <> q.source
+    )
+    SELECT query_doc, neg_doc, lang, CAST(neg_rank AS INT) AS neg_rank
+    FROM ranked WHERE neg_rank <= 3
+    """,
+)
+def l_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training pairs:
+    for each query document, pick k=3 in-language, out-of-source
+    negatives by ranking candidates under a pair-keyed md5 — a
+    reproducible stand-in for RNG sampling (same pairs on every run,
+    every engine, any partitioning), which is what makes a training-set
+    build auditable.
+
+    Blocking does the scale work: candidates are hash-bucketed
+    (doc_id % 8) and each query probes ONLY its own bucket — the join
+    is an equi-join on (lang, bucket), so per-query candidate fan-out
+    is |langmates|/8 regardless of corpus size, and raising the bucket
+    count holds it constant at 100 TB. The md5 ranking inside the
+    (query)-partitioned window is WindowGroupLimit-pruned to the top 3
+    before any sort spills. Tiebreak: (md5, neg_doc) is a unique total
+    order (rule 5).
+    """
+    d = table(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_doc"),
+        "lang",
+        F.col("source").alias("q_source"),
+        (F.col("doc_id") % 8).alias("bkt"),
+    )
+    c = d.select(
+        F.col("doc_id").alias("neg_doc"),
+        "lang",
+        F.col("source").alias("c_source"),
+        (F.col("doc_id") % 8).alias("bkt"),
+    )
+    pairs = q.join(c, ["lang", "bkt"]).filter(
+        F.col("c_source") != F.col("q_source")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_doc").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("query_doc").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_doc").cast("string"),
+                )
+            ),
+            "neg_doc",
+        )
+    )
+    return (
+        pairs.select("query_doc", "neg_doc", "lang", rk.alias("neg_rank"))
+        .filter(F.col("neg_rank") <= 3)
+    )
+
+
+@query(
+    "l_tfidf_rocchio",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, doc_id % 2 = 0 AS is_train, lang, tok,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, lang, tok
+    ), ntr AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+        WHERE is_train
+    ), idf AS (
+        SELECT tok, ln(CAST((SELECT n FROM ntr) AS DOUBLE)
+                       / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)) AS idf
+        FROM tf WHERE is_train GROUP BY tok
+    ), wq AS (
+        SELECT f.doc_id, f.is_train, f.lang, f.tok,
+               CAST(FLOOR(f.tf * i.idf * 1e4 + 0.5) AS BIGINT) AS wq
+        FROM tf f JOIN idf i ON i.tok = f.tok
+    ), csum AS (
+        SELECT lang, tok, SUM(wq) AS s,
+               (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM wq w2
+                WHERE w2.is_train AND w2.lang = wq.lang) AS n_l
+        FROM wq WHERE is_train GROUP BY lang, tok
+    ), cq AS (
+        SELECT lang, tok,
+               CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n_l AS DOUBLE) + 0.5)
+                    AS BIGINT) AS cq
+        FROM csum
+    ), cnorm AS (
+        SELECT lang, SUM(cq * cq) AS nc2 FROM cq GROUP BY lang
+    ), dnorm AS (
+        SELECT doc_id, SUM(wq * wq) AS nd2 FROM wq
+        WHERE NOT is_train GROUP BY doc_id
+    ), dots AS (
+        SELECT w.doc_id, w.lang AS true_lang, c.lang AS cand_lang,
+               SUM(w.wq * c.cq) AS dot
+        FROM wq w JOIN cq c ON c.tok = w.tok
+        WHERE NOT w.is_train
+        GROUP BY w.doc_id, w.lang, c.lang
+    ), scored AS (
+        SELECT d.doc_id, d.true_lang, d.cand_lang,
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(n.nd2 AS DOUBLE)) * sqrt(CAST(c.nc2 AS DOUBLE)))
+                   AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY CAST(d.dot AS DOUBLE)
+                       / (sqrt(CAST(n.nd2 AS DOUBLE))
+                          * sqrt(CAST(c.nc2 AS DOUBLE))) DESC, d.cand_lang
+               ) AS rk
+        FROM dots d
+        JOIN dnorm n ON n.doc_id = d.doc_id
+        JOIN cnorm c ON c.lang = d.cand_lang
+    )
+    SELECT true_lang, cand_lang AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT))
+                 / CAST(COUNT(*) AS DOUBLE) / 1e6 * 1e6) / 1e6 + 0.0
+               AS avg_cos
+    FROM scored WHERE rk = 1
+    GROUP BY true_lang, cand_lang
+    """,
+)
+def l_tfidf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio NEAREST-CENTROID language classification in quantized
+    TF-IDF space: train per-language centroids on even doc_ids, assign
+    each odd doc to the cosine-nearest centroid, and report the
+    confusion matrix with mean assignment confidence — the oracled
+    sibling of the rows-only l_text_langid, and the centroid-classifier
+    pattern (fasttext-style router, topic gate) curation stacks use.
+
+    Determinism pins (all CLAUDE.md rule 11e / 4): TF-IDF weights are
+    half-up-quantized to 1e-4 fixed-point BIGINTs, so per-doc norms and
+    doc-centroid dots are exact integer sums (order-immune in both
+    engines); centroid components are re-quantized AFTER the exact
+    integer mean (keeping products within int64 at any class size);
+    idf = ln(N/df) is the same libm call on exact integer ratios; the
+    per-pair cosine is then the identical double expression. avg_cos
+    sums per-row fixed-point cosines as BIGINTs before the final
+    divide, so group order can't flip the hash.
+
+    Scale (rule 12f — classes are BOUNDED): the centroid table is
+    |langs| x |vocab| (tiny, broadcast); scoring is one postings join +
+    a (doc, lang)-keyed partial agg — a thin doc-keyed shuffle. The
+    per-doc argmax window is |langs| rows per partition key; at
+    warehouse scale it collapses to max_by. No N² anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 2 == 0).alias("is_train"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "is_train", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # single corpus scan feeds train + test paths
+    )
+    tr = tf.filter(F.col("is_train"))
+    n_train = tr.select(F.countDistinct("doc_id")).collect()[0][0]  # bounded: 1 scalar
+    idf = tr.groupBy("tok").agg(
+        (
+            F.log(F.lit(float(n_train)) / F.countDistinct("doc_id").cast("double"))
+        ).alias("idf")
+    )
+    wq = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id",
+        "lang",
+        "is_train",
+        "tok",
+        F.floor(F.col("tf") * F.col("idf") * 1e4 + 0.5).cast("bigint").alias("wq"),
+    )
+    n_l = (
+        wq.filter(F.col("is_train"))
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_l"))
+    )
+    cq = (
+        wq.filter(F.col("is_train"))
+        .groupBy("lang", "tok")
+        .agg(F.sum("wq").alias("s"))
+        .join(F.broadcast(n_l), "lang")
+        .select(
+            "lang",
+            "tok",
+            F.floor(F.col("s").cast("double") / F.col("n_l").cast("double") + 0.5)
+            .cast("bigint")
+            .alias("cq"),
+        )
+    )
+    cnorm = cq.groupBy("lang").agg(F.sum(F.col("cq") * F.col("cq")).alias("nc2"))
+    te = wq.filter(~F.col("is_train"))
+    dnorm = te.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("nd2"))
+    dots = (
+        te.join(
+            F.broadcast(cq.select(F.col("lang").alias("cand_lang"), "tok", "cq")),
+            "tok",
+        )
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand_lang")
+        .agg(F.sum(F.col("wq") * F.col("cq")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nd2").cast("double")) * F.sqrt(F.col("nc2").cast("double"))
+    )
+    scored = (
+        dots.join(dnorm, "doc_id")
+        .join(F.broadcast(cnorm.select(F.col("lang").alias("cand_lang"), "nc2")), "cand_lang")
+        .select("doc_id", "true_lang", "cand_lang", cos.alias("cos"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("cos").desc(), "cand_lang")
+            ),
+        )
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("cand_lang").alias("pred_lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            dround(
+                F.sum(F.floor(F.col("cos") * 1e6 + 0.5).cast("bigint"))
+                / F.count("*").cast("double")
+                / 1e6,
+                6,
+            ).alias("avg_cos"),
+        )
+    )

@@ -50,7 +50,12 @@ PRIORITY_ORDER = (
     "j_tumbling_1h",
     "l_dedup_exact",
     # -- slots 5-50: ROUND-9 window, never-driver-checked, newest-built
-    #    first: 3 late-round-8 builds ... --
+    #    first: operators built IN round 9 ... --
+    "l_minhash_calibration",
+    "l_dup_ngram_rate",
+    "l_negative_sampling",
+    "l_tfidf_rocchio",
+    #    ... then the 3 late-round-8 builds ... --
     "a_scan_nested_pruning",
     "m_retention_curve",
     "l_quality_composite_gate",
