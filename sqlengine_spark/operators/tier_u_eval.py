@@ -1,0 +1,486 @@
+"""Tier U (extension, round 9) — evaluation & experimentation
+statistics: a Bradley-Terry arena leaderboard fit by MM iterations
+(the LLM-arena ranking algorithm), split-conformal prediction
+intervals (distribution-free uncertainty for a regression gate),
+a two-sample Kolmogorov-Smirnov drift test, and CUPED variance
+reduction for A/B experiments — the statistical layer an evaluation
+pipeline runs on top of the curation tiers.
+
+Float policy: iterative BT follows the l_embedding_pca sanction —
+bounded driver-side state (|sources| scalars) re-rounded to 12 dp
+half-away each step, with DuckDB replaying the identical iteration via
+ordered aggregates (sequential fold, CLAUDE.md rule 4); everything
+else reduces to exact integer sums cast to double for the final
+identical expression (rule 11e).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+_BT_ITERS = 5
+
+
+def _round12(x: float) -> float:
+    """Half-away 12-dp rounding (driver-side twin of dround(col, 12))."""
+    return math.copysign(math.floor(abs(x) * 1e12 + 0.5), x) / 1e12
+
+
+def _bt_oracle(iters: int) -> str:
+    its = []
+    prev = "p0"
+    for t in range(1, iters + 1):
+        its.append(
+            f"""it{t} AS MATERIALIZED (
+        SELECT pr.i,
+               w.w / SUM(pr.games / (pi.p + pj.p) ORDER BY pr.j) AS praw
+        FROM pairs pr
+        JOIN {prev} pi ON pi.i = pr.i
+        JOIN {prev} pj ON pj.i = pr.j
+        JOIN w ON w.i = pr.i
+        GROUP BY pr.i, w.w
+    ), it{t}n AS MATERIALIZED (
+        SELECT i, ROUND(praw * (SELECT k FROM kk)
+                        / (SELECT SUM(praw ORDER BY i) FROM it{t})
+                        * 1e12) / 1e12 AS p
+        FROM it{t}
+    )"""
+        )
+        prev = f"it{t}n"
+    return f"""
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ), m AS MATERIALIZED (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(COUNT(*) AS BIGINT) AS games,
+               CAST(SUM(CASE WHEN a.n_chars > b.n_chars
+                             OR (a.n_chars = b.n_chars
+                                 AND a.doc_id < b.doc_id)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+        FROM r a JOIN r b ON a.rn = b.rn AND a.source < b.source
+        GROUP BY a.source, b.source
+    ), pairs AS MATERIALIZED (
+        SELECT sa AS i, sb AS j, games, wins_a AS wins FROM m
+        UNION ALL
+        SELECT sb, sa, games, games - wins_a FROM m
+    ), w AS MATERIALIZED (
+        SELECT i, CAST(SUM(wins) AS BIGINT) AS w,
+               CAST(SUM(games) AS BIGINT) AS g
+        FROM pairs GROUP BY i
+    ), kk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k FROM w
+    ), p0 AS MATERIALIZED (
+        SELECT i, CAST(1.0 AS DOUBLE) AS p FROM w
+    ), {", ".join(its)}
+    SELECT w.i AS source, w.g AS games, w.w AS wins,
+           ROUND(p.p * 1e6) / 1e6 + 0.0 AS bt_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, w.i) AS INT) AS rank
+    FROM w JOIN {prev} p ON p.i = w.i
+    """
+
+
+@query("l_bt_leaderboard", oracle=_bt_oracle(_BT_ITERS))
+def l_bt_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY arena leaderboard over sources, fit by the
+    classic MM (minorization-maximization) iteration — the algorithm
+    behind LLM-arena Elo-style rankings, run on deterministic
+    position-matched "battles": rank-r document of source A vs rank-r
+    document of source B, longer text wins (doc_id breaks ties; the
+    honest-stub convention for a judge verdict).
+
+    Iteration (5 steps): p_i <- W_i / Σ_j n_ij/(p_i+p_j), renormalized
+    to mean 1 and rounded to 12 dp half-away each step. The pairwise
+    win matrix is BOUNDED (|sources|² entries), so it is collected
+    driver-side and iterated in plain Python — the l_embedding_pca
+    sanction: per-step driver state is O(k), never data. The DuckDB
+    oracle replays the identical unrolled iterations with ordered
+    aggregates (sequential double fold == Python's sequential sum,
+    rule 4) over MATERIALIZED CTEs (rule 7).
+
+    Scale: battles come from a rank-keyed equi-join (per-rank fan-out
+    ≤ C(|sources|,2), sources bounded); the win matrix aggregation is
+    one partial+final agg; the fit is corpus-size-independent. At
+    100 TB only the match join grows — linearly, on a keyed shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    r = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(W.partitionBy("source").orderBy("doc_id")).alias("rn"),
+    )
+    a = r.select(
+        F.col("source").alias("sa"),
+        F.col("doc_id").alias("da"),
+        F.col("n_chars").alias("ca"),
+        "rn",
+    )
+    b = r.select(
+        F.col("source").alias("sb"),
+        F.col("doc_id").alias("db"),
+        F.col("n_chars").alias("cb"),
+        "rn",
+    )
+    win_a = (F.col("ca") > F.col("cb")) | (
+        (F.col("ca") == F.col("cb")) & (F.col("da") < F.col("db"))
+    )
+    m = (
+        a.join(b, "rn")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").alias("games"),
+            F.sum(win_a.cast("bigint")).alias("wins_a"),
+        )
+    )
+    sym = m.select(
+        F.col("sa").alias("i"), F.col("sb").alias("j"), "games",
+        F.col("wins_a").alias("wins"),
+    ).unionAll(
+        m.select(
+            F.col("sb").alias("i"), F.col("sa").alias("j"), "games",
+            (F.col("games") - F.col("wins_a")).alias("wins"),
+        )
+    ).localCheckpoint()  # single match-join scan feeds collect + final agg
+
+    rows = sym.collect()  # bounded: <= |sources|^2 rows, corpus-independent
+    srcs = sorted({r_["i"] for r_ in rows})
+    k = len(srcs)
+    g = {(r_["i"], r_["j"]): r_["games"] for r_ in rows}
+    wtot: dict[str, int] = {s: 0 for s in srcs}
+    for r_ in rows:
+        wtot[r_["i"]] += r_["wins"]
+    p = {s: 1.0 for s in srcs}
+    for _ in range(_BT_ITERS):
+        praw = {}
+        for i in srcs:
+            denom = 0.0
+            for j in srcs:  # sorted == oracle's ORDER BY pr.j fold
+                if j != i and (i, j) in g:
+                    denom += g[(i, j)] / (p[i] + p[j])
+            praw[i] = wtot[i] / denom
+        s_tot = 0.0
+        for i in srcs:  # sorted == oracle's SUM(praw ORDER BY i)
+            s_tot += praw[i]
+        p = {i: _round12(praw[i] * k / s_tot) for i in srcs}
+
+    bt = F.broadcast(
+        spark.createDataFrame(
+            [(s, p[s]) for s in srcs], "i string, p double"
+        )
+    )
+    per_src = sym.groupBy("i").agg(
+        F.sum("games").alias("games"), F.sum("wins").alias("wins")
+    )
+    return (
+        per_src.join(bt, "i")
+        .select(
+            F.col("i").alias("source"),
+            "games",
+            "wins",
+            dround(F.col("p"), 6).alias("bt_score"),
+            F.row_number()
+            .over(W.orderBy(F.col("p").desc(), "i"))
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+
+
+@query(
+    "l_conformal_interval",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS x,
+               n_chars AS y, doc_id % 4 AS fold
+        FROM documents
+    ), tr AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM f WHERE fold IN (0, 1)
+    ), ab AS MATERIALIZED (
+        SELECT (n * sxy - sx * CAST(sy AS DOUBLE)) / (n * sxx - sx * CAST(sx AS DOUBLE)) AS b,
+               (sy - (n * sxy - sx * CAST(sy AS DOUBLE)) / (n * sxx - sx * CAST(sx AS DOUBLE)) * sx)
+                   / CAST(n AS DOUBLE) AS a
+        FROM tr
+    ), cal AS MATERIALIZED (
+        SELECT ABS(f.y - ((SELECT a FROM ab) + (SELECT b FROM ab) * f.x)) AS r,
+               f.doc_id
+        FROM f WHERE fold = 2
+    ), q AS MATERIALIZED (
+        SELECT r AS q FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM cal
+        ) WHERE rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * (n + 1)) AS BIGINT)
+    )
+    SELECT f.doc_id, CAST(f.x AS BIGINT) AS n_tokens, f.y AS n_chars,
+           ROUND(((SELECT a FROM ab) + (SELECT b FROM ab) * f.x) * 1e4) / 1e4
+               + 0.0 AS pred,
+           ROUND(((SELECT a FROM ab) + (SELECT b FROM ab) * f.x
+                  - (SELECT q FROM q)) * 1e4) / 1e4 + 0.0 AS lo,
+           ROUND(((SELECT a FROM ab) + (SELECT b FROM ab) * f.x
+                  + (SELECT q FROM q)) * 1e4) / 1e4 + 0.0 AS hi,
+           CAST(f.y >= (SELECT a FROM ab) + (SELECT b FROM ab) * f.x
+                       - (SELECT q FROM q)
+                AND f.y <= (SELECT a FROM ab) + (SELECT b FROM ab) * f.x
+                       + (SELECT q FROM q) AS INT) AS covered
+    FROM f WHERE fold = 3
+    """,
+)
+def l_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals — distribution-free
+    uncertainty for a regression quality gate: fit y = a + b·x
+    (chars from token count) on the train fold, take the
+    ceil(0.9·(n+1))-th smallest absolute calibration residual as the
+    interval half-width q (the finite-sample 90%-coverage guarantee),
+    and emit [pred−q, pred+q] with a coverage flag per test doc.
+
+    Determinism: slope/intercept come from EXACT integer sums
+    (n, Σx, Σy, Σxy, Σx²) cast to double in the identical expression;
+    q is an exact order statistic under a (residual, doc_id) total
+    order (rule 5) — no quantile interpolation, so no float divergence.
+    The three scalars (a, b, q) are bounded driver-side state.
+
+    Scale: one pass for the training sums (partial+final agg), one
+    TakeOrdered-style rank for q (the calibration fold sorts once),
+    one map-only scoring pass over the test fold with a, b, q folded
+    in as literals — no join, no shuffle in scoring at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("x"),
+        F.col("n_chars").alias("y"),
+        (F.col("doc_id") % 4).alias("fold"),
+    )
+    tr = (
+        f.filter(F.col("fold").isin(0, 1))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .collect()[0]  # bounded: 5 exact-integer scalars
+    )
+    n, sx, sy, sxy, sxx = tr["n"], tr["sx"], tr["sy"], tr["sxy"], tr["sxx"]
+    b = (n * sxy - sx * float(sy)) / (n * sxx - sx * float(sx))
+    a = (sy - b * sx) / float(n)
+    cal = f.filter(F.col("fold") == 2).select(
+        "doc_id", F.abs(F.col("y") - (F.lit(a) + F.lit(b) * F.col("x"))).alias("r")
+    )
+    n_cal = cal.count()
+    k = int(math.ceil(0.9 * (n_cal + 1)))
+    q = (
+        cal.select(
+            "r", F.row_number().over(W.orderBy("r", "doc_id")).alias("rn")
+        )
+        .filter(F.col("rn") == k)
+        .collect()[0]["r"]  # bounded: 1 scalar (the order statistic)
+    )
+    pred = F.lit(a) + F.lit(b) * F.col("x")
+    return f.filter(F.col("fold") == 3).select(
+        "doc_id",
+        F.col("x").cast("bigint").alias("n_tokens"),
+        F.col("y").alias("n_chars"),
+        dround(pred, 4).alias("pred"),
+        dround(pred - F.lit(q), 4).alias("lo"),
+        dround(pred + F.lit(q), 4).alias("hi"),
+        (
+            (F.col("y") >= pred - F.lit(q)) & (F.col("y") <= pred + F.lit(q))
+        )
+        .cast("int")
+        .alias("covered"),
+    )
+
+
+@query(
+    "l_ks_test",
+    oracle="""
+    WITH g AS (
+        SELECT n_chars AS v,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM documents GROUP BY n_chars
+    ), n AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM g
+    ), e AS MATERIALIZED (
+        SELECT v,
+               ABS(SUM(c1) OVER (ORDER BY v) / CAST((SELECT n1 FROM n) AS DOUBLE)
+                   - SUM(c2) OVER (ORDER BY v) / CAST((SELECT n2 FROM n) AS DOUBLE))
+                   AS diff
+        FROM g
+    ), d AS (
+        SELECT MAX(diff) AS d FROM e
+    )
+    SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+           ROUND((SELECT d FROM d) * 1e6) / 1e6 + 0.0 AS d_stat,
+           (SELECT MIN(v) FROM e WHERE diff = (SELECT d FROM d)) AS d_at_value,
+           ROUND(sqrt((SELECT n1 FROM n) * CAST((SELECT n2 FROM n) AS DOUBLE)
+                      / ((SELECT n1 FROM n) + (SELECT n2 FROM n)))
+                 * (SELECT d FROM d) * 1e6) / 1e6 + 0.0 AS ks_scaled
+    """,
+)
+def l_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV drift test between the English and
+    non-English document-length distributions: D = max |ECDF₁ − ECDF₂|,
+    where it occurs, and the √(n₁n₂/(n₁+n₂))·D scaled statistic — the
+    distribution-drift gate a data pipeline runs when a new snapshot's
+    length/score profile must match the reference corpus before mixing.
+
+    Determinism: per-value counts are exact integers; the cumulative
+    window sums INTEGERS (immune to the rule-9 float-window-association
+    trap), so each ECDF step is an exact-int/<exact-int> double that
+    both engines compute identically; the argmax location uses
+    MIN(value) at the max as the rule-5 total order.
+
+    Scale: n_chars is a BOUNDED VALUE DOMAIN (≤ a few thousand distinct
+    lengths regardless of corpus size), so the ordered ECDF window runs
+    over the domain-sized grouped frame, not the data — the standard
+    trick that makes exact KS feasible at 100 TB (group first, window
+    over the bounded domain).
+    """
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("c1"),
+        F.sum((F.col("lang") != "en").cast("bigint")).alias("c2"),
+    )
+    n1, n2 = g.agg(F.sum("c1"), F.sum("c2")).collect()[0]  # bounded: 2 scalars
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    e = g.select(
+        "v",
+        F.abs(
+            F.sum("c1").over(wcum) / F.lit(float(n1))
+            - F.sum("c2").over(wcum) / F.lit(float(n2))
+        ).alias("diff"),
+    ).localCheckpoint()  # domain-sized; feeds max + argmax passes once
+    dmax = e.agg(F.max("diff")).collect()[0][0]  # bounded: 1 scalar
+    return e.filter(F.col("diff") == dmax).agg(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        dround(F.lit(dmax), 6).alias("d_stat"),
+        F.min("v").alias("d_at_value"),
+        dround(
+            F.lit(math.sqrt(n1 * float(n2) / (n1 + n2)) * dmax), 6
+        ).alias("ks_scaled"),
+    )
+
+
+@query(
+    "m_ab_cuped",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                        THEN CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                        THEN CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM u
+    ), th AS MATERIALIZED (
+        SELECT (n * sxy - sx * CAST(sy AS DOUBLE))
+                   / (n * sxx - sx * CAST(sx AS DOUBLE)) AS theta,
+               sx / CAST(n AS DOUBLE) AS xbar
+        FROM s
+    ), adj AS (
+        SELECT variant, y,
+               CAST(FLOOR(y - (SELECT theta FROM th)
+                          * (x - (SELECT xbar FROM th)) + 0.5) AS BIGINT) AS ya
+        FROM u
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE) / 1e2 * 1e4) / 1e4 + 0.0
+               AS mean_post,
+           ROUND(SUM(ya) / CAST(COUNT(*) AS DOUBLE) / 1e2 * 1e4) / 1e4 + 0.0
+               AS mean_adj,
+           ROUND((1.0 - (COUNT(*) * CAST(SUM(ya * ya) AS DOUBLE)
+                         - SUM(ya) * CAST(SUM(ya) AS DOUBLE))
+                       / (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
+                          - SUM(y) * CAST(SUM(y) AS DOUBLE)))
+                 * 100 * 1e4) / 1e4 + 0.0 AS var_reduction_pct
+    FROM adj GROUP BY variant
+    """,
+)
+def m_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout: per-user pre-period
+    spend is the covariate, θ = cov(pre,post)/var(pre) is fit on the
+    pooled population, and the adjusted metric y − θ·(x − x̄) shrinks
+    per-variant variance without moving the mean — the standard
+    experimentation-platform technique for cutting required sample
+    size.
+
+    Determinism (rule 11e end to end): event values are half-up
+    quantized to cents at the ROW level, so per-user pre/post totals
+    are exact BIGINTs; θ and x̄ derive from five exact integer
+    aggregates cast to double in the identical expression; per-user
+    adjusted values are re-quantized to integer cents BEFORE the
+    per-variant sums, making every cross-row sum order-immune in both
+    engines; means and variances are then identical double expressions
+    over exact integers.
+
+    Scale: one user-keyed partial+final agg builds the covariate table
+    (conditional sums, single events scan); θ is one bounded reduce;
+    the adjusted readout is a second thin agg over |users| rows keyed
+    by variant. No window, no join — the CUPED shape that holds at any
+    user count.
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    vfp = F.floor(F.col("value") * 1e2 + 0.5).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, vfp).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, vfp).otherwise(F.lit(0))).alias("y"),
+    ).withColumn("variant", F.col("user_id") % 2).localCheckpoint()
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).collect()[0]  # bounded: 5 exact-integer scalars
+    theta = (s["n"] * s["sxy"] - s["sx"] * float(s["sy"])) / (
+        s["n"] * s["sxx"] - s["sx"] * float(s["sx"])
+    )
+    xbar = s["sx"] / float(s["n"])
+    ya = F.floor(
+        F.col("y") - F.lit(theta) * (F.col("x") - F.lit(xbar)) + 0.5
+    ).cast("bigint")
+    adj = u.select("variant", "y", ya.alias("ya"))
+    cnt = F.count("*")
+    var_post = cnt * F.sum(F.col("y") * F.col("y")).cast("double") - F.sum(
+        "y"
+    ) * F.sum("y").cast("double")
+    var_adj = cnt * F.sum(F.col("ya") * F.col("ya")).cast("double") - F.sum(
+        "ya"
+    ) * F.sum("ya").cast("double")
+    return adj.groupBy("variant").agg(
+        cnt.alias("n_users"),
+        dround(F.sum("y") / cnt.cast("double") / 1e2, 4).alias("mean_post"),
+        dround(F.sum("ya") / cnt.cast("double") / 1e2, 4).alias("mean_adj"),
+        dround((F.lit(1.0) - var_adj / var_post) * 100, 4).alias(
+            "var_reduction_pct"
+        ),
+    )

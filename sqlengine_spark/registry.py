@@ -51,6 +51,10 @@ PRIORITY_ORDER = (
     "l_dedup_exact",
     # -- slots 5-50: ROUND-9 window, never-driver-checked, newest-built
     #    first: operators built IN round 9 ... --
+    "l_bt_leaderboard",
+    "l_conformal_interval",
+    "l_ks_test",
+    "m_ab_cuped",
     "l_minhash_calibration",
     "l_dup_ngram_rate",
     "l_negative_sampling",
