@@ -1,0 +1,481 @@
+"""Tier U (extension, round 9) — event-analytics statistics: a
+Kaplan-Meier survival curve (signup → purchase with right-censoring),
+time-decay multi-touch attribution, the stationary distribution of the
+event-type Markov chain by bounded power iteration, and a curriculum
+pacing schedule over document difficulty.
+
+Float policy: KM log-survival terms, attribution shares, and decayed
+weights are half-up quantized to fixed-point BIGINTs at the ROW level
+before any cross-row sum (CLAUDE.md rule 11e), so window/group
+accumulation order can't move a hash; the Markov fixpoint follows the
+l_embedding_pca / l_bt_leaderboard sanction (bounded driver-side
+vector, 12-dp re-round per step, DuckDB replaying identical unrolled
+iterations with ordered-aggregate sequential folds).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.functions import dround
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+_MK_ITERS = 8
+
+
+def _round12(x: float) -> float:
+    """Half-away 12-dp rounding (driver-side twin of dround(col, 12))."""
+    return math.copysign(math.floor(abs(x) * 1e12 + 0.5), x) / 1e12
+
+
+@query(
+    "m_survival_km",
+    oracle="""
+    WITH st AS (
+        SELECT user_id, MIN(ts) AS start
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), cv AS (
+        SELECT e.user_id, MIN(e.ts) AS conv
+        FROM events e JOIN st ON st.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > st.start
+        GROUP BY e.user_id
+    ), fin AS (
+        SELECT (SELECT MAX(ts) FROM events) AS study_end
+    ), subj AS (
+        SELECT st.user_id,
+               CASE WHEN cv.conv IS NOT NULL THEN 1 ELSE 0 END AS evt,
+               CAST(FLOOR((epoch_us(COALESCE(cv.conv,
+                                             (SELECT study_end FROM fin)))
+                           - epoch_us(st.start))
+                          / CAST(3600000000 AS DOUBLE)) AS BIGINT) AS d
+        FROM st LEFT JOIN cv ON cv.user_id = st.user_id
+    ), tab AS (
+        SELECT d, CAST(SUM(evt) AS BIGINT) AS ev,
+               CAST(SUM(1 - evt) AS BIGINT) AS cs
+        FROM subj GROUP BY d
+    ), km AS MATERIALIZED (
+        SELECT d, ev, cs,
+               CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM subj)
+                    - SUM(ev + cs) OVER (ORDER BY d) + (ev + cs)
+                    AS BIGINT) AS n_risk
+        FROM tab
+    ), terms AS (
+        SELECT d, ev, cs, n_risk,
+               CASE WHEN n_risk > ev
+                    THEN CAST(FLOOR(ln(CAST(n_risk - ev AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE)) * 1e12 + 0.5)
+                              AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS lnq,
+               CASE WHEN n_risk <= ev THEN 1 ELSE 0 END AS hit_zero
+        FROM km
+    )
+    SELECT d AS t_hours, n_risk, ev AS n_events, cs AS n_censored,
+           CASE WHEN SUM(hit_zero) OVER (ORDER BY d) > 0 THEN 0.0
+                ELSE ROUND(exp(SUM(lnq) OVER (ORDER BY d) / 1e12) * 1e6)
+                     / 1e6 + 0.0 END AS survival
+    FROM terms
+    WHERE ev > 0
+    """,
+)
+def m_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for signup → purchase conversion
+    with right-censoring at study end — the estimator product/retention
+    analytics runs on time-to-event data where "hasn't converted YET"
+    must not count as "never converts". Durations are whole hours;
+    users without a post-signup purchase are censored at the global
+    max event time.
+
+    Determinism (rule 11e + rule 9): the at-risk ledger is pure integer
+    window arithmetic; each KM factor ln((n−d)/n) is a libm call on an
+    exact integer ratio, half-up quantized to 1e-12 fixed point at the
+    ROW level, so the cumulative log-survival is an INTEGER window sum
+    (immune to the segment-tree-vs-sequential association trap);
+    survival = exp(sum/1e12) is then the identical double both engines
+    round to 6 dp. Full depletion (n = d) pins survival to exactly 0.0
+    from that step on via an integer flag cumsum.
+
+    Scale: subjects build from two user-keyed aggs + one left join;
+    the KM table is keyed on the BOUNDED duration domain (hours within
+    the study window), so the ordered windows run over the domain-sized
+    frame, not the data — exact KM at any user count.
+    """
+    ev = table(spark, sf_dir, "events")
+    st = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+    )
+    cv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(st, "user_id")
+        .filter(F.col("ts") > F.col("start"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv"))
+    )
+    study_end = ev.agg(F.max("ts")).collect()[0][0]  # bounded: 1 scalar
+    subj = st.join(cv, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("conv").isNotNull(), 1).otherwise(0).alias("evt"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce(F.col("conv"), F.lit(study_end)))
+                - F.unix_micros(F.col("start"))
+            )
+            / F.lit(3600000000.0)
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).localCheckpoint()  # two consumers: total count + KM table
+    n_total = subj.count()  # bounded: 1 scalar
+    tab = subj.groupBy("d").agg(
+        F.sum("evt").alias("ev"),
+        F.sum(F.lit(1) - F.col("evt")).alias("cs"),
+    )
+    wcum = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    km = tab.select(
+        "d",
+        "ev",
+        "cs",
+        (
+            F.lit(n_total)
+            - F.sum(F.col("ev") + F.col("cs")).over(wcum)
+            + (F.col("ev") + F.col("cs"))
+        ).alias("n_risk"),
+    )
+    lnq = F.when(
+        F.col("n_risk") > F.col("ev"),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("ev")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1e12
+            + 0.5
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    hit = F.when(F.col("n_risk") <= F.col("ev"), 1).otherwise(0)
+    terms = km.select(
+        "d", "ev", "cs", "n_risk", lnq.alias("lnq"), hit.alias("hit_zero")
+    )
+    surv = F.when(
+        F.sum("hit_zero").over(wcum) > 0, F.lit(0.0)
+    ).otherwise(dround(F.exp(F.sum("lnq").over(wcum) / 1e12), 6))
+    return (
+        terms.select(
+            F.col("d").alias("t_hours"),
+            "n_risk",
+            F.col("ev").alias("n_events"),
+            F.col("cs").alias("n_censored"),
+            surv.alias("survival"),
+            "ev",
+        )
+        .filter(F.col("ev") > 0)
+        .drop("ev")
+    )
+
+
+@query(
+    "m_attribution_decay",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS conv_id, user_id, ts AS cts,
+               CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_id AS touch_id, event_type, ts AS tts
+        FROM events WHERE event_type IN ('click', 'view')
+    ), w AS MATERIALIZED (
+        SELECT p.conv_id, p.v_cents, t.touch_id, t.event_type,
+               CAST(FLOOR(exp(-((epoch_us(p.cts) - epoch_us(t.tts))
+                                / CAST(3600000000 AS DOUBLE))
+                              * ln(2) / 24) * 1e9 + 0.5) AS BIGINT) AS wq
+        FROM p JOIN t ON t.user_id = p.user_id
+                     AND t.tts < p.cts
+                     AND epoch_us(p.cts) - epoch_us(t.tts)
+                         <= 604800000000
+    ), sh AS (
+        SELECT event_type, conv_id,
+               CAST(FLOOR(wq / CAST(SUM(wq) OVER (PARTITION BY conv_id)
+                                    AS DOUBLE)
+                          * v_cents * 1e4 + 0.5) AS BIGINT) AS a_q
+        FROM w
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           ROUND(SUM(a_q) / 1e6 * 1e4) / 1e4 + 0.0 AS attributed_value
+    FROM sh GROUP BY event_type
+    """,
+)
+def m_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution: every purchase distributes
+    its value across the user's click/view touchpoints in the 7 days
+    before it, weighted exp(−Δt·ln2/24h) (24-hour half-life) and
+    normalized per conversion — the marketing-analytics standard that
+    replaces last-touch's winner-take-all with recency-weighted credit.
+
+    Determinism: decay weights are half-up quantized to 1e-9 BIGINTs at
+    the row level, the per-conversion normalizer is an INTEGER window
+    sum over an explicit full partition, and each attributed amount is
+    re-quantized before the per-channel sum — every cross-row
+    accumulation is exact integers (rule 11e); exp/ln on identical
+    doubles match across engines (the h_math / sigmoid precedent).
+
+    Scale: the touch join is user-keyed with a 7-day time bound, so
+    fan-out is per-user touches within the window, never corpus-sized
+    (the c_join_interval shape); normalization partitions by
+    conversion id — naturally fine-grained; the channel rollup is a
+    |channels|-row partial+final agg.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.floor(F.col("value") * 1e2 + 0.5).cast("bigint").alias("v_cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.col("ts").alias("tts"),
+    )
+    dh = (F.unix_micros(F.col("cts")) - F.unix_micros(F.col("tts"))) / F.lit(
+        3600000000.0
+    )
+    wq = F.floor(
+        F.exp(-dh * F.lit(math.log(2.0)) / 24) * 1e9 + 0.5
+    ).cast("bigint")
+    w = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (F.col("tts") < F.col("cts"))
+        & (
+            F.unix_micros(F.col("cts")) - F.unix_micros(F.col("tts"))
+            <= F.lit(604800000000)
+        ),
+    ).select("conv_id", "v_cents", "touch_id", "event_type", wq.alias("wq"))
+    wfull = W.partitionBy("conv_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    sh = w.select(
+        "event_type",
+        "conv_id",
+        F.floor(
+            F.col("wq") / F.sum("wq").over(wfull).cast("double")
+            * F.col("v_cents")
+            * 1e4
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("a_q"),
+    )
+    return sh.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("conv_id").alias("n_conversions"),
+        dround(F.sum("a_q") / 1e6, 4).alias("attributed_value"),
+    )
+
+
+def _markov_stationary_oracle(iters: int) -> str:
+    its = []
+    prev = "pi0"
+    for t in range(1, iters + 1):
+        its.append(
+            f"""r{t} AS MATERIALIZED (
+        SELECT tm.j, SUM(pi.p * tm.p ORDER BY tm.i) AS praw
+        FROM tm JOIN {prev} pi ON pi.j = tm.i
+        GROUP BY tm.j
+    ), pi{t} AS MATERIALIZED (
+        SELECT j, ROUND(praw / (SELECT SUM(praw ORDER BY j) FROM r{t})
+                        * 1e12) / 1e12 AS p
+        FROM r{t}
+    )"""
+        )
+        prev = f"pi{t}"
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS i, ts, event_id,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS j
+        FROM events
+    ), c AS MATERIALIZED (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE j IS NOT NULL GROUP BY i, j
+    ), tm AS MATERIALIZED (
+        SELECT i, j, n / CAST(SUM(n) OVER (PARTITION BY i) AS DOUBLE) AS p,
+               n
+        FROM c
+    ), states AS MATERIALIZED (
+        SELECT DISTINCT i AS j FROM c
+    ), pi0 AS MATERIALIZED (
+        SELECT j, ROUND(1.0 / (SELECT CAST(COUNT(*) AS BIGINT) FROM states)
+                        * 1e12) / 1e12 AS p
+        FROM states
+    ), {", ".join(its)}
+    SELECT s.j AS state,
+           ROUND(p.p * 1e6) / 1e6 + 0.0 AS stationary_prob,
+           ROUND((SELECT CAST(SUM(n) AS BIGINT) FROM c c2 WHERE c2.j = s.j)
+                 / (SELECT CAST(SUM(n) AS DOUBLE) FROM c) * 1e6) / 1e6 + 0.0
+               AS empirical_share,
+           CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, s.j) AS INT) AS rank
+    FROM states s JOIN {prev} p ON p.j = s.j
+    """
+
+
+@query("m_markov_stationary", oracle=_markov_stationary_oracle(_MK_ITERS))
+def m_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the user-journey Markov chain: build
+    the event-type transition matrix from consecutive per-user events,
+    then power-iterate π ← πP (8 steps, renormalized and 12-dp-rounded
+    each step) — the long-run state occupancy that ranks journey states
+    by structural importance rather than raw frequency (the two are
+    compared side by side in the output).
+
+    The transition matrix is BOUNDED (|event_types|² ≤ 25 entries), so
+    it is collected and iterated driver-side — the l_embedding_pca /
+    l_bt_leaderboard sanction; the DuckDB oracle replays the identical
+    unrolled iterations with ordered-aggregate sequential folds over
+    MATERIALIZED CTEs (rules 4 and 7). Matrix entries are exact
+    integer-count ratios, identical in both engines.
+
+    Scale: transitions come from one user-partitioned LEAD window
+    (keyed shuffle, per-user frames); the count matrix is a
+    partial+final agg onto ≤ k² rows; the fixpoint is
+    corpus-size-independent.
+    """
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("i"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("j"),
+    )
+    c = (
+        seq.filter(F.col("j").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # one window scan feeds collect + final agg
+    )
+    rows = c.collect()  # bounded: <= |event_types|^2 rows
+    tot_i: dict[str, int] = {}
+    for r in rows:
+        tot_i[r["i"]] = tot_i.get(r["i"], 0) + r["n"]
+    pmat = {(r["i"], r["j"]): r["n"] / float(tot_i[r["i"]]) for r in rows}
+    states = sorted(tot_i)
+    k = len(states)
+    pi = {s: _round12(1.0 / k) for s in states}
+    for _ in range(_MK_ITERS):
+        praw = {}
+        for j in states:
+            acc = 0.0
+            for i in states:  # sorted == oracle's ORDER BY tm.i fold
+                if (i, j) in pmat:
+                    acc += pi[i] * pmat[(i, j)]
+            praw[j] = acc
+        s_tot = 0.0
+        for j in states:  # sorted == SUM(praw ORDER BY j)
+            s_tot += praw[j]
+        pi = {j: _round12(praw[j] / s_tot) for j in states}
+
+    total_trans = sum(r["n"] for r in rows)
+    pidf = F.broadcast(
+        spark.createDataFrame(
+            [(s, pi[s]) for s in states], "state string, p double"
+        )
+    )
+    emp = c.groupBy(F.col("j").alias("state")).agg(
+        F.sum("n").alias("n_in")
+    )
+    return (
+        emp.join(pidf, "state")
+        .select(
+            "state",
+            dround(F.col("p"), 6).alias("stationary_prob"),
+            dround(F.col("n_in") / F.lit(float(total_trans)), 6).alias(
+                "empirical_share"
+            ),
+            F.row_number()
+            .over(W.orderBy(F.col("p").desc(), "state"))
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+
+
+@query(
+    "l_curriculum_pacing",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               NTILE(5) OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS stage
+        FROM documents
+    ), r AS (
+        SELECT doc_id, source, n_chars, stage,
+               ROW_NUMBER() OVER (PARTITION BY source, stage
+                                  ORDER BY n_chars, doc_id) AS intra
+        FROM s
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY stage, intra, source)
+                AS BIGINT) AS global_pos,
+           doc_id, source, CAST(stage AS INT) AS stage, n_chars
+    FROM r
+    ORDER BY global_pos LIMIT 100
+    """,
+)
+def l_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM PACING schedule: bucket each source's documents into 5
+    difficulty stages (n_chars proxy, (n_chars, doc_id) total order),
+    then interleave sources round-robin within each stage — easy-first,
+    source-balanced ordering (the curriculum-learning data loader
+    shape), emitting the first 100 schedule slots for inspection.
+
+    Determinism: NTILE and both ROW_NUMBERs ride unique total orders
+    (rule 5); the LIMIT rides the unique (stage, intra, source) key.
+
+    Scale: staging and intra-ranks are source-keyed windows (keyed
+    shuffles, WindowGroupLimit-friendly); only the inspection LIMIT
+    uses a global order, which TakeOrdered resolves without a full
+    sort-shuffle. A full-corpus schedule at 100 TB would materialize
+    via repartitionByRange(stage, intra) + per-partition files instead
+    of a global row_number — noted here, same upstream plan.
+    """
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(5)
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("stage"),
+    )
+    r = s.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "stage",
+        F.row_number()
+        .over(W.partitionBy("source", "stage").orderBy("n_chars", "doc_id"))
+        .alias("intra"),
+    )
+    return (
+        r.select(
+            F.row_number()
+            .over(W.orderBy("stage", "intra", "source"))
+            .cast("bigint")
+            .alias("global_pos"),
+            "doc_id",
+            "source",
+            F.col("stage").cast("int").alias("stage"),
+            "n_chars",
+        )
+        .orderBy("global_pos")
+        .limit(100)
+    )

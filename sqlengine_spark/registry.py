@@ -51,6 +51,10 @@ PRIORITY_ORDER = (
     "l_dedup_exact",
     # -- slots 5-50: ROUND-9 window, never-driver-checked, newest-built
     #    first: operators built IN round 9 ... --
+    "m_survival_km",
+    "m_attribution_decay",
+    "m_markov_stationary",
+    "l_curriculum_pacing",
     "l_bt_leaderboard",
     "l_conformal_interval",
     "l_ks_test",
