@@ -51,6 +51,10 @@ PRIORITY_ORDER = (
     "l_dedup_exact",
     # -- slots 5-50: ROUND-9 window, never-driver-checked, newest-built
     #    first: operators built IN round 9 ... --
+    "h_sql_udf",
+    "a_scan_file_metadata",
+    "l_ccnet_bucket",
+    "d_agg_chi2",
     "m_survival_km",
     "m_attribution_decay",
     "m_markov_stationary",
