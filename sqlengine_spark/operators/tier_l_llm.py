@@ -683,19 +683,61 @@ def l_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l_text_langid")  # rows-only: float tie-breaking across engines
+@query(
+    "l_text_langid",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   generate_series(1, greatest(length(text) - 2, 1)),
+                   i -> substring(text, i, 3))) AS tri
+        FROM documents
+    ), doc_tf AS (
+        SELECT doc_id, tri, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tri GROUP BY doc_id, tri
+    ), lt AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot FROM tri GROUP BY lang
+    ), prof AS (
+        SELECT t.lang, t.tri,
+               CAST(FLOOR(COUNT(*) / CAST(lt.tot AS DOUBLE) * 1e12 + 0.5)
+                    AS BIGINT) AS pq
+        FROM tri t JOIN lt ON lt.lang = t.lang
+        GROUP BY t.lang, t.tri, lt.tot
+    ), scores AS (
+        SELECT d.doc_id, p.lang, CAST(SUM(d.tf * p.pq) AS BIGINT) AS si
+        FROM doc_tf d JOIN prof p ON p.tri = d.tri
+        GROUP BY d.doc_id, p.lang
+    ), ranked AS (
+        SELECT doc_id, lang, si,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY si DESC, lang) AS rn
+        FROM scores
+    )
+    SELECT doc_id, lang AS pred_lang,
+           ROUND(si / 1e12 * 1e4) / 1e4 + 0.0 AS score
+    FROM ranked WHERE rn = 1
+    """,
+)
 def l_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by character-trigram profiles — the classic n-gram
     heuristic: build per-language trigram frequency profiles from the
     labeled corpus, score every document against every profile
     (sparse dot over shared trigrams), take the argmax.
 
+    Graduated from rows-only to a full SQL oracle in round 9 (r8
+    verdict item 8, third graduate): profile probabilities are half-up
+    quantized to 1e-12 fixed point once per (lang, trigram) TYPE, so
+    every document score is an exact INTEGER sum — accumulation order
+    can't flip a near-tie argmax in either engine (the NB
+    per-token-type pattern, rule 11e), and the (score, lang) rank is a
+    total order.
+
     Scale: trigram postings explode linearly; profiles are |langs| x
     |trigram vocab| — tiny — and broadcast into the scoring join; the
     argmax is a WindowGroupLimit rank. On real multilingual text the
     profiles separate scripts/orthography sharply; on this synthetic
     same-vocabulary corpus the labels carry no signal, so the check is
-    determinism + coverage (pytest), not accuracy."""
+    determinism + coverage (pytest + oracle), not accuracy."""
     d = table(spark, sf_dir, "documents")
     tri = d.select(
         "doc_id",
@@ -713,18 +755,28 @@ def l_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.groupBy("lang", "tri")
         .agg(F.count("*").alias("c"))
         .join(F.broadcast(lang_totals), "lang")
-        .select("lang", "tri", (F.col("c") / F.col("tot")).alias("p"))
+        .select(
+            "lang",
+            "tri",
+            F.floor(F.col("c") / F.col("tot").cast("double") * 1e12 + 0.5)
+            .cast("bigint")
+            .alias("pq"),
+        )
     )
     scores = (
         doc_tf.join(F.broadcast(profile), "tri")
         .groupBy("doc_id", "lang")
-        .agg(F.sum(F.col("tf") * F.col("p")).alias("score"))
+        .agg(F.sum(F.col("tf") * F.col("pq")).alias("si"))
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    w = W.partitionBy("doc_id").orderBy(F.col("si").desc(), "lang")
     return (
         scores.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), dround(F.col("score"), 4).alias("score"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            dround(F.col("si") / 1e12, 4).alias("score"),
+        )
         .orderBy("doc_id")
     )
 

@@ -465,17 +465,17 @@ def l_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("source", "stage").orderBy("n_chars", "doc_id"))
         .alias("intra"),
     )
-    return (
-        r.select(
-            F.row_number()
-            .over(W.orderBy("stage", "intra", "source"))
-            .cast("bigint")
-            .alias("global_pos"),
-            "doc_id",
-            "source",
-            F.col("stage").cast("int").alias("stage"),
-            "n_chars",
-        )
-        .orderBy("global_pos")
-        .limit(100)
+    # TakeOrdered the 100 schedule slots FIRST, then number the bounded
+    # result — the global row_number window runs over the 100-row frame
+    # the plan itself bounds, never the corpus
+    top = r.orderBy("stage", "intra", "source").limit(100)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy("stage", "intra", "source"))
+        .cast("bigint")
+        .alias("global_pos"),
+        "doc_id",
+        "source",
+        F.col("stage").cast("int").alias("stage"),
+        "n_chars",
     )

@@ -35,10 +35,12 @@ _ORACLES: dict[str, str] = {}
 #: the 38 round-7-built keys, then 5 staged oracled keys. Operators
 #: built DURING round 9 are inserted at slot 5, bumping the window
 #: tail onto the r10 queue head. The ROUND-10 queue holds the
-#: remaining 40-key backlog (34 staged oracled keys — incl. the
-#: round-9-graduated l_dedup_simhash — then the 6-key rows-only tail
-#: recording ran-clean rows the way r4-r6 did) — a 46-slot r10 window
-#: CLOSES driver coverage. Keys verified in r1-r8
+#: remaining backlog (staged oracled keys — incl. the round-9
+#: graduates l_dedup_simhash and l_text_langid — then the rows-only
+#: tail recording ran-clean rows the way r4-r6 did); round-9 builds
+#: inserted at slot 5 push window-tail keys onto the queue, so the
+#: exact close round depends on how many r9 ops land (counted in the
+#: round-9 closing comment below the list). Keys verified in r1-r8
 #: sit dead last (they re-verify if the window ever widens).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
 #: new registration without an explicit slot fails CI.
@@ -153,10 +155,10 @@ PRIORITY_ORDER = (
     "h_variant_funcs",
     "e_win_pct_of_total",
     "l_dedup_simhash",  # graduated to a SQL oracle in round 9
-    #    ... then the 6-key rows-only tail (ran-clean rows:
+    "l_text_langid",  # graduated to a SQL oracle in round 9
+    #    ... then the 5-key rows-only tail (ran-clean rows:
     #    approx/stub/nondeterministic paths). --
     "i_sample_stratified",
-    "l_text_langid",
     "l_multimodal_decode",
     "l_kmeans_assign",
     "l_bpe_train",

@@ -245,6 +245,18 @@ GLOBAL_WINDOW_WHITELIST = {
                             # value-domain bounded, same class), never
                             # the corpus; corpus side is hash-agg +
                             # broadcast join only
+    "l_bt_leaderboard",     # final rank over the |sources| leaderboard
+                            # rows — class-domain bounded (~20), the
+                            # corpus-sized work is the keyed match join
+    "m_markov_stationary",  # rank over |event_types| states (~5) —
+                            # class-domain bounded
+    "m_survival_km",        # at-risk ledger + log-survival cumsums run
+                            # over the duration-domain-grouped KM table
+                            # (hours within the study window — value-
+                            # domain bounded), never per-subject rows
+    "l_curriculum_pacing",  # global_pos numbers the TakeOrdered 100-row
+                            # schedule head — bounded by the plan's own
+                            # GlobalLimit, never the corpus
 }
 
 import pytest
