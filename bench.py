@@ -57,14 +57,20 @@ HEADLINE = [
     "l_ml_naive_bayes",      # round 8: one-pass NB train + broadcast-
                              # model scoring + argmax — tracks the
                              # in-engine classifier family
+    "l_minhash_calibration", # round 9: fully-oracled MinHash — one
+                             # 16-min signature agg + 4 first-match
+                             # band joins + exact shingle verify
+                             # (tracks the calibration/curation family)
+    "l_graph_triangles",     # round 9: benched after the edge-iterator
+                             # rewrite (adjacency-array intersects
+                             # in-task instead of shuffling the 41M-row
+                             # wedge stream; x10 parity with the
+                             # single-process engine — BASELINE.md
+                             # round-9 note). The round-7 "fixture
+                             # density" exclusion is obsolete: density
+                             # made the WEDGE EXCHANGE dominant, and
+                             # the rewrite removed that exchange.
 ]
-# l_graph_triangles is NOT benched: the part co-purchase fixture graph
-# is degenerately DENSE (avg degree ~120 at sf0.1 — every order mixes
-# random parts), so the wedge stream is 41M rows and the honest
-# degree-ordered plan runs ~8.6 s — a property of the fixture's
-# density, like the 31-token-vocabulary postings degeneracy below.
-# Real co-occurrence graphs are power-law sparse; the plan's work is
-# arboricity-bounded (SCALE.md round-7 row).
 # The similarity tier's benched row is l_sim_join_gemm, not
 # l_sim_join_lsh: at this corpus's only non-vacuous threshold (τ=0.4;
 # max pairwise cosine is 0.60) a 2-bit LSH band has 4 possible

@@ -2758,28 +2758,27 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle-embedded parts (n_tri DESC, part_key tiebreak — a unique
     total order per CLAUDE.md rule 5).
 
-    Algorithm (Spark side): the Schank–Wagner / node-iterator-with-
-    degree-ordering scheme — orient every undirected edge from its
-    lower-(degree, id) endpoint to the higher one, build wedges by
-    self-joining oriented edges on the source, and close each wedge
-    against the oriented edge set. Orientation bounds every node's
-    out-degree by O(sqrt(m)), so wedge fan-out is sum C(outdeg, 2) —
-    the arboricity-bounded count that makes distributed triangle
-    counting tractable — instead of sum C(deg, 2), which a hub node
-    would blow up. Each triangle is emitted EXACTLY once: its
-    degree-minimum apex owns the only wedge (kept in canonical v < w
-    label order), closed against the undirected canonical edge pair.
-    The DuckDB oracle proves the same answer from an INDEPENDENT
-    formulation: a<b<c ordered 3-way self-join.
+    Algorithm (Spark side): the EDGE-ITERATOR with degree ordering —
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one (out-degree capped at O(sqrt(m))), build per-node
+    sorted out-adjacency arrays, and for each oriented edge (u, v)
+    count the common out-neighbors array_intersect(adj(u), adj(v)).
+    Each triangle's acyclic orientation has exactly ONE out-degree-2
+    apex u, whose base edge u→v owns the intersection that finds it —
+    emitted exactly once, no dedup. The DuckDB oracle proves the same
+    answer from an INDEPENDENT formulation: a<b<c ordered 3-way
+    self-join.
 
     Scale: the co-occurrence expansion is an equi-join on l_orderkey
     (per-order fan-out C(lines, 2), bounded by order size, never
-    corpus-quadratic); degree computation and orientation are keyed
-    shuffles; the wedge join and the closing join are hash equi-joins
-    on (src) and (v, w). No cartesian anywhere — every stage is keyed.
-    At 1000 executors the closing join shuffles wedges and oriented
-    edges on the same (v, w) key; skew follows true structural skew,
-    which the orientation has already capped at O(sqrt(m)) per node.
+    corpus-quadratic); degrees, orientation, adjacency-array build and
+    both edge⋈adjacency joins are keyed shuffles whose volume is
+    |edges| + |adjacency| ROWS — the arboricity-bounded Σ C(outdeg, 2)
+    intersect work happens INSIDE tasks, never as an exchange (the
+    round-8 wedge-materialization plan shuffled the full wedge stream
+    and held a flat 2.6× of the single-process baseline; this form
+    reaches parity at x10 — BASELINE.md round-9 note). Skew follows
+    structural skew, already capped by the orientation.
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     x = li.toDF("ok", "p1")
@@ -2810,26 +2809,35 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
     ).localCheckpoint()
-    w1 = o.toDF("u", "v")
-    w2 = o.toDF("u", "w")
-    # emit each wedge ONCE in canonical v < w order (halves wedge
-    # volume) and close it against the UNDIRECTED canonical pair —
-    # the closing edge's degree orientation may point either way
-    # measured join strategy (paired at sf0.1, idle host): the wedge
-    # self-join sort-merges (1.2M-row sides, spill-safe under a 1g
-    # plain-session heap where a mis-estimated post-checkpoint hash
-    # build OOMed); the closing join hashes the SMALL closing side
-    # (shuffle_hash) so the 41M-row wedge stream is never sorted —
-    # 15.0 s -> 8.6 s
-    wedges = w1.hint("merge").join(w2, "u").filter(F.col("v") < F.col("w"))
-    closing = o.select(
-        F.least("src", "dst").alias("v"),
-        F.greatest("src", "dst").alias("w"),
+    # ROUND-9 REWRITE (x10 A/B, BASELINE.md round-9 note): the previous
+    # wedge-materialization plan (oriented-edge self-join -> 41M-row
+    # wedge stream at sf0.1, 410M at x10 -> closing shuffle_hash join)
+    # held a FLAT 2.6x of the single-process baseline from sf0.1 to x10
+    # — the wedge EXCHANGE was the structural cost, not fixture density.
+    # This edge-iterator form never materializes wedges: per-node
+    # sorted out-adjacency arrays, then each oriented edge (u,v)
+    # intersects adj(u) with adj(v) in-task. Each triangle has exactly
+    # ONE out-degree-2 apex u with base edge u->v (the oriented
+    # triangle DAG), so every triangle is emitted once. Total intersect
+    # work is the same arboricity-bounded sum the wedge count was, but
+    # it stays inside tasks — shuffle volume drops from |wedges| to
+    # |edges| + |adjacency| rows (paired at x10: 54.3 -> 31.1 s,
+    # parity with the single-process engine; identical top-20).
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    eu = o.join(
+        adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu")),
+        F.col("src") == F.col("u2"),
+    ).drop("u2")
+    ev = eu.join(
+        adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv")),
+        F.col("dst") == F.col("v2"),
+    ).drop("v2")
+    tri = ev.select(
+        "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
     )
-    tri = wedges.join(closing.hint("shuffle_hash"), ["v", "w"])
     nodes = (
-        tri.select(F.col("u").alias("p"))
-        .unionByName(tri.select(F.col("v").alias("p")))
+        tri.select(F.col("src").alias("p"))
+        .unionByName(tri.select(F.col("dst").alias("p")))
         .unionByName(tri.select(F.col("w").alias("p")))
     )
     return (
