@@ -304,7 +304,64 @@ def l_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l_kmeans_assign")  # rows-only: iterative algorithm, not SQL-expressible
+def _kmeans_oracle(iters: int, k: int = 10) -> str:
+    """Unrolled Lloyd-iteration oracle (the _pca_oracle pattern):
+    MATERIALIZED CTEs per step; per-vector scores are ORDERED sums
+    (sequential fold == Spark's ``aggregate`` lambda, rule 4) so the
+    argmax compares bit-identical doubles; centroid means round to
+    12 dp half-away on BOTH sides before feeding the next step; empty
+    clusters COALESCE to the previous centroid exactly like the
+    driver-side ``else cents[c]`` branch."""
+    head = f"""
+    WITH flat AS MATERIALIZED (
+      SELECT vec_id, s.i AS pos, embedding[s.i]::DOUBLE AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+    init AS MATERIALIZED (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cl
+      FROM embeddings ORDER BY vec_id LIMIT {k}),
+    c0 AS MATERIALIZED (
+      SELECT i.cl, f.pos, f.x AS cv
+      FROM init i JOIN flat f ON f.vec_id = i.vec_id)"""
+    its = []
+    for t in range(1, iters + 1):
+        its.append(f""",
+    sc{t} AS MATERIALIZED (
+      SELECT f.vec_id, c.cl, SUM(f.x * c.cv ORDER BY f.pos) AS sc
+      FROM flat f JOIN c{t-1} c ON c.pos = f.pos
+      GROUP BY f.vec_id, c.cl),
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cl) AS rn
+        FROM sc{t}) WHERE rn = 1),
+    m{t} AS MATERIALIZED (
+      SELECT a.cl, f.pos, ROUND(AVG(f.x) * 1e12) / 1e12 AS mv
+      FROM a{t} a JOIN flat f ON f.vec_id = a.vec_id
+      GROUP BY a.cl, f.pos),
+    c{t} AS MATERIALIZED (
+      SELECT p.cl, p.pos, COALESCE(m.mv, p.cv) AS cv
+      FROM c{t-1} p LEFT JOIN m{t} m ON m.cl = p.cl AND m.pos = p.pos)""")
+    tail = f"""
+    SELECT vec_id, CAST(cl AS INT) AS cluster,
+           ROUND(sc * 1e6) / 1e6 + 0 AS sim_to_centroid
+    FROM (
+      SELECT f.vec_id, c.cl, SUM(f.x * c.cv ORDER BY f.pos) AS sc,
+             ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                                ORDER BY SUM(f.x * c.cv ORDER BY f.pos)
+                                    DESC, c.cl) AS rn
+      FROM flat f JOIN c{iters} c ON c.pos = f.pos
+      GROUP BY f.vec_id, c.cl)
+    WHERE rn = 1
+    """
+    return head + "".join(its) + tail
+
+
+KMEANS_ITERS = 5
+
+
+@query("l_kmeans_assign", oracle=_kmeans_oracle(KMEANS_ITERS))
 def l_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=10, 5 iterations) over the embedding column —
     the iterative-algorithm pattern (MLlib-style): centroids live on the
@@ -315,15 +372,22 @@ def l_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster, dim)-keyed partial agg. Init: the k lowest-vec_id vectors
     (deterministic, no RNG).
 
+    Graduated from rows-only to a full SQL oracle in round 9 (fourth
+    graduate, r8 verdict item 8): centroid means round to 12 dp
+    half-away on both sides before re-broadcast (the l_embedding_pca
+    iterated-value pin), per-vector scores are sequential folds ==
+    DuckDB ordered SUMs (rule 4) so the argmax compares bit-identical
+    doubles with a (score DESC, cluster) total order, and empty
+    clusters keep the previous centroid via the same COALESCE branch
+    in both engines — the whole fixpoint replays bit-for-bit.
+
     Scale: per iteration the only driver traffic is k*dim averaged
     coordinates (640 doubles) — the data never leaves executors; the
     assignment is a map-only pass and the centroid update shuffles
-    k*dim partial rows per partition. Rows-only: the fixpoint loop has
-    no single-query SQL equivalent (pytest asserts inertia descent,
-    determinism, and label purity instead).
+    k*dim partial rows per partition.
     """
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k, iters = 10, 5
+    k, iters = 10, KMEANS_ITERS
     cents = [
         [float(v) for v in r.embedding]
         for r in emb.orderBy("vec_id").limit(k).collect()
@@ -353,9 +417,16 @@ def l_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster"),
         )
         means = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+            assigned.select(
+                "cluster",
+                F.posexplode("embedding").alias("dim", "val"),
+            )
+            .select("cluster", "dim", F.col("val").cast("double").alias("val"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
+            # 12-dp half-away round BEFORE the driver round-trip — the
+            # l_embedding_pca iterated-value pin that makes the oracle's
+            # ROUND(AVG(x)*1e12)/1e12 replay this exactly
+            .agg(dround(F.avg("val"), 12).alias("m"))
             .collect()  # bounded: k*dim = 640 rows, independent of data size
         )
         by_cluster: dict[int, dict[int, float]] = {}

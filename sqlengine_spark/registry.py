@@ -156,11 +156,11 @@ PRIORITY_ORDER = (
     "e_win_pct_of_total",
     "l_dedup_simhash",  # graduated to a SQL oracle in round 9
     "l_text_langid",  # graduated to a SQL oracle in round 9
-    #    ... then the 5-key rows-only tail (ran-clean rows:
+    "l_kmeans_assign",  # graduated to a SQL oracle in round 9
+    #    ... then the 4-key rows-only tail (ran-clean rows:
     #    approx/stub/nondeterministic paths). --
     "i_sample_stratified",
     "l_multimodal_decode",
-    "l_kmeans_assign",
     "l_bpe_train",
     "l_sim_search_pq",
     # -- verified in r1-r8 (dead last; re-verify if window widens) -----
