@@ -1,0 +1,233 @@
+"""Tier U (extension, round 9, closing batch) — windowed funnels,
+deterministic systematic sampling, and budget-capped data selection:
+the last three gaps a product-analytics + data-curation user would
+reach for that the registry didn't yet cover.
+
+Float policy: everything here is integer arithmetic (counts, epoch
+micros, token budgets) except the per-doc quality score, which is a
+per-doc identical double expression used only for ORDERING under a
+(score, doc_id) total order — no cross-row float accumulation
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlengine_spark.registry import query
+from sqlengine_spark.session import table
+
+
+@query(
+    "m_funnel_windowed",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), s1 AS (
+        SELECT DISTINCT user_id FROM v
+    ), s2 AS (
+        SELECT DISTINCT v.user_id
+        FROM v JOIN c ON c.user_id = v.user_id
+                     AND c.ts > v.ts
+                     AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+    ), s3 AS (
+        SELECT DISTINCT v.user_id
+        FROM v
+        JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+              AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+        WHERE epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+    )
+    SELECT stage, n_users,
+           CAST(n_users AS DOUBLE)
+               / (SELECT COUNT(*) FROM s1) AS frac_of_stage1
+    FROM (
+        SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    """,
+)
+def m_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED FUNNEL (the ClickHouse ``windowFunnel`` semantic):
+    users reaching view → click → purchase as an ORDERED chain that
+    completes within a sliding 1-hour window anchored at the view —
+    unlike m_funnel_stages' whole-history first-event funnel, every
+    stage must happen inside the window, which is how conversion
+    funnels are actually specified (a purchase a week later is not
+    attributable to the session).
+
+    Determinism: pure timestamp-integer arithmetic (epoch micros) and
+    EXISTS-style distinct counts — no floats until the final
+    exact-int ratio.
+
+    Scale: each stage is a user-keyed join with a time-range residual
+    (the c_join_interval shape) — fan-out is per-user events inside
+    one hour, never corpus-sized; DISTINCT user sets shrink
+    monotonically up the funnel; at 100 TB the chain join keys and
+    time bounds push into one user-partitioned shuffle reused by all
+    stages (AQE reuses the exchange).
+    """
+    ev = table(spark, sf_dir, "events")
+    hour = 3600000000
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    in_1h = lambda a, b: (
+        F.unix_micros(F.col(b)) - F.unix_micros(F.col(a)) <= F.lit(hour)
+    )
+    s1 = v.select("user_id").distinct()
+    s2 = (
+        v.join(c, "user_id")
+        .filter((F.col("cts") > F.col("vts")) & in_1h("vts", "cts"))
+        .select("user_id")
+        .distinct()
+    )
+    s3 = (
+        v.join(c, "user_id")
+        .filter((F.col("cts") > F.col("vts")) & in_1h("vts", "cts"))
+        .join(p, "user_id")
+        .filter((F.col("pts") > F.col("cts")) & in_1h("vts", "pts"))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = s1.count()  # bounded: 1 scalar (stage-1 denominator)
+    rows = (
+        s1.agg(F.lit(1).alias("stage"), F.count("*").alias("n_users"))
+        .unionAll(s2.agg(F.lit(2).alias("stage"), F.count("*").alias("n_users")))
+        .unionAll(s3.agg(F.lit(3).alias("stage"), F.count("*").alias("n_users")))
+    )
+    return rows.select(
+        "stage",
+        "n_users",
+        (F.col("n_users").cast("double") / F.lit(float(n1))).alias(
+            "frac_of_stage1"
+        ),
+    )
+
+
+@query(
+    "i_sample_systematic",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM r WHERE (rn - 1) % 20 = 0
+    """,
+)
+def i_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC 1-in-20 SAMPLE under a hash ordering — the
+    deterministic sibling of RNG ``TABLESAMPLE`` (i_sample): order rows
+    by md5(doc_id) (a fixed pseudo-random permutation), keep every
+    20th. Same statistical intent as Bernoulli sampling, but
+    reproducible across engines, runs, and partitionings — the property
+    an auditable eval-split or debugging sample needs; stratification
+    is the (already covered) i_sample_hash/i_sample_stratified family.
+
+    Scale: the hash is map-side; the global rank is the one global
+    order in this operator — at warehouse scale systematic sampling
+    switches to the equivalent per-partition form (hash mod k directly,
+    i_sample_hash's shape) because the EXACT every-20th spacing is a
+    fixture-level pin, not a statistical requirement; documented here,
+    same sampling distribution.
+    """
+    d = table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", rn.alias("rn"))
+        .filter((F.col("rn") - 1) % 20 == 0)
+        .drop("rn")
+    )
+
+
+@query(
+    "l_budget_select",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               n_chars * CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   / (n_chars + 100) AS score
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, n_chars, score,
+               SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_chars
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_used,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM ranked
+    WHERE cum_chars <= 2000
+    GROUP BY source
+    """,
+)
+def l_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGET-CAPPED DATA SELECTION: rank each source's documents by a
+    quality score and admit them greedily until the source's character
+    budget (2000) is exhausted — the "select the best N tokens per
+    domain" step every pretraining-mix builder runs after scoring
+    (quality-weighted sampling under per-domain token caps).
+
+    Determinism: the score is a per-doc identical double expression
+    used ONLY for ordering under a (score DESC, doc_id) total order
+    (rule 5); the budget ledger is an INTEGER running sum over that
+    order — no cross-row float accumulation anywhere, so the admission
+    boundary is exact in both engines.
+
+    Scale: one source-partitioned window (keyed shuffle) computes the
+    running ledger; the admit filter and per-source rollup are
+    map-side. At 100 TB the same plan holds — the window partitions by
+    source and the budget cut makes per-source output constant-size.
+    """
+    d = table(spark, sf_dir, "documents")
+    score = (
+        F.col("n_chars")
+        * F.size(F.split(F.col("text"), " ")).cast("double")
+        / (F.col("n_chars") + F.lit(100))
+    )
+    wcum = (
+        W.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = d.select(
+        "doc_id", "source", "n_chars", score.alias("score")
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(wcum).alias("cum_chars"),
+    )
+    return (
+        ranked.filter(F.col("cum_chars") <= 2000)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("n_chars").alias("chars_used"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

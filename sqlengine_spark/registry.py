@@ -53,6 +53,9 @@ PRIORITY_ORDER = (
     "l_dedup_exact",
     # -- slots 5-50: ROUND-9 window, never-driver-checked, newest-built
     #    first: operators built IN round 9 ... --
+    "m_funnel_windowed",
+    "i_sample_systematic",
+    "l_budget_select",
     "h_sql_udf",
     "a_scan_file_metadata",
     "l_ccnet_bucket",

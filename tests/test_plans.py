@@ -257,6 +257,10 @@ GLOBAL_WINDOW_WHITELIST = {
     "l_curriculum_pacing",  # global_pos numbers the TakeOrdered 100-row
                             # schedule head — bounded by the plan's own
                             # GlobalLimit, never the corpus
+    "i_sample_systematic",  # the exact every-20th spacing IS the
+                            # operator's fixture-level contract; the
+                            # warehouse form (hash mod k, i_sample_hash
+                            # shape) is documented in the docstring
 }
 
 import pytest
