@@ -26,22 +26,18 @@ _ORACLES: dict[str, str] = {}
 #: ``queries()`` in dict order (round-2 finding), so this list spends
 #: that window deliberately — and ROTATES it each round so that over
 #: rounds every key earns a real driver row. ROUND-9 rotation (r8
-#: verdict item 1 — the true backlog was 86 never-driver-checked keys,
-#: not <=38, because the r7 driver round was skipped and most r7-built
-#: keys never earned rows): shrink the anchor block from 12 to 4
-#: (after 8 green rounds, re-proving 12 anchors per round wasted 8
-#: slots) and spend slots 5-50 on 46 never-checked keys, newest-built
-#: first per the standing precedent — the 3 late-round-8 builds, then
-#: the 38 round-7-built keys, then 5 staged oracled keys. Operators
-#: built DURING round 9 are inserted at slot 5, bumping the window
-#: tail onto the r10 queue head. The ROUND-10 queue holds the
-#: remaining backlog (staged oracled keys — incl. the round-9
-#: graduates l_dedup_simhash and l_text_langid — then the rows-only
-#: tail recording ran-clean rows the way r4-r6 did); round-9 builds
-#: inserted at slot 5 push window-tail keys onto the queue, so the
-#: exact close round depends on how many r9 ops land (counted in the
-#: round-9 closing comment below the list). Keys verified in r1-r8
-#: sit dead last (they re-verify if the window ever widens).
+#: verdict item 1): anchors shrunk 12 → 4 (one canary per fixture
+#: family); slots 5-50 hold, newest-built first, the 19 operators
+#: built in round 9, the 3 round-9 oracle graduations (new hash paths
+#: deserve rows the round they're built), the 3 late-round-8 builds,
+#: and 21 of the round-7-built keys. FINAL ROUND-9 ARITHMETIC
+#: (registry = 350 keys): 245 keys hold green driver rows from r1-r8;
+#: this window adds 46 fresh rows (4 anchors re-prove) → 291 covered
+#: after r9, backlog 59. The ROUND-10 queue below (remaining r7 keys,
+#: staged oracled keys, then the 4-key rows-only tail) fills 46 more
+#: slots → backlog 13 closes in ROUND 11 (plus whatever r10 builds).
+#: Keys verified in r1-r8 sit dead last (they re-verify if the window
+#: ever widens).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
 #: new registration without an explicit slot fails CI.
 PRIORITY_ORDER = (
@@ -60,6 +56,11 @@ PRIORITY_ORDER = (
     "a_scan_file_metadata",
     "l_ccnet_bucket",
     "d_agg_chi2",
+    #    ... the three round-9 GRADUATIONS (new oracle hash paths built
+    #    this round earn driver rows this round, newest-first) ... --
+    "l_dedup_simhash",
+    "l_text_langid",
+    "l_kmeans_assign",
     "m_survival_km",
     "m_attribution_decay",
     "m_markov_stationary",
@@ -157,9 +158,6 @@ PRIORITY_ORDER = (
     "h_xml_funcs",
     "h_variant_funcs",
     "e_win_pct_of_total",
-    "l_dedup_simhash",  # graduated to a SQL oracle in round 9
-    "l_text_langid",  # graduated to a SQL oracle in round 9
-    "l_kmeans_assign",  # graduated to a SQL oracle in round 9
     #    ... then the 4-key rows-only tail (ran-clean rows:
     #    approx/stub/nondeterministic paths). --
     "i_sample_stratified",
