@@ -479,3 +479,99 @@ def l_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage").cast("int").alias("stage"),
         "n_chars",
     )
+
+
+@query(
+    "m_path_regex",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS tot,
+               CAST(COUNT(*) FILTER (
+                   WHERE regexp_matches(path, 'v.*c.*p')) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (
+                   WHERE regexp_matches(path, 'e.*p')) AS BIGINT) AS c2,
+               CAST(COUNT(*) FILTER (
+                   WHERE regexp_matches(path, '^s')) AS BIGINT) AS c3,
+               CAST(COUNT(*) FILTER (
+                   WHERE regexp_matches(path, '^[^p]*$')) AS BIGINT) AS c4
+        FROM p
+    )
+    SELECT pattern, n_users,
+           CAST(n_users AS DOUBLE) / CAST(tot AS DOUBLE) AS frac
+    FROM (
+        SELECT 'converted_v_c_p' AS pattern, c1 AS n_users, tot FROM a
+        UNION ALL SELECT 'error_before_purchase', c2, tot FROM a
+        UNION ALL SELECT 'signup_first', c3, tot FROM a
+        UNION ALL SELECT 'never_purchased', c4, tot FROM a
+    )
+    """,
+)
+def m_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATH-PATTERN MATCHING over per-user journey strings — the
+    MATCH_RECOGNIZE-lite idiom: encode each user's event history as a
+    compact initial-letter string ordered by (ts, event_id), then
+    classify journeys with regular expressions (ordered
+    view→click→purchase conversion, error-before-purchase recovery,
+    signup-first onboarding, never-purchased browsers). Event initials
+    are distinct on this fixture (c/e/p/s/v).
+
+    Determinism: the path string is built under an explicit
+    (ts, event_id) total order in both engines (Spark sorts the
+    collected struct array; DuckDB uses ORDER BY inside string_agg);
+    fractions are single int/int divisions.
+
+    Scale: one user-keyed shuffle builds every path (per-user event
+    counts are session-scale, so collect_list state is bounded per
+    key); all four patterns are evaluated in ONE aggregate pass over
+    the path table (no re-scan per pattern), and the final unpivot is
+    a 1-row stack. At 100 TB the journey build is the same single
+    groupBy; regex classification is map-side codegen.
+    """
+    ev = table(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ini"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["ini"]
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    cnt = lambda pat: F.coalesce(
+        F.sum(F.when(F.col("path").rlike(pat), F.lit(1))), F.lit(0)
+    )
+    agg = paths.agg(
+        F.count("*").alias("tot"),
+        cnt("v.*c.*p").alias("c1"),
+        cnt("e.*p").alias("c2"),
+        cnt("^s").alias("c3"),
+        cnt("^[^p]*$").alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'converted_v_c_p', c1, 'error_before_purchase', c2,"
+            " 'signup_first', c3, 'never_purchased', c4)"
+            " AS (pattern, n_users)"
+        ),
+        (F.col("tot")).alias("tot"),
+    ).select(
+        "pattern",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("tot").cast("double")).alias(
+            "frac"
+        ),
+    )

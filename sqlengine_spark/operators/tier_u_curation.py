@@ -545,3 +545,197 @@ def l_tfidf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_cos"),
         )
     )
+
+
+@query(
+    "l_pii_redact",
+    oracle="""
+    WITH staged AS (
+        SELECT c_mktsegment,
+               c_name || ' reachable at '
+                 || lower(replace(c_name, '#', '')) || '@'
+                 || lower(c_mktsegment) || '.example.com'
+                 || ' or +1-' || CAST(200 + c_custkey % 700 AS VARCHAR)
+                 || '-' || CAST(100 + (c_custkey * 7) % 900 AS VARCHAR)
+                 || '-' || CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR)
+                 || '; card ' || CAST(1000 + (c_custkey * 17) % 9000 AS VARCHAR)
+                 || ' ' || CAST(1000 + (c_custkey * 29) % 9000 AS VARCHAR)
+                 || ' ' || CAST(1000 + (c_custkey * 41) % 9000 AS VARCHAR)
+                 || ' ' || CAST(1000 + (c_custkey * 53) % 9000 AS VARCHAR)
+                 || ' ref R' || CAST(c_custkey AS VARCHAR) AS txt
+        FROM customer
+    ), red AS (
+        SELECT c_mktsegment,
+               len(regexp_extract_all(txt,
+                   '[a-z0-9]+@[a-z][a-z.]+')) AS n_email,
+               len(regexp_extract_all(txt,
+                   '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+               len(regexp_extract_all(txt,
+                   '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}')) AS n_card,
+               regexp_replace(regexp_replace(regexp_replace(txt,
+                   '[a-z0-9]+@[a-z][a-z.]+', '[EMAIL]', 'g'),
+                   '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                   '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}', '[CARD]', 'g')
+                   AS cleaned
+        FROM staged
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(n_card) AS BIGINT) AS cards,
+           CAST(SUM(length(regexp_replace(cleaned, '[^0-9]', '', 'g')))
+                AS BIGINT) AS residual_digits
+    FROM red GROUP BY c_mktsegment
+    """,
+)
+def l_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII DETECT + REDACT sweep — the compliance pass every corpus runs
+    before training: regex-detect emails / phone numbers / card-like
+    digit groups, count hits per class, redact them, and prove the
+    redaction worked via a residual-digit audit (only the non-PII name
+    and order-ref digits survive).
+
+    The PII-bearing text is STAGED deterministically from the customer
+    fixture (the synthetic documents corpus contains no digits at all),
+    so both engines replay the identical construction and the detect /
+    mask plumbing — the actual operator under test — is exercised on
+    realistic shapes. DuckDB regexp_replace needs the explicit 'g'
+    flag (CLAUDE.md rule 6); Spark's is global by default.
+
+    Scale: pure map-side codegen regexps plus one 5-group rollup —
+    the exact shape a 100 TB PII sweep runs (linear scan, no shuffle
+    beyond the final tiny agg). At warehouse scale the same expressions
+    ride a streaming or batch scan unchanged.
+    """
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg4 = lambda mult: (F.lit(1000) + (k * mult) % 9000).cast("string")
+    txt = F.concat(
+        F.col("c_name"),
+        F.lit(" reachable at "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@"),
+        F.lower(F.col("c_mktsegment")),
+        F.lit(".example.com"),
+        F.lit(" or +1-"),
+        (F.lit(200) + k % 700).cast("string"),
+        F.lit("-"),
+        (F.lit(100) + (k * 7) % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + (k * 13) % 9000).cast("string"),
+        F.lit("; card "),
+        seg4(17),
+        F.lit(" "),
+        seg4(29),
+        F.lit(" "),
+        seg4(41),
+        F.lit(" "),
+        seg4(53),
+        F.lit(" ref R"),
+        k.cast("string"),
+    )
+    email_re = r"[a-z0-9]+@[a-z][a-z.]+"
+    phone_re = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    card_re = r"[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}"
+    red = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment"),
+        F.regexp_count(txt, F.lit(email_re)).alias("n_email"),
+        F.regexp_count(txt, F.lit(phone_re)).alias("n_phone"),
+        F.regexp_count(txt, F.lit(card_re)).alias("n_card"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(txt, email_re, "[EMAIL]"),
+                phone_re,
+                "[PHONE]",
+            ),
+            card_re,
+            "[CARD]",
+        ).alias("cleaned"),
+    )
+    return red.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("n_card").alias("cards"),
+        F.sum(
+            F.length(F.regexp_replace(F.col("cleaned"), "[^0-9]", ""))
+        ).alias("residual_digits"),
+    )
+
+
+@query(
+    "l_oversample_balance",
+    oracle="""
+    WITH n AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ), m AS (
+        SELECT MAX(n_docs) AS mx FROM n
+    ), r AS (
+        SELECT lang, n_docs,
+               GREATEST(1, (SELECT mx FROM m) // n_docs) AS rep
+        FROM n
+    ), ex AS (
+        SELECT d.lang, d.doc_id, r.n_docs, r.rep,
+               unnest(generate_series(1, r.rep)) AS copy_no
+        FROM documents d JOIN r ON r.lang = d.lang
+    )
+    SELECT lang,
+           CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+           CAST(MIN(rep) AS BIGINT) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(SUM(doc_id * copy_no) AS BIGINT) AS checksum
+    FROM ex GROUP BY lang
+    """,
+)
+def l_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCING OVERSAMPLE — replicate minority-language
+    documents floor(max_class / class) times so every language
+    approaches the majority count: the standard rebalancing step before
+    training a language-ID or quality classifier on a skewed corpus.
+    The exploded copies are materialized (not just planned) and
+    checksummed (sum over doc_id * copy_no) so the replication itself
+    is verified, then rolled up per language.
+
+    Determinism: the replication factor is integer floor division in
+    both engines (DuckDB // and Spark DIV are both floor for
+    nonnegative ints — rule 6's cast-rounding trap avoided); the
+    checksum is an exact integer sum immune to row order.
+
+    Scale: the max class count is a bounded 1-scalar driver collect
+    (|langs| rows aggregated first); replication is a broadcast join of
+    the |langs|-row factor table + explode(sequence(1, rep)) — map-side
+    fan-out bounded by the skew ratio, no shuffle until the final
+    per-lang rollup with map-side partials.
+    """
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # bounded: 1 scalar (majority-class size)
+    mx = n.agg(F.max("n_docs").alias("mx")).collect()[0]["mx"]
+    r = n.select(
+        "lang",
+        "n_docs",
+        F.greatest(F.lit(1), F.expr(f"CAST({mx} AS BIGINT) DIV n_docs")).alias(
+            "rep"
+        ),
+    )
+    ex = (
+        d.select("lang", "doc_id")
+        .join(F.broadcast(r), "lang")
+        .select(
+            "lang",
+            "doc_id",
+            "n_docs",
+            "rep",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("rep"))).alias(
+                "copy_no"
+            ),
+        )
+    )
+    return ex.groupBy("lang").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("rep").alias("rep"),
+        F.count("*").alias("n_after"),
+        F.sum(F.col("doc_id") * F.col("copy_no")).alias("checksum"),
+    )

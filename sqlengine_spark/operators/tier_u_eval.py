@@ -484,3 +484,130 @@ def m_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction_pct"
         ),
     )
+
+
+@query(
+    "l_eval_rouge",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, doc_id % 2 AS side,
+               string_split(text, ' ') AS a
+        FROM documents
+    ), u1 AS (
+        SELECT pair_id, side, unnest(a) AS g FROM d
+    ), pg1 AS (
+        SELECT pair_id, g,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM u1 GROUP BY pair_id, g
+    ), a1 AS (
+        SELECT pair_id,
+               CAST(SUM(c0) AS BIGINT) AS lc,
+               CAST(SUM(c1) AS BIGINT) AS lr,
+               CAST(SUM(LEAST(c0, c1)) AS BIGINT) AS ov1
+        FROM pg1 GROUP BY pair_id
+    ), u2 AS (
+        SELECT pair_id, side,
+               unnest(list_transform(generate_series(1, len(a) - 1),
+                      i -> a[i] || ' ' || a[i + 1])) AS g
+        FROM d
+    ), pg2 AS (
+        SELECT pair_id, g,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM u2 GROUP BY pair_id, g
+    ), a2 AS (
+        SELECT pair_id,
+               CAST(SUM(c0) AS BIGINT) AS l2c,
+               CAST(SUM(c1) AS BIGINT) AS l2r,
+               CAST(SUM(LEAST(c0, c1)) AS BIGINT) AS ov2
+        FROM pg2 GROUP BY pair_id
+    )
+    SELECT a1.pair_id, lc, lr, ov1,
+           CAST(2 * ov1 AS DOUBLE) / CAST(lc + lr AS DOUBLE) AS rouge1_f,
+           COALESCE(l2c, 0) AS l2c, COALESCE(l2r, 0) AS l2r,
+           COALESCE(ov2, 0) AS ov2,
+           CASE WHEN COALESCE(l2c, 0) + COALESCE(l2r, 0) = 0 THEN 0.0
+                ELSE CAST(2 * COALESCE(ov2, 0) AS DOUBLE)
+                     / CAST(l2c + l2r AS DOUBLE)
+           END AS rouge2_f
+    FROM a1 LEFT JOIN a2 ON a2.pair_id = a1.pair_id
+    """,
+)
+def l_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 F1 between candidate/reference document pairs
+    (doc 2k is the candidate, doc 2k+1 the reference) — the n-gram
+    overlap metric every summarization / generation eval harness
+    computes: clipped n-gram overlap sum(min(tf_cand, tf_ref)) per
+    gram, F1 = 2*overlap / (len_cand + len_ref).
+
+    Determinism: all counts are exact integers; each F1 is ONE
+    int/int division evaluated identically in both engines (no float
+    accumulation, the m_funnel_windowed frac pattern). The rouge2
+    denominator is CASE-guarded against single-token sides in both
+    engines.
+
+    Scale: tokenization + bigram build are map-side array transforms;
+    the clipped overlap is a (pair_id, gram)-keyed partial-agg groupBy
+    computing BOTH sides' tf in one pass (no self-join), then a thin
+    pair-keyed rollup — shuffle volume linear in token count, never
+    pairwise in the corpus. Bigrams guard size>=2 per CLAUDE.md rule
+    11d (Spark sequence() descends on empty ranges).
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+
+    def per_pair(grams: DataFrame, ln_c: str, ln_r: str, ov: str) -> DataFrame:
+        pg = grams.groupBy("pair_id", "g").agg(
+            F.coalesce(
+                F.sum(F.when(F.col("side") == 0, F.lit(1))), F.lit(0)
+            ).alias("c0"),
+            F.coalesce(
+                F.sum(F.when(F.col("side") == 1, F.lit(1))), F.lit(0)
+            ).alias("c1"),
+        )
+        return pg.groupBy("pair_id").agg(
+            F.sum("c0").alias(ln_c),
+            F.sum("c1").alias(ln_r),
+            F.sum(F.least("c0", "c1")).alias(ov),
+        )
+
+    uni = base.select("pair_id", "side", F.explode("toks").alias("g"))
+    big = base.select(
+        "pair_id",
+        "side",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i + 1]))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("g"),
+    )
+    a1 = per_pair(uni, "lc", "lr", "ov1")
+    a2 = per_pair(big, "l2c", "l2r", "ov2")
+    l2c = F.coalesce(F.col("l2c"), F.lit(0))
+    l2r = F.coalesce(F.col("l2r"), F.lit(0))
+    ov2 = F.coalesce(F.col("ov2"), F.lit(0))
+    return a1.join(a2, "pair_id", "left").select(
+        "pair_id",
+        "lc",
+        "lr",
+        "ov1",
+        (
+            (2 * F.col("ov1")).cast("double")
+            / (F.col("lc") + F.col("lr")).cast("double")
+        ).alias("rouge1_f"),
+        l2c.alias("l2c"),
+        l2r.alias("l2r"),
+        ov2.alias("ov2"),
+        F.when((l2c + l2r) == 0, F.lit(0.0))
+        .otherwise((2 * ov2).cast("double") / (l2c + l2r).cast("double"))
+        .alias("rouge2_f"),
+    )
