@@ -1447,3 +1447,99 @@ def m_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "yr")
     )
+
+
+@query(
+    "m_ts_holt",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS yc
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY x) AS i, x, yc FROM d
+    ), h AS (
+        SELECT 1 AS i, s1.x, s1.yc,
+               CAST(s1.yc AS DOUBLE) AS lvl,
+               CAST(s2.yc AS DOUBLE) - CAST(s1.yc AS DOUBLE) AS tr
+        FROM s s1 JOIN s s2 ON s1.i = 1 AND s2.i = 2
+        UNION ALL
+        SELECT s.i, s.x, s.yc,
+               ROUND((2e-1 * CAST(s.yc AS DOUBLE)
+                      + 8e-1 * (h.lvl + h.tr)) * 1e4) / 1e4,
+               ROUND((1e-1 * (ROUND((2e-1 * CAST(s.yc AS DOUBLE)
+                                     + 8e-1 * (h.lvl + h.tr)) * 1e4) / 1e4
+                              - h.lvl)
+                      + 9e-1 * h.tr) * 1e4) / 1e4
+        FROM h JOIN s ON s.i = h.i + 1
+    )
+    SELECT CAST(x AS BIGINT) AS x, yc,
+           lvl + 0 AS level_s,
+           tr + 0 AS trend_s,
+           ROUND((lvl + tr) * 1e4) / 1e4 + 0 AS forecast_next
+    FROM h
+    """,
+)
+def m_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR (double-exponential) SMOOTHING over the global daily
+    revenue series — level l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}), trend
+    b_t = g(l_t - l_{t-1}) + (1-g)b_{t-1} with a=0.2, g=0.1, init
+    l_1 = y_1, b_1 = y_2 - y_1 — the trend-aware forecasting sibling of
+    m_ts_ewma, emitting the smoothed series plus the one-step-ahead
+    forecast l_t + b_t per day.
+
+    Determinism: the daily total is exact integer cents (cast-truncate
+    per rule 6); the recurrence is inherently sequential, so both
+    engines replay the IDENTICAL iteration with level and trend
+    re-quantized to 4 dp half-away EACH step (round(v*1e4)/1e4 —
+    cent-scale magnitudes keep v*1e4 far below 2^53, so the quantizer
+    is a true fixed-point clamp, not a no-op; the l_embedding_pca /
+    l_bt_leaderboard bounded-iteration sanction). The trend can go
+    negative, so every output adds +0 against the rule-5b -0.0 hash
+    trap. Spark literals use e-notation (2e-1, not 0.2) because SQL
+    fractional literals are DECIMAL in both engines (rule 12d).
+
+    Spark-first shape: the recurrence runs INSIDE Catalyst as an
+    aggregate() higher-order function over the sort_array'd day series
+    — zero Python, zero driver loops; DuckDB replays it as a recursive
+    CTE. The day series is BOUNDED (calendar days, ~30 on the fixture,
+    never corpus-sized), so the single-row array state is a constant;
+    the heavy work — the (day)-keyed cents rollup over all events —
+    is a distributed map-side-partial groupBy that scales to 100 TB
+    unchanged.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x")
+    ).agg(F.sum((F.col("value") * 100).cast("bigint")).alias("yc"))
+    srow = daily.agg(
+        F.sort_array(F.collect_list(F.struct("x", "yc"))).alias("s")
+    ).filter(F.size("s") >= 2)
+    prev = "element_at(acc, -1)"
+    lvl_expr = (
+        f"ROUND((2e-1 * CAST(e.yc AS DOUBLE)"
+        f" + 8e-1 * ({prev}.lvl + {prev}.tr)) * 1e4) / 1e4"
+    )
+    rec = (
+        "aggregate("
+        " slice(s, 2, size(s) - 1),"
+        " array(named_struct('x', s[0].x, 'yc', s[0].yc,"
+        "  'lvl', CAST(s[0].yc AS DOUBLE),"
+        "  'tr', CAST(s[1].yc AS DOUBLE) - CAST(s[0].yc AS DOUBLE))),"
+        " (acc, e) -> concat(acc, array(named_struct("
+        "  'x', e.x, 'yc', e.yc,"
+        f"  'lvl', {lvl_expr},"
+        f"  'tr', ROUND((1e-1 * ({lvl_expr} - {prev}.lvl)"
+        f"   + 9e-1 * {prev}.tr) * 1e4) / 1e4"
+        " ))))"
+    )
+    return srow.select(F.explode(F.expr(rec)).alias("e")).select(
+        F.col("e.x").cast("bigint").alias("x"),
+        F.col("e.yc").alias("yc"),
+        (F.col("e.lvl") + F.lit(0.0)).alias("level_s"),
+        (F.col("e.tr") + F.lit(0.0)).alias("trend_s"),
+        (
+            F.round((F.col("e.lvl") + F.col("e.tr")) * 1e4) / 1e4
+            + F.lit(0.0)
+        ).alias("forecast_next"),
+    )

@@ -37,12 +37,17 @@ from sqlengine_spark.session import table
                      AND c.ts > v.ts
                      AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
     ), s3 AS (
+        -- every pairwise join edge carries an EXPLICIT user_id equality
+        -- (p.user_id = c.user_id is implied but, left implicit, DuckDB
+        -- reorders to a clicks-x-purchases PIECEWISE_MERGE_JOIN on the
+        -- ts inequality alone: quadratic, 44 s at sf0.1 — rule 7)
         SELECT DISTINCT v.user_id
         FROM v
         JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
-        JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+              AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+        JOIN p ON p.user_id = v.user_id AND p.user_id = c.user_id
+              AND p.ts > c.ts
               AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
-        WHERE epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
     )
     SELECT stage, n_users,
            CAST(n_users AS DOUBLE)
