@@ -61,6 +61,11 @@ HEADLINE = [
                              # 16-min signature agg + 4 first-match
                              # band joins + exact shingle verify
                              # (tracks the calibration/curation family)
+    "m_funnel_windowed",     # round 9 closing batch: windowed funnel —
+                             # three user-keyed chain joins with 1-hour
+                             # residuals (1.6x/1.4x of the single-
+                             # process engine at x10/x100 — BASELINE.md
+                             # round-9 note; tracks event analytics)
     "l_graph_triangles",     # round 9: benched after the edge-iterator
                              # rewrite (adjacency-array intersects
                              # in-task instead of shuffling the 41M-row

@@ -1159,3 +1159,207 @@ def test_random_corpus_simhash_banding_is_lossless(spark, docs):
     finally:
         con.close()
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_holt_matches_oracle_on_random_streams(spark, data):
+    """Attack m_ts_holt's lockstep-recurrence pins on random streams:
+    day counts below the 2-day anchor (both engines must emit ZERO
+    rows), negative values (trunc-toward-zero and the -0.0 output
+    guard), cent-boundary values, and multi-event days (order-immune
+    integer-cent sums feeding the recurrence)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    POOL = [0.005, -0.005, 1.015, 33.333, -12.345, 50.0, -0.004999]
+    rows = []
+    eid = 0
+    n_days = data.draw(st.integers(1, 5))
+    for d in range(n_days):
+        for _ in range(data.draw(st.integers(1, 3))):
+            v = POOL[data.draw(st.integers(0, len(POOL) - 1))]
+            rows.append(
+                (eid, dt.datetime(2026, 3, 1 + d, 12, 0, 0), 0, "click",
+                 v, "{}")
+            )
+            eid += 1
+    base = tempfile.mkdtemp(prefix="sqlengine_holt_prop_")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.createDataFrame(
+            rows,
+            schema="event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "events.parquet")
+        )
+        result = all_queries()["m_ts_holt"](spark, base)
+        got = canon_rows(result.columns, result.collect())
+        if n_days < 2:
+            assert got[1] == []  # sub-anchor series: zero rows, both engines
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{os.path.join(base, 'events.parquet')}/*.parquet')"
+            )
+            cur = con.execute(all_oracles()["m_ts_holt"])
+            cols = [d[0] for d in cur.description]
+            want = canon_rows(cols, cur.fetchall())
+        finally:
+            con.close()
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_rouge_matches_bruteforce_on_random_docs(spark, data):
+    """Semantic pin for l_eval_rouge (not just cross-engine parity):
+    a pure-Python Counter reference computes clipped n-gram overlap
+    per pair — identical docs (F1=1), disjoint docs (F1=0),
+    single-token sides (the rouge2 zero-denominator CASE guard), and
+    repeated tokens (the CLIPPED min(tf_c, tf_r), not set overlap)."""
+    import os
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from sqlengine_spark.registry import all_queries
+
+    VOCAB = ["aa", "bb", "cc"]
+    n_pairs = data.draw(st.integers(1, 4))
+    docs = []
+    for i in range(2 * n_pairs):
+        n_tok = data.draw(st.integers(1, 6))
+        toks = [VOCAB[data.draw(st.integers(0, 2))] for _ in range(n_tok)]
+        docs.append((i, " ".join(toks), "en", "src0", len(" ".join(toks))))
+    base = tempfile.mkdtemp(prefix="sqlengine_rouge_prop_")
+    try:
+        spark.createDataFrame(
+            docs,
+            schema="doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        result = all_queries()["l_eval_rouge"](spark, base)
+        got = canon_rows(result.columns, result.collect())
+
+        def grams(toks, n):
+            return Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+
+        want_rows = []
+        by_id = {d[0]: d[1] for d in docs}
+        for p in range(n_pairs):
+            c = by_id[2 * p].split(" ")
+            r = by_id[2 * p + 1].split(" ")
+            g1c, g1r = grams(c, 1), grams(r, 1)
+            g2c, g2r = grams(c, 2), grams(r, 2)
+            ov1 = sum(min(n, g1r[g]) for g, n in g1c.items())
+            ov2 = sum(min(n, g2r[g]) for g, n in g2c.items())
+            lc, lr = len(c), len(r)
+            l2c, l2r = sum(g2c.values()), sum(g2r.values())
+            want_rows.append(
+                (
+                    p, lc, lr, ov1, 2 * ov1 / (lc + lr),
+                    l2c, l2r, ov2,
+                    0.0 if l2c + l2r == 0 else 2 * ov2 / (l2c + l2r),
+                )
+            )
+        want = canon_rows(list(result.columns), want_rows)
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_path_regex_matches_python_re_on_random_streams(spark, data):
+    """Semantic pin for m_path_regex: a Python re reference classifies
+    per-user journeys built under the same (ts, event_id) total order —
+    timestamp TIES (the tiebreak), single-event users, and users whose
+    path matches several patterns at once."""
+    import datetime as dt
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from sqlengine_spark.registry import all_queries
+
+    TYPES = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    eid = 0
+    n_users = data.draw(st.integers(1, 4))
+    for u in range(n_users):
+        for _ in range(data.draw(st.integers(1, 6))):
+            # coarse timestamps force ties to exercise the event_id tiebreak
+            t = dt.datetime(2026, 3, 1, 12, data.draw(st.integers(0, 1)), 0)
+            rows.append(
+                (eid, t, u, TYPES[data.draw(st.integers(0, 4))], 1.0, "{}")
+            )
+            eid += 1
+    base = tempfile.mkdtemp(prefix="sqlengine_pathre_prop_")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.createDataFrame(
+            rows,
+            schema="event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "events.parquet")
+        )
+        result = all_queries()["m_path_regex"](spark, base)
+        got = canon_rows(result.columns, result.collect())
+        paths = {}
+        for e_id, t, u, ty, _v, _p in sorted(rows, key=lambda x: (x[2], x[1], x[0])):
+            paths.setdefault(u, []).append(ty[0])
+        paths = {u: "".join(p) for u, p in paths.items()}
+        tot = len(paths)
+        pats = [
+            ("converted_v_c_p", "v.*c.*p"),
+            ("error_before_purchase", "e.*p"),
+            ("signup_first", "^s"),
+            ("never_purchased", "^[^p]*$"),
+        ]
+        want_rows = [
+            (name, n, n / tot)
+            for name, n in (
+                (name, sum(1 for p in paths.values() if re.search(rx, p)))
+                for name, rx in pats
+            )
+        ]
+        want = canon_rows(list(result.columns), want_rows)
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
