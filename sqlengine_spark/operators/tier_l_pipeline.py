@@ -1861,7 +1861,68 @@ def l_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_STEPS = 5
 
 
-@query("l_bpe_train")
+def _bpe_train_oracle(steps: int) -> str:
+    """Unrolled DuckDB replay of the BPE training loop (the fifth
+    rows-only graduation). The sequential-fold merge IS expressible in
+    SQL via a wrapped-string replace: encode a symbol sequence
+    [t1, t2, ...] as chr(31)||t1||chr(31)chr(31)||t2||chr(31) (every
+    token delimited on BOTH sides), then replace(enc, S a SS b S,
+    S ab S) reproduces left-to-right non-overlapping merge semantics
+    exactly — the double separator makes consecutive merges see their
+    own boundaries ([a,a,a,a] -> [aa,aa]) and the full wrapping makes
+    suffix false-matches impossible ([xa,b] never matches pair (a,b)).
+    Equivalence to the Spark fold verified over 200k randomized
+    adversarial (sequence, pair) trials plus the Hypothesis
+    cross-engine sweep in tests/test_property.py. Every per-step CTE
+    is MATERIALIZED (rule 7: iterative oracles re-inline exponentially
+    otherwise)."""
+    s, ss = "chr(31)", "chr(31) || chr(31)"
+    parts = [
+        f"""WITH wrd AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE length(w) > 0 GROUP BY w
+    ), s0 AS MATERIALIZED (
+        SELECT w, n,
+               {s} || array_to_string(
+                   list_transform(generate_series(1, length(w)),
+                                  i -> w[i]), {ss}) || {s} AS enc
+        FROM wrd
+    )"""
+    ]
+    prev = "s0"
+    for t in range(1, steps + 1):
+        parts.append(
+            f""", p{t} AS MATERIALIZED (
+        SELECT q.syms[g.i] AS a, q.syms[g.i + 1] AS b, SUM(q.n) AS cnt
+        FROM (SELECT n, string_split(trim(enc, chr(31)), {ss}) AS syms
+              FROM {prev}) q,
+             unnest(generate_series(1, len(q.syms) - 1)) AS g(i)
+        GROUP BY 1, 2
+    ), m{t} AS MATERIALIZED (
+        SELECT a, b FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1
+    ), s{t} AS MATERIALIZED (
+        SELECT sq.w, sq.n,
+               CASE WHEN m.a IS NULL THEN sq.enc
+                    ELSE replace(sq.enc,
+                                 {s} || m.a || {ss} || m.b || {s},
+                                 {s} || m.a || m.b || {s})
+               END AS enc
+        FROM {prev} sq LEFT JOIN m{t} m ON TRUE
+    )"""
+        )
+        prev = f"s{t}"
+    parts.append(
+        f"""
+    SELECT w, n,
+           replace(trim(enc, chr(31)), {ss}, ' ') AS segments
+    FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@query("l_bpe_train", oracle=_bpe_train_oracle(BPE_STEPS))
 def l_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (byte-pair-encoding) merge-rule training — the
     tokenizer-training step of every LLM data pipeline, expressed as
@@ -1879,10 +1940,12 @@ def l_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the accumulator tail equals the pair's left and the symbol its
     right — which reproduces left-to-right non-overlapping merge
     semantics exactly (on "aaaa" with pair (a,a): [aa, aa], never
-    [aa, a, a] or overlap). tests/test_graph.py re-derives the merge
+    [aa, a, a] or overlap). tests/test_bpe.py re-derives the merge
     sequence AND the final segmentation with a pure-Python reference
-    and asserts identity — the rows-only check for an operator whose
-    sequential fold has no DuckDB equivalent.
+    and asserts identity; since round 9 the operator is additionally
+    SQL-oracled — the fold is replayed in DuckDB via the
+    wrapped-string replace encoding (_bpe_train_oracle above), the
+    fifth rows-only graduation.
 
     Output: the learned segmentation of the vocabulary after
     BPE_STEPS merges (word, corpus count, space-joined segments) —

@@ -132,6 +132,7 @@ PRIORITY_ORDER = (
     "l_oversample_balance",
     "m_path_regex",
     "m_ts_holt",
+    "l_bpe_train",  # fifth rows-only graduation (wrapped-replace oracle)
     #    ... then the remaining backlog — 33 staged oracled keys ... --
     "l_rag_rerank_rrf",
     "a_scan_recursive_glob",
@@ -166,11 +167,11 @@ PRIORITY_ORDER = (
     "h_xml_funcs",
     "h_variant_funcs",
     "e_win_pct_of_total",
-    #    ... then the 4-key rows-only tail (ran-clean rows:
-    #    approx/stub/nondeterministic paths). --
+    #    ... then the 3-key rows-only tail (ran-clean rows:
+    #    approx/stub/nondeterministic paths; l_bpe_train graduated to
+    #    a SQL oracle and moved to the queue head above). --
     "i_sample_stratified",
     "l_multimodal_decode",
-    "l_bpe_train",
     "l_sim_search_pq",
     # -- verified in r1-r8 (dead last; re-verify if window widens) -----
     "b_filter_range",

@@ -1,10 +1,12 @@
-"""l_bpe_train self-verification (rows-only operator).
+"""l_bpe_train self-verification.
 
-The Catalyst sequential-fold merge has no DuckDB equivalent, so the
-check is a pure-Python BPE reference (Sennrich word-frequency
-formulation) run on the same word counts: the learned merge effects —
-i.e. the final segmentation of every vocabulary word — must be
-IDENTICAL, and segment invariants must hold.
+A pure-Python BPE reference (Sennrich word-frequency formulation) run
+on the same word counts: the learned merge effects — i.e. the final
+segmentation of every vocabulary word — must be IDENTICAL, and segment
+invariants must hold. (Since round 9 the operator is ALSO SQL-oracled
+via the wrapped-string replace replay — this test stays as the
+independent semantic pin that both engines implement BPE, not merely
+the same bug.)
 """
 
 from __future__ import annotations

@@ -1363,3 +1363,64 @@ def test_path_regex_matches_python_re_on_random_streams(spark, data):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(data=st.data())
+def test_bpe_train_matches_oracle_on_random_corpora(spark, data):
+    """Attack the round-9 l_bpe_train graduation: the DuckDB
+    wrapped-replace replay must equal the Spark sequential fold on
+    random corpora engineered for merge pathologies — runs of repeated
+    characters (consecutive-merge semantics), words where one merge's
+    output is another merge's input, argmax ties (broken by (a, b)
+    string order in both engines), and single-character words (no
+    pairs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from sqlengine_spark.registry import all_oracles, all_queries
+
+    WORDS = ["aaaa", "aa", "a", "abab", "baba", "aab", "bba", "abc",
+             "cab", "aaab"]
+    docs = []
+    n_docs = data.draw(st.integers(1, 6))
+    for i in range(n_docs):
+        n_words = data.draw(st.integers(1, 5))
+        text = " ".join(
+            WORDS[data.draw(st.integers(0, len(WORDS) - 1))]
+            for _ in range(n_words)
+        )
+        docs.append((i, text, "en", "src0", len(text)))
+    base = tempfile.mkdtemp(prefix="sqlengine_bpe_prop_")
+    try:
+        spark.createDataFrame(
+            docs,
+            schema="doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        result = all_queries()["l_bpe_train"](spark, base)
+        got = canon_rows(result.columns, result.collect())
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(base, 'documents.parquet')}/*.parquet')"
+            )
+            cur = con.execute(all_oracles()["l_bpe_train"])
+            cols = [d[0] for d in cur.description]
+            want = canon_rows(cols, cur.fetchall())
+        finally:
+            con.close()
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
