@@ -731,3 +731,304 @@ def l_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("rel"), 6).alias("rel"),
         dround(F.col("mmr_score"), 6).alias("mmr_score"),
     )
+
+
+@query(
+    "l_ml_cv_folds",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id % 5 AS fold,
+               len(string_split(text, ' ')) AS x, n_chars AS y
+        FROM documents
+    ), pf AS MATERIALIZED (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM f GROUP BY fold
+    ), g AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy,
+               CAST(SUM(sxy) AS BIGINT) AS sxy,
+               CAST(SUM(sxx) AS BIGINT) AS sxx
+        FROM pf
+    ), tr AS MATERIALIZED (
+        SELECT pf.fold, g.n - pf.n AS ntr,
+               g.sx - pf.sx AS sxt, g.sy - pf.sy AS syt,
+               g.sxy - pf.sxy AS sxyt, g.sxx - pf.sxx AS sxxt
+        FROM pf, g
+    ), m AS MATERIALIZED (
+        SELECT fold, ntr,
+               CAST(ntr * sxyt - sxt * syt AS DOUBLE)
+                   / CAST(ntr * sxxt - sxt * sxt AS DOUBLE) AS slope,
+               sxt, syt
+        FROM tr
+    ), m2 AS MATERIALIZED (
+        SELECT fold, ntr, slope,
+               (CAST(syt AS DOUBLE) - slope * CAST(sxt AS DOUBLE))
+                   / CAST(ntr AS DOUBLE) AS icept
+        FROM m
+    ), ev AS (
+        SELECT m2.fold, m2.ntr, m2.slope, m2.icept,
+               CAST(COUNT(*) AS BIGINT) AS nte,
+               CAST(SUM(CAST(FLOOR(
+                   (CAST(f.y AS DOUBLE)
+                    - (m2.icept + m2.slope * CAST(f.x AS DOUBLE)))
+                   * (CAST(f.y AS DOUBLE)
+                      - (m2.icept + m2.slope * CAST(f.x AS DOUBLE)))
+                   * 1e6) AS BIGINT)) AS BIGINT) AS sq
+        FROM f JOIN m2 ON m2.fold = f.fold
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT fold, CAST(ntr AS BIGINT) AS n_train, nte AS n_test,
+           ROUND(slope * 1e8) / 1e8 + 0 AS slope,
+           ROUND(icept * 1e8) / 1e8 + 0 AS intercept,
+           CAST(sq AS DOUBLE) / (CAST(nte AS DOUBLE) * 1e6) AS mse
+    FROM ev
+    """,
+)
+def l_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATED REGRESSION — the model-selection loop a
+    training pipeline runs before committing to a quality scorer: 5
+    deterministic folds (doc_id % 5), each fold's simple linear model
+    (n_chars ~ token count) fit CLOSED-FORM on the other 4 folds via
+    the normal equations, then scored on the held-out fold (MSE).
+
+    Determinism: the train-side moment sums are exact BIGINT (train =
+    global minus fold — one pass, no 5x re-scan); slope/intercept are
+    single double divisions of exact integers, bit-identical in both
+    engines; per-row squared residuals are FLOOR-quantized to 1e-6
+    fixed-point BIGINT before summing (order-immune, the l_dsir_weight
+    pattern), so the MSE is an exact-integer ratio.
+
+    Scale: one (fold)-keyed partial-agg shuffle builds all five
+    training moment sets simultaneously (complement trick); the eval
+    join broadcasts the 5-row model table; at 100 TB the shape is
+    unchanged — CV is two linear passes, never k re-scans.
+    """
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        (F.col("doc_id") % 5).alias("fold"),
+        F.size(F.split(F.col("text"), " ")).alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    pf = f.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # bounded: 1 row of global moment sums (the complement-trick base)
+    g = pf.agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+    ).collect()[0]
+    tr = pf.select(
+        "fold",
+        (F.lit(g["n"]) - F.col("n")).alias("ntr"),
+        (F.lit(g["sx"]) - F.col("sx")).alias("sxt"),
+        (F.lit(g["sy"]) - F.col("sy")).alias("syt"),
+        (F.lit(g["sxy"]) - F.col("sxy")).alias("sxyt"),
+        (F.lit(g["sxx"]) - F.col("sxx")).alias("sxxt"),
+    )
+    m = tr.select(
+        "fold", "ntr", "sxt", "syt",
+        (
+            (F.col("ntr") * F.col("sxyt") - F.col("sxt") * F.col("syt"))
+            .cast("double")
+            / (F.col("ntr") * F.col("sxxt") - F.col("sxt") * F.col("sxt"))
+            .cast("double")
+        ).alias("slope"),
+    )
+    m2 = m.select(
+        "fold", "ntr", "slope",
+        (
+            (F.col("syt").cast("double") - F.col("slope") * F.col("sxt").cast("double"))
+            / F.col("ntr").cast("double")
+        ).alias("icept"),
+    )
+    resid = (
+        F.col("y").cast("double")
+        - (F.col("icept") + F.col("slope") * F.col("x").cast("double"))
+    )
+    ev = (
+        f.join(F.broadcast(m2), "fold")
+        .groupBy("fold", "ntr", "slope", "icept")
+        .agg(
+            F.count("*").alias("nte"),
+            F.sum(F.floor(resid * resid * 1e6)).alias("sq"),
+        )
+    )
+    return ev.select(
+        "fold",
+        F.col("ntr").alias("n_train"),
+        F.col("nte").alias("n_test"),
+        dround(F.col("slope"), 8).alias("slope"),
+        dround(F.col("icept"), 8).alias("intercept"),
+        (
+            F.col("sq").cast("double") / (F.col("nte").cast("double") * F.lit(1e6))
+        ).alias("mse"),
+    )
+
+
+@query(
+    "l_ml_stump",
+    oracle="""
+    WITH lab AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ), dv AS MATERIALIZED (
+        SELECT v, CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(COUNT(*) - SUM(pos) AS BIGINT) AS q
+        FROM lab GROUP BY v
+    ), tot AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS tp, CAST(SUM(q) AS BIGINT) AS tq
+        FROM dv
+    ), cum AS (
+        SELECT v,
+               SUM(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl,
+               SUM(q) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ql
+        FROM dv
+    ), sc AS (
+        SELECT v AS threshold,
+               CAST(pl + ql AS BIGINT) AS n_left,
+               CAST(tp - pl + tq - ql AS BIGINT) AS n_right,
+               CAST(LEAST(pl, ql) + LEAST(tp - pl, tq - ql)
+                    AS BIGINT) AS errors,
+               CASE WHEN pl >= ql THEN 'en' ELSE 'other' END AS left_label,
+               CASE WHEN tp - pl >= tq - ql THEN 'en' ELSE 'other' END
+                   AS right_label,
+               CAST(tp + tq
+                    - (LEAST(pl, ql) + LEAST(tp - pl, tq - ql)) AS DOUBLE)
+                   / CAST(tp + tq AS DOUBLE) AS accuracy
+        FROM cum, tot
+    )
+    SELECT * FROM sc ORDER BY errors, threshold LIMIT 1
+    """,
+)
+def l_ml_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP TRAINING (best single split) — distributed
+    best-split search, the inner loop of every tree learner: find the
+    n_chars threshold that best separates English from non-English
+    documents under 0-1 loss with per-side majority vote.
+
+    The split criterion is deliberately the CLASSIFICATION ERROR
+    min(pos_l, neg_l) + min(pos_r, neg_r) — a pure INTEGER, so the
+    argmin is exact in both engines (Gini/entropy involve per-threshold
+    rational comparisons that cannot be cleared to a shared integer
+    scale); the argmin takes a (errors, threshold) total order
+    (rule 5).
+
+    Scale: candidate thresholds collapse to the DISTINCT feature values
+    (one keyed groupBy — the bounded value domain, 48..553 here); the
+    cumulative class counts are ONE global window over that bounded
+    domain (the l_ks_test sanction: the window input is never
+    corpus-sized), and the argmin is a 1-row TakeOrdered. At 100 TB
+    with a continuous feature, production would bucket to quantile
+    candidates first — same plan shape, documented not coded.
+    """
+    d = table(spark, sf_dir, "documents")
+    dv = (
+        d.select(
+            F.col("n_chars").alias("v"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("pos").alias("p"),
+            (F.count("*") - F.sum("pos")).alias("q"),
+        )
+    )
+    # bounded: 1 row (global class totals over the value domain)
+    t = dv.agg(F.sum("p").alias("tp"), F.sum("q").alias("tq")).collect()[0]
+    tp, tq = int(t["tp"]), int(t["tq"])
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = dv.select(
+        "v",
+        F.sum("p").over(wc).alias("pl"),
+        F.sum("q").over(wc).alias("ql"),
+    )
+    errors = F.least(F.col("pl"), F.col("ql")) + F.least(
+        F.lit(tp) - F.col("pl"), F.lit(tq) - F.col("ql")
+    )
+    sc = cum.select(
+        F.col("v").alias("threshold"),
+        (F.col("pl") + F.col("ql")).alias("n_left"),
+        (F.lit(tp) - F.col("pl") + F.lit(tq) - F.col("ql")).alias("n_right"),
+        errors.alias("errors"),
+        F.when(F.col("pl") >= F.col("ql"), "en").otherwise("other").alias(
+            "left_label"
+        ),
+        F.when(
+            F.lit(tp) - F.col("pl") >= F.lit(tq) - F.col("ql"), "en"
+        ).otherwise("other").alias("right_label"),
+        (
+            (F.lit(tp) + F.lit(tq) - errors).cast("double")
+            / F.lit(float(tp + tq))
+        ).alias("accuracy"),
+    )
+    return sc.orderBy("errors", "threshold").limit(1)
+
+
+@query(
+    "l_calibration_curve",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               CAST((n_chars - 40) * (n_chars - 40) AS DOUBLE)
+                   / CAST((n_chars - 40) * (n_chars - 40) + 40000
+                          AS DOUBLE) AS p
+        FROM documents
+    ), b AS (
+        SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin, pos,
+               CAST(FLOOR(p * 1e9) AS BIGINT) AS pq
+        FROM s
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+           CAST(SUM(pq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e9)
+               AS mean_pred
+    FROM b GROUP BY bin
+    """,
+)
+def l_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER CALIBRATION CURVE (reliability diagram) — bin a
+    frozen model's predicted probabilities into deciles and compare
+    mean predicted probability against the empirical positive rate per
+    bin: the standard post-training calibration audit for any quality /
+    language classifier gating a corpus.
+
+    The frozen scorer is a RATIONAL squash p = z²/(z² + c) with
+    z = n_chars - 40 (exact IEEE ops in both engines) rather than a
+    logistic — exp() is libm-dependent (JVM Math.exp vs glibc can
+    differ in the last ulp, which would flip decile membership at bin
+    boundaries); rationals make the bin id and the 1e-9 fixed-point
+    quantized score bit-identical by construction.
+
+    Scale: everything is map-side expression work plus one 10-group
+    rollup with partial aggregation — the plan a 100 TB calibration
+    audit runs unchanged.
+    """
+    d = table(spark, sf_dir, "documents")
+    z2 = (F.col("n_chars") - 40) * (F.col("n_chars") - 40)
+    p = z2.cast("double") / (z2 + 40000).cast("double")
+    b = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.least(F.floor(p * 10), F.lit(9).cast("bigint")).alias("bin"),
+        F.floor(p * 1e9).alias("pq"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        (F.sum("pos").cast("double") / F.count("*").cast("double")).alias(
+            "frac_pos"
+        ),
+        (
+            F.sum("pq").cast("double")
+            / (F.count("*").cast("double") * F.lit(1e9))
+        ).alias("mean_pred"),
+    )

@@ -31,12 +31,12 @@ _ORACLES: dict[str, str] = {}
 #: built in round 9, the 3 round-9 oracle graduations (new hash paths
 #: deserve rows the round they're built), the 3 late-round-8 builds,
 #: and 21 of the round-7-built keys. FINAL ROUND-9 ARITHMETIC
-#: (registry = 355 keys after the 5 post-window round-9 builds):
+#: (registry = 358 keys after the 8 post-window round-9 builds):
 #: 245 keys hold green driver rows from r1-r8; this window adds 46
-#: fresh rows (4 anchors re-prove) → 291 covered after r9, backlog 64.
+#: fresh rows (4 anchors re-prove) → 291 covered after r9, backlog 67.
 #: The ROUND-10 queue below (post-window r9 builds first, then staged
 #: oracled keys, then the rows-only tail) fills 46 more slots →
-#: backlog 18 closes in ROUND 11 (plus whatever r10 builds).
+#: backlog 21 closes in ROUND 11 (plus whatever r10 builds).
 #: Keys verified in r1-r8 sit dead last (they re-verify if the window
 #: ever widens).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
@@ -132,6 +132,9 @@ PRIORITY_ORDER = (
     "l_oversample_balance",
     "m_path_regex",
     "m_ts_holt",
+    "l_ml_cv_folds",
+    "l_ml_stump",
+    "l_calibration_curve",
     "l_bpe_train",  # fifth rows-only graduation (wrapped-replace oracle)
     #    ... then the remaining backlog — 33 staged oracled keys ... --
     "l_rag_rerank_rrf",
