@@ -999,7 +999,8 @@ def l_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLASSIFIER CALIBRATION CURVE (reliability diagram) — bin a
     frozen model's predicted probabilities into deciles and compare
     mean predicted probability against the empirical positive rate per
-    bin: the standard post-training calibration audit for any quality /
+    bin (Niculescu-Mizil & Caruana 2005's reliability-diagram method —
+    public): the standard post-training calibration audit for any quality /
     language classifier gating a corpus.
 
     The frozen scorer is a RATIONAL squash p = z²/(z² + c) with

@@ -1482,7 +1482,8 @@ def m_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOLT LINEAR (double-exponential) SMOOTHING over the global daily
-    revenue series — level l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}), trend
+    revenue series (Holt 1957; the public exponential-smoothing
+    family) — level l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}), trend
     b_t = g(l_t - l_{t-1}) + (1-g)b_{t-1} with a=0.2, g=0.1, init
     l_1 = y_1, b_1 = y_2 - y_1 — the trend-aware forecasting sibling of
     m_ts_ewma, emitting the smoothed series plus the one-step-ahead

@@ -538,7 +538,8 @@ def l_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1/ROUGE-2 F1 between candidate/reference document pairs
     (doc 2k is the candidate, doc 2k+1 the reference) — the n-gram
     overlap metric every summarization / generation eval harness
-    computes: clipped n-gram overlap sum(min(tf_cand, tf_ref)) per
+    computes (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
+    Summaries" — public method): clipped n-gram overlap sum(min(tf_cand, tf_ref)) per
     gram, F1 = 2*overlap / (len_cand + len_ref).
 
     Determinism: all counts are exact integers; each F1 is ONE
