@@ -261,6 +261,13 @@ GLOBAL_WINDOW_WHITELIST = {
                             # operator's fixture-level contract; the
                             # warehouse form (hash mod k, i_sample_hash
                             # shape) is documented in the docstring
+    "l_ml_stump",           # cumulative class counts run over the
+                            # DISTINCT-feature-value rollup (n_chars
+                            # domain, 48..553 — value-domain bounded,
+                            # the m_survival_km class), never per-doc
+                            # rows; quantile-bucketed candidates
+                            # substitute for continuous features
+                            # (docstring)
 }
 
 import pytest
