@@ -807,11 +807,15 @@ def l_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged — CV is two linear passes, never k re-scans.
     """
     d = table(spark, sf_dir, "documents")
+    # single-tokenize: the (fold, x, y) frame feeds BOTH the moment agg
+    # and the eval join; localCheckpoint (per-invocation, rule 11a)
+    # materializes the 3-int-column frame once so split(text) never
+    # re-executes (paired x100 A/B: 8.64 -> 3.80 s, identical rows)
     f = d.select(
         (F.col("doc_id") % 5).alias("fold"),
         F.size(F.split(F.col("text"), " ")).alias("x"),
         F.col("n_chars").alias("y"),
-    )
+    ).localCheckpoint()
     pf = f.groupBy("fold").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
