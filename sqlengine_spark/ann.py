@@ -160,9 +160,12 @@ def ivf_topk(
     the query vector. With ``n_probe == n_centroids`` the result is
     EXACTLY the brute-force top-k (asserted in tests/test_ann.py).
 
-    Centroids are a deterministic seeded sample of the data itself (the
-    ``n_centroids`` rows with smallest ``xxhash64(id, seed)`` — one
-    TakeOrdered pass, no k-means iterations, fully reproducible).
+    Centroids are a deterministic sample of the data itself (the
+    ``n_centroids`` rows with smallest ``md5(id)`` — one TakeOrdered
+    pass, no k-means iterations, fully reproducible; md5 rather than
+    xxhash64 since round 9 so the DuckDB oracle replays the IDENTICAL
+    centroid set — the l_dedup_simhash graduation convention. ``seed``
+    is retained in the signature for call-site stability but unused.)
 
     Scale shape: the centroid set is tiny and broadcast as literals into
     a JVM-side argmax — assignment is a map-only pass with NO shuffle;
@@ -175,7 +178,7 @@ def ivf_topk(
 
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     cent_rows = (
-        v.select("vid", "vec", F.xxhash64(F.col("vid"), F.lit(seed)).alias("h"))
+        v.select("vid", "vec", F.md5(F.col("vid").cast("string")).alias("h"))
         .orderBy("h", "vid")
         .limit(n_centroids)
         .collect()
@@ -243,7 +246,8 @@ def pq_topk(
     an ADC lookup table without ever touching raw vectors.
 
     Training: a deterministic seeded sample (smallest ``xxhash64(id,
-    seed)``, the ivf_topk idiom) of ``n_train`` vectors; per sub-space
+    seed)`` — PQ keeps the production hash; ivf_topk switched to md5
+    for its oracle graduation) of ``n_train`` vectors; per sub-space
     k-means with fixed init (first ``ksub`` sample rows) and a fixed
     iteration count — no RNG anywhere, so codebooks, codes, and scores
     are bit-reproducible run to run (asserted in tests/test_ann.py).

@@ -1122,7 +1122,50 @@ def l_simjoin_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_jaccard(cands, feats, threshold=0.5)
 
 
-@query("l_sim_search_ivf")  # rows-only: IVF partitioning is engine-specific
+@query(
+    "l_sim_search_ivf",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+               embedding AS cvec
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), pairs AS MATERIALIZED (
+        SELECT e.vec_id, c.ci,
+               (SELECT SUM(e.embedding[s.i]::DOUBLE * c.cvec[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s) AS d
+        FROM embeddings e, c
+    ), asn AS MATERIALIZED (
+        SELECT vec_id, ci AS cid
+        FROM (SELECT vec_id, ci, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, ci DESC) AS rn
+              FROM pairs)
+        WHERE rn = 1
+    ), probe AS MATERIALIZED (
+        SELECT c.ci
+        FROM c, q
+        ORDER BY (SELECT SUM(c.cvec[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                  FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
+                 DESC, c.ci DESC
+        LIMIT 8
+    )
+    SELECT e.vec_id,
+           ROUND((SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                  FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
+                 * 1e6, 0) / 1e6 AS sim
+    FROM embeddings e, q
+    JOIN asn ON asn.vec_id = e.vec_id
+    WHERE e.vec_id <> 0
+      AND asn.cid IN (SELECT ci FROM probe)
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
 def l_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the OTHER scale path for
     vector search next to LSH: cluster vectors into coarse buckets,

@@ -335,7 +335,10 @@ PRIORITY_ORDER = (
     "e_win_gaps_islands",
     "h_higher_order",
     "l_sim_join_lsh",
-    "l_sim_search_ivf",
+    "l_sim_search_ivf",  # sixth graduation (md5 centroid sample -> full
+                         # SQL oracle); keeps its r1-r8 tail slot because
+                         # it already holds a driver row (ran-clean) and
+                         # fresh keys precede seen keys by invariant
     "l_dedup_near_minhash",
     "l_simjoin_jaccard",
     "l_sim_search_topk",
