@@ -152,7 +152,6 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every vector to its
     nearest of ``n_centroids`` coarse centroids, then answer the query by
@@ -164,8 +163,9 @@ def ivf_topk(
     ``n_centroids`` rows with smallest ``md5(id)`` — one TakeOrdered
     pass, no k-means iterations, fully reproducible; md5 rather than
     xxhash64 since round 9 so the DuckDB oracle replays the IDENTICAL
-    centroid set — the l_dedup_simhash graduation convention. ``seed``
-    is retained in the signature for call-site stability but unused.)
+    centroid set — the l_dedup_simhash graduation convention. The old
+    ``seed`` parameter was removed in round 10: after the md5 switch it
+    had no effect, and silently ignoring it would mislead callers.)
 
     Scale shape: the centroid set is tiny and broadcast as literals into
     a JVM-side argmax — assignment is a map-only pass with NO shuffle;

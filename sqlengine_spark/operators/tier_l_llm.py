@@ -1157,7 +1157,7 @@ def l_simjoin_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.vec_id,
            ROUND((SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
                   FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
-                 * 1e6, 0) / 1e6 AS sim
+                 * 1e6, 0) / 1e6 + 0 AS sim
     FROM embeddings e, q
     JOIN asn ON asn.vec_id = e.vec_id
     WHERE e.vec_id <> 0

@@ -760,7 +760,8 @@ def l_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS MATERIALIZED (
         SELECT fold, ntr,
                CAST(ntr * sxyt - sxt * syt AS DOUBLE)
-                   / CAST(ntr * sxxt - sxt * sxt AS DOUBLE) AS slope,
+                   / CAST(NULLIF(ntr * sxxt - sxt * sxt, 0) AS DOUBLE)
+                   AS slope,
                sxt, syt
         FROM tr
     ), m2 AS MATERIALIZED (
@@ -842,8 +843,14 @@ def l_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("ntr") * F.col("sxyt") - F.col("sxt") * F.col("syt"))
             .cast("double")
-            / (F.col("ntr") * F.col("sxxt") - F.col("sxt") * F.col("sxt"))
-            .cast("double")
+            # NULLIF guard (r9 ADVICE): a zero-variance training fold
+            # would divide by zero, where Spark (NULL) and DuckDB (inf/
+            # error) double semantics diverge — pin BOTH engines to
+            # NULL via an identical NULLIF on the integer denominator.
+            / F.nullif(
+                F.col("ntr") * F.col("sxxt") - F.col("sxt") * F.col("sxt"),
+                F.lit(0),
+            ).cast("double")
         ).alias("slope"),
     )
     m2 = m.select(

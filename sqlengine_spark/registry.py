@@ -25,108 +25,31 @@ _ORACLES: dict[str, str] = {}
 #: The driver's CORRECTNESS pass checks the FIRST 50 keys of
 #: ``queries()`` in dict order (round-2 finding), so this list spends
 #: that window deliberately — and ROTATES it each round so that over
-#: rounds every key earns a real driver row. ROUND-9 rotation (r8
-#: verdict item 1): anchors shrunk 12 → 4 (one canary per fixture
-#: family); slots 5-50 hold, newest-built first, the 19 operators
-#: built in round 9, the 3 round-9 oracle graduations (new hash paths
-#: deserve rows the round they're built), the 3 late-round-8 builds,
-#: and 21 of the round-7-built keys. FINAL ROUND-9 ARITHMETIC
-#: (registry = 358 keys after the 8 post-window round-9 builds):
-#: 245 keys hold green driver rows from r1-r8; this window adds 46
-#: fresh rows (4 anchors re-prove) → 291 covered after r9, backlog 67.
-#: The ROUND-10 queue below (post-window r9 builds first, then staged
-#: oracled keys, then the rows-only tail) fills 46 more slots →
-#: backlog 21 closes in ROUND 11 (plus whatever r10 builds).
-#: Keys verified in r1-r8 sit dead last (they re-verify if the window
+#: rounds every key earns a real driver row. ROUND-10 rotation (r9
+#: verdict item 1): anchors stay at 4 (one canary per fixture family);
+#: slots 5-50 take the staged r10 queue — the 9 operators built in
+#: round 9 AFTER its window filled (newest first), l_sim_search_ivf
+#: (graduated to a SQL oracle in r9; its only prior row is the
+#: pre-graduation rows-only record from r4, so the hash path has never
+#: earned a driver row), the 33 staged oracled keys, one filler from
+#: the r11 queue, and a 2-key rows-only tail. ROUND-10 ARITHMETIC
+#: (registry = 358 keys at rotation time): 291 keys hold driver rows
+#: from r1-r9; this window adds 46 fresh rows (4 anchors re-prove)
+#: → 337 covered after r10, backlog 21 (+1 per r10 build that
+#: displaces a slot) closes in ROUND 11.
+#: Keys verified in r1-r9 sit dead last (they re-verify if the window
 #: ever widens).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
 #: new registration without an explicit slot fails CI.
 PRIORITY_ORDER = (
     # -- slots 1-4: drift-detection anchors, one per fixture family
-    #    (lineitem agg, events streaming-window, documents dedup, scan) --
+    #    (scan, lineitem agg, events streaming-window, documents dedup) --
     "a_scan_parquet",
     "d_agg_q1_pricing",
     "j_tumbling_1h",
     "l_dedup_exact",
-    # -- slots 5-50: ROUND-9 window, never-driver-checked, newest-built
-    #    first: operators built IN round 9 ... --
-    "m_funnel_windowed",
-    "i_sample_systematic",
-    "l_budget_select",
-    "h_sql_udf",
-    "a_scan_file_metadata",
-    "l_ccnet_bucket",
-    "d_agg_chi2",
-    #    ... the three round-9 GRADUATIONS (new oracle hash paths built
-    #    this round earn driver rows this round, newest-first) ... --
-    "l_dedup_simhash",
-    "l_text_langid",
-    "l_kmeans_assign",
-    "m_survival_km",
-    "m_attribution_decay",
-    "m_markov_stationary",
-    "l_curriculum_pacing",
-    "l_bt_leaderboard",
-    "l_conformal_interval",
-    "l_ks_test",
-    "m_ab_cuped",
-    "l_minhash_calibration",
-    "l_dup_ngram_rate",
-    "l_negative_sampling",
-    "l_tfidf_rocchio",
-    #    ... then the 3 late-round-8 builds ... --
-    "a_scan_nested_pruning",
-    "m_retention_curve",
-    "l_quality_composite_gate",
-    #    ... then the 38 round-7-built keys (no r7 driver round ran;
-    #    these never earned rows) ... --
-    "l_dsir_weight",
-    "l_quality_gate_domain",
-    "a_sink_python_datasource",
-    "h_sql_variables",
-    "h_date_names",
-    "m_attribution_last_touch",
-    "l_corpus_divergence",
-    "l_hybrid_search",
-    "l_sim_search_batch",
-    "m_ts_ffill",
-    "m_ts_zscore_roll",
-    "m_ts_autocorr",
-    "m_ts_calendar_dim",
-    "l_text_quality",
-    "l_text_fingerprint",
-    "l_text_token_count",
-    "l_text_normalize",
-    "l_text_scrub",
-    "l_text_repetition",
-    "l_text_lm_score",
-    "l_topic_cooccur",
-    "l_tokens_zipf_fit",
-    "l_bpe_encode",
-    "l_tokenizer_stats",
-    "l_multimodal_header_parse",
-    "l_fingerprint_winnow",
-    "l_domain_mix",
-    "l_vector_quantize",
-    "l_winsorize",
-    "l_ml_score_linear",
-    "l_multimodal_framesample",
-    "l_shuffle_shard",
-    "l_dataset_card",
-    "a_scan_text_roundtrip",
-    "a_table_stats",
-    "i_sample_hash",
-    "i_sample_weighted",
-    "f_sort_local",
-    #    ... then 5 staged oracled keys to fill the window. --
-    "j_statestore_audit",
-    "h_xml_scalar",
-    "k_udtf_table_input",
-    "j_stream_stream_left",
-    "c_join_asof_nearest",
-    # -- ROUND-10 QUEUE (swap into slots 5-50 next round): first the
-    #    operators built in round 9 AFTER the window filled (newest
-    #    first, the standing policy) ... --
+    # -- slots 5-50: ROUND-10 window — first the 9 operators built in
+    #    round 9 after its window filled (newest-built first) ... --
     "l_eval_rouge",
     "l_pii_redact",
     "l_oversample_balance",
@@ -135,8 +58,10 @@ PRIORITY_ORDER = (
     "l_ml_cv_folds",
     "l_ml_stump",
     "l_calibration_curve",
-    "l_bpe_train",  # fifth rows-only graduation (wrapped-replace oracle)
-    #    ... then the remaining backlog — 33 staged oracled keys ... --
+    "l_bpe_train",
+    #    ... the r9 graduation whose hash path never earned a row ... --
+    "l_sim_search_ivf",
+    #    ... then the 33 staged oracled backlog keys ... --
     "l_rag_rerank_rrf",
     "a_scan_recursive_glob",
     "a_scan_xml_roundtrip",
@@ -170,13 +95,83 @@ PRIORITY_ORDER = (
     "h_xml_funcs",
     "h_variant_funcs",
     "e_win_pct_of_total",
-    #    ... then the 3-key rows-only tail (ran-clean rows:
-    #    approx/stub/nondeterministic paths; l_bpe_train graduated to
-    #    a SQL oracle and moved to the queue head above). --
+    #    ... one filler pulled forward from the r11 queue ... --
+    "l_tokens_zipf_fit",
+    #    ... and the 2-key rows-only tail (ran-clean rows only:
+    #    sketch/stub paths; must be the LAST window slots). --
     "i_sample_stratified",
     "l_multimodal_decode",
+    # -- ROUND-11 QUEUE (swap into slots 5-50 next round): the
+    #    remaining never-driver-checked backlog, 21 keys. --
     "l_sim_search_pq",
-    # -- verified in r1-r8 (dead last; re-verify if window widens) -----
+    "l_bpe_encode",
+    "l_tokenizer_stats",
+    "l_multimodal_header_parse",
+    "l_fingerprint_winnow",
+    "l_domain_mix",
+    "l_vector_quantize",
+    "l_winsorize",
+    "l_ml_score_linear",
+    "l_multimodal_framesample",
+    "l_shuffle_shard",
+    "l_dataset_card",
+    "a_scan_text_roundtrip",
+    "a_table_stats",
+    "i_sample_hash",
+    "i_sample_weighted",
+    "f_sort_local",
+    "j_statestore_audit",
+    "h_xml_scalar",
+    "k_udtf_table_input",
+    "j_stream_stream_left",
+    "c_join_asof_nearest",
+    # -- verified in r1-r9 (dead last; re-verify if window widens) ----
+    "m_funnel_windowed",
+    "i_sample_systematic",
+    "l_budget_select",
+    "h_sql_udf",
+    "a_scan_file_metadata",
+    "l_ccnet_bucket",
+    "d_agg_chi2",
+    "l_dedup_simhash",
+    "l_text_langid",
+    "l_kmeans_assign",
+    "m_survival_km",
+    "m_attribution_decay",
+    "m_markov_stationary",
+    "l_curriculum_pacing",
+    "l_bt_leaderboard",
+    "l_conformal_interval",
+    "l_ks_test",
+    "m_ab_cuped",
+    "l_minhash_calibration",
+    "l_dup_ngram_rate",
+    "l_negative_sampling",
+    "l_tfidf_rocchio",
+    "a_scan_nested_pruning",
+    "m_retention_curve",
+    "l_quality_composite_gate",
+    "l_dsir_weight",
+    "l_quality_gate_domain",
+    "a_sink_python_datasource",
+    "h_sql_variables",
+    "h_date_names",
+    "m_attribution_last_touch",
+    "l_corpus_divergence",
+    "l_hybrid_search",
+    "l_sim_search_batch",
+    "m_ts_ffill",
+    "m_ts_zscore_roll",
+    "m_ts_autocorr",
+    "m_ts_calendar_dim",
+    "l_text_quality",
+    "l_text_fingerprint",
+    "l_text_token_count",
+    "l_text_normalize",
+    "l_text_scrub",
+    "l_text_repetition",
+    "l_text_lm_score",
+    "l_topic_cooccur",
     "b_filter_range",
     "c_join_3way",
     "e_win_topk_group",
@@ -335,10 +330,6 @@ PRIORITY_ORDER = (
     "e_win_gaps_islands",
     "h_higher_order",
     "l_sim_join_lsh",
-    "l_sim_search_ivf",  # sixth graduation (md5 centroid sample -> full
-                         # SQL oracle); keeps its r1-r8 tail slot because
-                         # it already holds a driver row (ran-clean) and
-                         # fresh keys precede seen keys by invariant
     "l_dedup_near_minhash",
     "l_simjoin_jaccard",
     "l_sim_search_topk",

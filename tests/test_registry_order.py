@@ -29,11 +29,11 @@ def test_queries_dict_iterates_in_priority_order():
     assert list(all_queries()) == list(PRIORITY_ORDER)
 
 
-# Round-7 window is fully SQL-oracled: the two rows-only queue keys
-# (i_sample_stratified, l_text_langid) were deferred to the r8 block's
-# rows-only tail, where they will record ran-clean rows the way the
-# HLL/Theta pair did in round 6.
-WINDOWED_ROWS_ONLY: set = set()
+# Round-10 window spends its last two slots on rows-only keys
+# (sketch/stub paths that can only ever record ``err: no_oracle``
+# ran-clean rows) — the r9 pattern that let the HLL/Theta pair and
+# i_sample earn their rows.
+WINDOWED_ROWS_ONLY: set = {"i_sample_stratified", "l_multimodal_decode"}
 
 
 def test_window_is_oracled_except_declared_scale_paths():
@@ -64,23 +64,36 @@ def test_window_leads_with_fixture_family_anchors():
 
 
 def _driver_seen() -> set:
-    """Union of keys with a driver CORRECTNESS row in rounds 1-8
-    (frozen from the committed CORRECTNESS_r0*.json artifacts; no r7
-    file exists — the driver skipped that round)."""
+    """Keys whose CURRENT verification surface already has a driver
+    CORRECTNESS row in rounds 1-9 (frozen from the committed
+    CORRECTNESS_r0*.json artifacts; no r7 file exists — the driver
+    skipped that round). A key counts as seen if it ever recorded a
+    hash row, OR if it recorded a rows-only row and is STILL
+    rows-only. A key whose only rows predate an oracle graduation
+    (rows-only row then, SQL oracle now — e.g. l_sim_search_ivf,
+    r4 row vs r9 graduation) is FRESH: the hash path the driver
+    would now exercise has never earned a row."""
     import json
     import pathlib
 
-    seen = set()
-    for rnd in (1, 2, 3, 4, 5, 6, 7, 8):
+    hash_seen: set = set()
+    rows_only_seen: set = set()
+    for rnd in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r0{rnd}.json"
         if p.exists():
-            seen |= set(json.loads(p.read_text()))
-    return seen
+            for k, v in json.loads(p.read_text()).items():
+                if v.get("err") == "no_oracle":
+                    rows_only_seen.add(k)
+                else:
+                    hash_seen.add(k)
+    still_rows_only = rows_only_seen - set(all_oracles())
+    return hash_seen | still_rows_only
 
 
 def test_window_spends_slots_on_never_verified_keys():
     """Slots 5-50 must be first-time-verified keys (no driver row in
-    r1-r8) — the whole point of the rotation."""
+    r1-r9 for their current oracle surface) — the whole point of the
+    rotation."""
     seen = _driver_seen()
     rotated = list(all_queries())[4:WINDOW]
     stale = [k for k in rotated if k in seen]
