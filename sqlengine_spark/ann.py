@@ -38,6 +38,33 @@ def _planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def md5_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes derived from md5:
+    component (p, j) is +1.0 iff the first hex char of
+    ``md5("{p}_{j}")`` is >= '8' (8 of 16 hex digits — an unbiased
+    coin), with p 0-based and j 1-based to match SQL array indexing.
+
+    Sign-projection LSH only needs a symmetric zero-mean component
+    distribution; Rademacher entries are the classical SimHash choice
+    (Charikar 2002 uses Gaussian, Achlioptas 2001 shows ±1 suffices for
+    the same concentration bounds). The payoff of deriving them from
+    md5 instead of a seeded Gaussian PRNG: md5 is identical in Python's
+    hashlib, Spark's F.md5 and DuckDB's md5(), so a SQL oracle can
+    replay the EXACT plane set and hence the exact banding — the
+    l_sim_search_ivf / l_dedup_simhash graduation convention."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for j in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_sim_join(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -47,10 +74,16 @@ def lsh_sim_join(
     bands: int = 16,
     rows_per_band: int = 8,
     seed: int = 42,
+    planes_override: list[list[float]] | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold (unit vectors), found
     via banded hyperplane LSH + exact verification. Returns
-    (va, vb, sim) where sim is the RAW double dot product."""
+    (va, vb, sim) where sim is the RAW double dot product.
+
+    ``planes_override`` replaces the default seeded-Gaussian planes
+    with a caller-supplied set (must be bands*rows_per_band x dim) —
+    used by l_sim_join_lsh to inject ``md5_planes`` so a DuckDB oracle
+    can replay the banding bit-for-bit."""
     spark = vectors.sparkSession
     # Fail fast on a dim mismatch: zip_with pads the shorter array with
     # nulls, which would otherwise yield NULL signature bits / NULL sims
@@ -61,8 +94,18 @@ def lsh_sim_join(
             f"lsh_sim_join: {vec_col} has length {first['n']}, expected dim={dim}"
         )
     n_planes = bands * rows_per_band
+    plane_vecs = (
+        planes_override
+        if planes_override is not None
+        else _planes(n_planes, dim, seed)
+    )
+    if len(plane_vecs) != n_planes:
+        raise ValueError(
+            f"lsh_sim_join: got {len(plane_vecs)} planes, "
+            f"expected bands*rows_per_band={n_planes}"
+        )
     planes = spark.createDataFrame(
-        [(p, vec) for p, vec in enumerate(_planes(n_planes, dim, seed))],
+        [(p, vec) for p, vec in enumerate(plane_vecs)],
         "plane_id int, pvec array<double>",
     )
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))

@@ -1027,13 +1027,62 @@ def l_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l_sim_join_lsh")  # rows-only: LSH banding is engine-specific by nature
+@query(
+    "l_sim_join_lsh",
+    oracle="""
+    WITH bits AS MATERIALIZED (
+        SELECT e.vec_id, pp.p,
+               CASE WHEN (
+                   SELECT SUM(e.embedding[s.j]::DOUBLE *
+                              (CASE WHEN substring(md5(pp.p::VARCHAR
+                                         || '_' || s.j::VARCHAR), 1, 1) >= '8'
+                                    THEN 1.0 ELSE -1.0 END))
+                   FROM (SELECT unnest(generate_series(1, 64)) AS j) s
+               ) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM embeddings e,
+             (SELECT unnest(generate_series(0, 63)) AS p) pp
+    ), sigs AS MATERIALIZED (
+        SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig
+        FROM bits GROUP BY vec_id
+    ), bnd AS MATERIALIZED (
+        SELECT s.vec_id, b.b, substring(s.sig, b.b * 2 + 1, 2) AS bs
+        FROM sigs s, (SELECT unnest(generate_series(0, 31)) AS b) b
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        FROM bnd x JOIN bnd y ON x.b = y.b AND x.bs = y.bs
+                              AND x.vec_id < y.vec_id
+    ), ver AS MATERIALIZED (
+        SELECT c.va, c.vb,
+               (SELECT SUM(ea.embedding[s.j]::DOUBLE *
+                           eb.embedding[s.j]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS j) s) AS dot
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.va
+        JOIN embeddings eb ON eb.vec_id = c.vb
+    )
+    SELECT va, vb, ROUND(dot * 1e6, 0) / 1e6 + 0 AS sim
+    FROM ver WHERE dot >= 0.4
+    ORDER BY va, vb
+    """,
+)
 def l_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB vector-similarity-join path, driver-visible: banded
-    random-hyperplane LSH (ann.lsh_sim_join) over the embeddings table
-    at cosine ≥ 0.4, exact-verified — output is a subset of the
+    hyperplane LSH (ann.lsh_sim_join) over the embeddings table at
+    cosine ≥ 0.4, exact-verified — output is a subset of the
     brute-force l_sim_join_threshold pairs with measured recall ≈ 1.0
     at this τ (asserted against brute force in tests/test_ann.py).
+
+    GRADUATED to a SQL oracle in round 10 (r9 verdict item 5), the
+    l_sim_search_ivf recipe: the hyperplanes are md5-derived Rademacher
+    signs (ann.md5_planes — component (p, j) = +1 iff the first hex
+    char of md5("{p}_{j}") >= '8'), so DuckDB re-derives the IDENTICAL
+    plane set in SQL and replays signature bits, banding, candidate
+    join and exact verification bit-for-bit. Every dot product on both
+    sides is the sequential double fold (vdot ↔ ordered SUM over
+    generate_series, CLAUDE.md rule 4), so the sign of each signature
+    bit and the τ filter decision are engine-identical by construction.
+    The seeded-Gaussian plane path stays available in ann.lsh_sim_join
+    as the default for callers that don't need cross-engine replay.
 
     Band geometry note: τ = 0.4 is a weak threshold (collision prob
     p = 1 − θ/π ≈ 0.63), so recall needs shallow bands — 32 bands × 2
@@ -1042,11 +1091,16 @@ def l_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     harder at the same recall; geometry is a parameter, the plan shape
     (broadcast planes → one (band, sig)-keyed shuffle → exact verify on
     candidates) is fixed and never N²."""
-    from sqlengine_spark.ann import lsh_sim_join
+    from sqlengine_spark.ann import lsh_sim_join, md5_planes
 
     e = table(spark, sf_dir, "embeddings")
     pairs = lsh_sim_join(
-        e, threshold=0.4, dim=64, bands=32, rows_per_band=2, seed=42
+        e,
+        threshold=0.4,
+        dim=64,
+        bands=32,
+        rows_per_band=2,
+        planes_override=md5_planes(64, 64),
     )
     return pairs.select(
         "va", "vb", dround(F.col("sim"), 6).alias("sim")

@@ -48,8 +48,10 @@ PRIORITY_ORDER = (
     "d_agg_q1_pricing",
     "j_tumbling_1h",
     "l_dedup_exact",
-    # -- slots 5-50: ROUND-10 window — first the 9 operators built in
+    # -- slots 5-50: ROUND-10 window — the round-10 oracle graduation
+    #    first (newest hash path), then the 9 operators built in
     #    round 9 after its window filled (newest-built first) ... --
+    "l_sim_join_lsh",
     "l_eval_rouge",
     "l_pii_redact",
     "l_oversample_balance",
@@ -95,14 +97,13 @@ PRIORITY_ORDER = (
     "h_xml_funcs",
     "h_variant_funcs",
     "e_win_pct_of_total",
-    #    ... one filler pulled forward from the r11 queue ... --
-    "l_tokens_zipf_fit",
     #    ... and the 2-key rows-only tail (ran-clean rows only:
     #    sketch/stub paths; must be the LAST window slots). --
     "i_sample_stratified",
     "l_multimodal_decode",
     # -- ROUND-11 QUEUE (swap into slots 5-50 next round): the
-    #    remaining never-driver-checked backlog, 21 keys. --
+    #    remaining never-driver-checked backlog, 22 keys. --
+    "l_tokens_zipf_fit",
     "l_sim_search_pq",
     "l_bpe_encode",
     "l_tokenizer_stats",
@@ -329,7 +330,6 @@ PRIORITY_ORDER = (
     "g_recursive_cte",
     "e_win_gaps_islands",
     "h_higher_order",
-    "l_sim_join_lsh",
     "l_dedup_near_minhash",
     "l_simjoin_jaccard",
     "l_sim_search_topk",
