@@ -111,7 +111,46 @@ HEADLINE = [
 # tests/test_plans.py.
 
 
+def _burn(_arg: int = 0) -> float:
+    """Fixed CPU-bound task for the host-capacity probe (pure-Python
+    integer loop — no numpy so the result tracks scheduler backing, not
+    SIMD). Module-level so multiprocessing can pickle it."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(8_000_000):
+        x += i * i
+    return time.perf_counter() - t0 if x else 0.0
+
+
+def host_probe(n_tasks: int = 32) -> dict:
+    """Burn-probe the host BEFORE Spark starts: one single-task run,
+    then ``n_tasks`` in parallel; effective cores = n_tasks x single /
+    parallel-wall. Round 9's 52.45-vs-29.58 s same-code spread needed
+    BASELINE.md forensics to adjudicate because the artifact carried no
+    host context (r9 verdict item 2) — every BENCH_rN.json now embeds
+    the probe so cross-round totals are self-adjudicating: compare
+    totals only between runs whose effective_cores agree (this VM has
+    swung 13-19 effective cores behind 32 vCPUs, CLAUDE.md rule 12g)."""
+    import multiprocessing as mp
+
+    single = min(_burn() for _ in range(2))  # best-of-2 kills first-run noise
+    # fork, not spawn: spawn re-imports this module (and so pyspark) in
+    # every child, which is itself CPU work that would pollute the
+    # probe; the probe runs BEFORE the JVM starts, so fork is safe.
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    with ctx.Pool(n_tasks) as pool:
+        pool.map(_burn, range(n_tasks))
+    wall = time.perf_counter() - t0
+    return {
+        "single_task_sec": round(single, 3),
+        "effective_cores": round(min(n_tasks * single / wall, n_tasks), 1),
+    }
+
+
 def main() -> int:
+    probe = host_probe()
+    print(f"# host probe: {probe}", file=sys.stderr)
     spark = get_spark("sqlengine_bench")
     qs = all_queries()
     timings: dict[str, float] = {}
@@ -148,6 +187,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "probe": probe,
             }
         )
     )

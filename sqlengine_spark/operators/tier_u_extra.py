@@ -110,16 +110,19 @@ def m_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    n1 = s1.count()  # bounded: 1 scalar (stage-1 denominator)
+    # Stage-1 denominator folded into the plan as a 1-row broadcast
+    # (the e_win_pct_of_total pattern; r9 verdict item 7) — the old
+    # `s1.count()` spent a whole extra job on 1 scalar.
+    den = s1.agg(F.count("*").cast("double").alias("n1"))
     rows = (
         s1.agg(F.lit(1).alias("stage"), F.count("*").alias("n_users"))
         .unionAll(s2.agg(F.lit(2).alias("stage"), F.count("*").alias("n_users")))
         .unionAll(s3.agg(F.lit(3).alias("stage"), F.count("*").alias("n_users")))
     )
-    return rows.select(
+    return rows.crossJoin(F.broadcast(den)).select(
         "stage",
         "n_users",
-        (F.col("n_users").cast("double") / F.lit(float(n1))).alias(
+        (F.col("n_users").cast("double") / F.col("n1")).alias(
             "frac_of_stage1"
         ),
     )

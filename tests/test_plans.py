@@ -193,6 +193,11 @@ CARTESIAN_WHITELIST = {
     "e_win_pct_of_total",       # 1-row grand-total broadcast over the
                                 # |nations|-row aggregate (the window-
                                 # free percent-of-total form)
+    "m_funnel_windowed",        # 1-row stage-1-denominator broadcast
+                                # over the 3-row stage union (r9 verdict
+                                # item 7 folded the old s1.count() job
+                                # into the plan); the funnel chain joins
+                                # themselves are user_id-keyed
                                 # (docstring: cap vocab to top-K by df at
                                 # open-vocab scale), never row-bounded
 }
