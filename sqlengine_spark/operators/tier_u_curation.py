@@ -192,14 +192,32 @@ def l_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & ~band_eq(earlier)
         piece = a.join(b, cond)
         cands = piece if cands is None else cands.unionAll(piece)
+    # candidate pairs feed 3 consumers (candidate-doc semi-join, exact
+    # intersection, final estimate projection) — one materialization
+    # (rule 11a)
+    cands = cands.localCheckpoint()
 
     matches = sum(
         (F.col(f"am{s}") == F.col(f"bm{s}")).cast("int") for s in range(_N_HASH)
     )
     est = matches / F.lit(float(_N_HASH))
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("f_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("f_b"))
+    # SEMI-JOIN PRUNE (r9 verdict item 4): the exact-verify stage only
+    # needs postings for docs that appear in some candidate pair, but
+    # the old plan shuffled the FULL postings frame into both sides of
+    # the pair join. The candidate-doc set is output-bounded (true
+    # near-dup cluster members), so broadcast it and prune the postings
+    # MAP-SIDE before any verify shuffle — at 100 TB this is the
+    # difference between shuffling the corpus's shingles twice and
+    # shuffling only the near-dup clusters'.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("f_a"))
+    sb = shc.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("f_b"))
     inter = (
         cands.select("doc_a", "doc_b")
         .join(sa, "doc_a")
@@ -207,7 +225,7 @@ def l_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cnt = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     i0 = F.coalesce(F.col("i"), F.lit(0))
     exact = i0 / (F.col("na") + F.col("nb") - i0).cast("double")
     return (
