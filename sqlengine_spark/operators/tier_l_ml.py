@@ -1054,3 +1054,111 @@ def l_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*").cast("double") * F.lit(1e9))
         ).alias("mean_pred"),
     )
+
+
+@query(
+    "l_token_gini_select",
+    oracle="""
+    WITH t AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pp
+        FROM documents
+    ), cnt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(en) AS BIGINT) AS p
+        FROM t GROUP BY tok
+    ), sc AS (
+        SELECT tok, n, p,
+               CAST(FLOOR((
+                   CAST(2 * pp * (nn - pp) AS DOUBLE)
+                       / CAST(nn * nn AS DOUBLE)
+                   - (CAST(2 * p * (n - p) AS DOUBLE) / CAST(n AS DOUBLE)
+                      + CASE WHEN nn - n = 0 THEN 0.0
+                             ELSE CAST(2 * (pp - p) * ((nn - n) - (pp - p))
+                                       AS DOUBLE)
+                                  / CAST(nn - n AS DOUBLE) END)
+                     / CAST(nn AS DOUBLE)
+               ) * 1e12 + 0.5) AS BIGINT) AS fp
+        FROM cnt, tot
+    )
+    SELECT tok AS token, n AS n_docs, p AS n_en,
+           fp / 1e12 + 0 AS gini_gain
+    FROM sc ORDER BY fp DESC, tok LIMIT 20
+    """,
+)
+def l_token_gini_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI-GAIN TOKEN FEATURE SELECTION — the categorical sibling of
+    l_ml_stump's numeric split search and the log-free alternative to
+    mutual information: for every token, split the corpus into docs
+    containing it vs not, and rank tokens by the reduction in Gini
+    impurity of the lang='en' label (top-20). This is the feature
+    screen a pipeline runs before training a cheap quality/domain
+    classifier — which tokens carry label signal.
+
+    Determinism (no logs, no float sums anywhere): with N docs / P
+    positive, n docs containing the token / p positive among them, the
+    gain simplifies to exact-integer rationals,
+        gain = 2P(N-P)/N^2 - [2p(n-p)/n + 2q(m-q)/m] / N
+    (m = N-n, q = P-p; the m = 0 branch is pinned to 0 in both
+    engines). Every product is exact BIGINT, every division is the
+    IDENTICAL double expression in both engines, and the rank key is
+    half-up 1e-12 fixed point — a total order with the token tiebreak
+    (rule 5). Gini gain is non-negative, so no negative-zero hazard.
+
+    Scale: one (doc_id, en, token)-distinct shuffle (doc-level
+    presence, not term frequency), one token-keyed partial+final count
+    agg to a vocabulary-bounded table, a 1-row broadcast of (N, P)
+    (the e_win_pct_of_total pattern — no driver collect), and a
+    TakeOrdered top-20. At open-vocabulary 100 TB the vocab table
+    shards by token hash; nothing is corpus-sized after the distinct.
+    """
+    d = table(spark, sf_dir, "documents")
+    en = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    tot = d.agg(
+        F.count("*").alias("nn"), F.sum(en).alias("pp")
+    )
+    t = d.select(
+        "doc_id", en.alias("en"), F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    cnt = t.groupBy("tok").agg(
+        F.count("*").alias("n"), F.sum("en").alias("p")
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    m = F.col("nn") - F.col("n")
+    q = F.col("pp") - F.col("p")
+    base = (2 * F.col("pp") * (F.col("nn") - F.col("pp"))).cast("double") / (
+        F.col("nn") * F.col("nn")
+    ).cast("double")
+    left = (2 * F.col("p") * (F.col("n") - F.col("p"))).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    right = F.when(m == 0, F.lit(0.0)).otherwise(
+        (2 * q * (m - q)).cast("double") / m.cast("double")
+    )
+    fp = F.floor(
+        (base - (left + right) / F.col("nn").cast("double")) * 1e12 + 0.5
+    ).cast("bigint")
+    return (
+        j.select(
+            F.col("tok").alias("token"),
+            F.col("n").alias("n_docs"),
+            F.col("p").alias("n_en"),
+            fp.alias("fp"),
+        )
+        .select(
+            "token",
+            "n_docs",
+            "n_en",
+            (F.col("fp") / F.lit(1e12) + F.lit(0.0)).alias("gini_gain"),
+            "fp",
+        )
+        .orderBy(F.col("fp").desc(), "token")
+        .limit(20)
+        .drop("fp")
+    )

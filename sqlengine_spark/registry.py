@@ -48,9 +48,11 @@ PRIORITY_ORDER = (
     "d_agg_q1_pricing",
     "j_tumbling_1h",
     "l_dedup_exact",
-    # -- slots 5-50: ROUND-10 window — the round-10 oracle graduation
-    #    first (newest hash path), then the 9 operators built in
-    #    round 9 after its window filled (newest-built first) ... --
+    # -- slots 5-50: ROUND-10 window — operators BUILT in round 10
+    #    first (newest-built first), then the round-10 oracle
+    #    graduation, then the 9 operators built in round 9 after its
+    #    window filled ... --
+    "l_token_gini_select",
     "l_sim_join_lsh",
     "l_eval_rouge",
     "l_pii_redact",
@@ -100,9 +102,9 @@ PRIORITY_ORDER = (
     #    ... and the 2-key rows-only tail (ran-clean rows only:
     #    sketch/stub paths; must be the LAST window slots). --
     "i_sample_stratified",
-    "l_multimodal_decode",
     # -- ROUND-11 QUEUE (swap into slots 5-50 next round): the
-    #    remaining never-driver-checked backlog, 22 keys. --
+    #    remaining never-driver-checked backlog, 23 keys. --
+    "l_multimodal_decode",
     "l_tokens_zipf_fit",
     "l_sim_search_pq",
     "l_bpe_encode",

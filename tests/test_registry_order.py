@@ -33,7 +33,7 @@ def test_queries_dict_iterates_in_priority_order():
 # (sketch/stub paths that can only ever record ``err: no_oracle``
 # ran-clean rows) — the r9 pattern that let the HLL/Theta pair and
 # i_sample earn their rows.
-WINDOWED_ROWS_ONLY: set = {"i_sample_stratified", "l_multimodal_decode"}
+WINDOWED_ROWS_ONLY: set = {"i_sample_stratified"}
 
 
 def test_window_is_oracled_except_declared_scale_paths():
