@@ -3132,3 +3132,121 @@ def l_ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 l_ml_logreg_train.__doc__ = l_ml_logreg_train.__doc__.replace(
     "{ITERS}", str(LOGREG_ITERS)
 )
+
+
+@query(
+    "l_span_corrupt",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, i AS p, w[i] AS tok,
+               substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 2)
+                   < '26' AS m
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+    ), sp AS (
+        SELECT doc_id, p, tok, m,
+               (m AND NOT coalesce(
+                   lag(m) OVER (PARTITION BY doc_id ORDER BY p),
+                   FALSE)) AS st
+        FROM tk
+    ), sid AS (
+        SELECT doc_id, p, tok, m, st,
+               SUM(CASE WHEN st THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM sp
+    )
+    SELECT doc_id,
+           string_agg(
+               CASE WHEN NOT m THEN tok
+                    WHEN st THEN '<X' || (sid - 1) || '>' END,
+               ' ' ORDER BY p) AS input_text,
+           COALESCE(string_agg(
+               CASE WHEN m AND st THEN '<X' || (sid - 1) || '>' || ' ' || tok
+                    WHEN m THEN tok END,
+               ' ' ORDER BY p), '') AS target_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+    FROM sid GROUP BY doc_id
+    """,
+)
+def l_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-STYLE SPAN CORRUPTION (Raffel et al., 2020): mask ~15% of
+    each document's token positions, collapse each maximal masked run
+    into one numbered sentinel in the encoder input, and emit the
+    sentinel-delimited masked spans as the decoder target — the
+    denoising-objective data prep a seq2seq pretraining pipeline runs
+    over the whole corpus.
+
+    Determinism: the per-position mask decision is
+    ``substring(md5("{doc_id}:{pos}"), 1, 2) < '26'`` (38/256 ≈ 14.8%
+    — an md5-replayable Bernoulli coin, the l_sim_join_lsh/ivf
+    convention), positions are 1-based in both engines, and the output
+    is pure strings + integers — no floats anywhere. Span numbering is
+    a running sum of span-start flags under the per-doc position
+    order; a doc with no masked token gets target_text = '' (pinned
+    via COALESCE — DuckDB's empty string_agg is NULL, Spark's empty
+    concat_ws is '').
+
+    Scale: posexplode fans out linearly (only doc_id rides along, rule
+    12a); the lag/running-sum windows and both conditional collects
+    are (doc_id)-keyed — one shuffle, per-partition work bounded by
+    document length; sentence assembly is array_sort over per-doc
+    pieces, never a global order. At 100 TB this is a map + one keyed
+    exchange, the same shape as tokenization itself.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        "tok",
+        (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        (F.col("p0") + 1).cast("string"),
+                    )
+                ),
+                1,
+                2,
+            )
+            < "26"
+        ).alias("m"),
+    )
+    wo = Window.partitionBy("doc_id").orderBy("p")
+    sp = tk.withColumn(
+        "st", F.col("m") & ~F.coalesce(F.lag("m").over(wo), F.lit(False))
+    )
+    sid = sp.withColumn(
+        "sid",
+        F.sum(F.col("st").cast("int")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sentinel = F.concat(
+        F.lit("<X"), (F.col("sid") - 1).cast("string"), F.lit(">")
+    )
+    piece_in = F.when(~F.col("m"), F.col("tok")).when(F.col("st"), sentinel)
+    piece_tgt = F.when(
+        F.col("m") & F.col("st"),
+        F.concat(sentinel, F.lit(" "), F.col("tok")),
+    ).when(F.col("m"), F.col("tok"))
+    joined = lambda c: F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("p"), c.alias("x")))),
+            lambda s: s["x"],
+        ),
+    )
+    return sid.groupBy("doc_id").agg(
+        joined(piece_in).alias("input_text"),
+        joined(piece_tgt).alias("target_text"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("m").cast("int")).cast("bigint").alias("n_masked"),
+        F.sum(F.col("st").cast("int")).cast("bigint").alias("n_spans"),
+    )
