@@ -553,14 +553,19 @@ def l_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing BOTH sides' tf in one pass (no self-join), then a thin
     pair-keyed rollup — shuffle volume linear in token count, never
     pairwise in the corpus. Bigrams guard size>=2 per CLAUDE.md rule
-    11d (Spark sequence() descends on empty ranges).
+    11d (Spark sequence() descends on empty ranges). The token-array
+    frame is localCheckpointed (rule 11a) so split(text) executes ONCE
+    for both gram pipelines — re-tested in round 10 on an idle host
+    after the r9 shootout had scored it neutral-with-a-pathology:
+    paired interleaved at x100 the checkpoint form won all 3 reps
+    (medians 112.0 -> 68.9 s, identical 250k rows; r9 verdict item 8).
     """
     d = table(spark, sf_dir, "documents")
     base = d.select(
         F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
         F.split(F.col("text"), " ").alias("toks"),
-    )
+    ).localCheckpoint()
 
     def per_pair(grams: DataFrame, ln_c: str, ln_r: str, ov: str) -> DataFrame:
         pg = grams.groupBy("pair_id", "g").agg(
