@@ -1177,6 +1177,142 @@ def l_simjoin_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l_sim_search_ivf_batch",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+               embedding AS cvec
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ), q AS MATERIALIZED (
+        SELECT vec_id AS q_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 10
+    ), asn AS MATERIALIZED (
+        SELECT vec_id, ci AS cid
+        FROM (SELECT e.vec_id, c.ci,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY (SELECT SUM(e.embedding[s.i]::DOUBLE
+                                              * c.cvec[s.i]::DOUBLE)
+                                   FROM (SELECT unnest(generate_series(1, 64))
+                                         AS i) s) DESC, c.ci DESC) AS rn
+              FROM embeddings e, c)
+        WHERE rn = 1
+    ), pr AS MATERIALIZED (
+        SELECT q_id, ci AS cid
+        FROM (SELECT q.q_id, c.ci,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY (SELECT SUM(c.cvec[s.i]::DOUBLE
+                                              * q.qe[s.i]::DOUBLE)
+                                   FROM (SELECT unnest(generate_series(1, 64))
+                                         AS i) s) DESC, c.ci DESC) AS rn
+              FROM c, q)
+        WHERE rn <= 8
+    ), sims AS MATERIALIZED (
+        SELECT q.q_id, e.vec_id,
+               (SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s) AS dot
+        FROM embeddings e
+        JOIN asn ON asn.vec_id = e.vec_id
+        JOIN pr ON pr.cid = asn.cid
+        JOIN q ON q.q_id = pr.q_id
+        WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, ROUND(dot * 1e6, 0) / 1e6 + 0 AS sim
+    FROM (SELECT q_id, vec_id, dot,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY dot DESC, vec_id) AS rn
+          FROM sims)
+    WHERE rn <= 10
+    ORDER BY q_id, sim DESC, vec_id
+    """,
+)
+def l_sim_search_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF ANN — the production SERVING shape the single-query
+    l_sim_search_ivf can't show: one plan answers a whole query batch
+    (vectors 0-9, top-10 each) against the shared inverted file. The
+    centroid sample and assignment are computed ONCE and amortized
+    across the batch; per-query work is only its 8 probed buckets.
+
+    Determinism: same md5-sampled 16 centroids as l_sim_search_ivf
+    (DuckDB replays the sample), argmax/probe ties break toward the
+    larger centroid id, every dot product is the sequential fold
+    (vdot <-> ordered SUM over generate_series, rule 4), and the
+    driver-side probe selection uses Python's left-fold float sum —
+    the same IEEE sequence — so probe sets are engine-identical.
+
+    Scale: assignment is a map-only JVM argmax over 16 broadcast
+    literal centroids (no shuffle; at ingest it becomes a stored
+    partition column); the 80-row (q_id, cid) probe table and the
+    10-row query-vector table broadcast into the candidate join, so
+    the scan touches only probed buckets once per covering query; the
+    per-query top-10 is a rank window under the WindowGroupLimit
+    threshold (group-limit pushdown, no full sort). At 1B vectors x
+    10k queries this is the batch-ANN join you would actually run —
+    |batch| never multiplies the scan, only the probed fraction.
+    """
+    from sqlengine_spark.functions import vdot
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "embedding")
+    cent_rows = (
+        v.select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(16)
+        .collect()
+    )  # bounded: 16 centroid rows (the ivf_topk sanction)
+    centroids = [
+        (ci, [float(x) for x in r["embedding"]])
+        for ci, r in enumerate(cent_rows)
+    ]
+    qrows = v.filter(F.col("vec_id") < 10).collect()  # bounded: 10 queries
+    probes = []
+    for qr in qrows:
+        qvec = [float(x) for x in qr["embedding"]]
+        top = sorted(
+            ((sum(a * b for a, b in zip(cvec, qvec)), ci) for ci, cvec in centroids),
+            reverse=True,
+        )[:8]
+        probes += [(int(qr["vec_id"]), ci) for _, ci in top]
+    pdf = spark.createDataFrame(probes, "q_id bigint, cid int")
+
+    def lit_vec(xs):
+        return F.array(*[F.lit(x) for x in xs])
+
+    best_cid = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    vdot(F.col("embedding"), lit_vec(cvec)).alias("d"),
+                    F.lit(ci).alias("cid"),
+                )
+                for ci, cvec in centroids
+            ]
+        )
+    )["cid"]
+    qb = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        v.withColumn("cid", best_cid)
+        .join(F.broadcast(pdf), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(qb), "q_id")
+        .select("q_id", "vec_id", vdot(F.col("embedding"), F.col("qe")).alias("dot"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", dround(F.col("dot"), 6).alias("sim"))
+        .orderBy("q_id", F.col("sim").desc(), "vec_id")
+    )
+
+
+@query(
     "l_sim_search_ivf",
     oracle="""
     WITH c AS MATERIALIZED (
