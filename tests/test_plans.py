@@ -207,6 +207,8 @@ CARTESIAN_WHITELIST = {
     "e_win_pct_of_total",       # 1-row grand-total broadcast over the
                                 # |nations|-row aggregate (the window-
                                 # free percent-of-total form)
+    "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
+                                # the vocab-bounded per-token count table
     "m_funnel_windowed",        # 1-row stage-1-denominator broadcast
                                 # over the 3-row stage union (r9 verdict
                                 # item 7 folded the old s1.count() job
