@@ -1177,6 +1177,140 @@ def l_simjoin_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l_ann_recall_eval",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+               embedding AS cvec
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ), q AS MATERIALIZED (
+        SELECT vec_id AS q_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 10
+    ), asn AS MATERIALIZED (
+        SELECT vec_id, ci AS cid
+        FROM (SELECT e.vec_id, c.ci,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY (SELECT SUM(e.embedding[s.i]::DOUBLE
+                                              * c.cvec[s.i]::DOUBLE)
+                                   FROM (SELECT unnest(generate_series(1, 64))
+                                         AS i) s) DESC, c.ci DESC) AS rn
+              FROM embeddings e, c)
+        WHERE rn = 1
+    ), pr AS MATERIALIZED (
+        SELECT q_id, ci AS cid
+        FROM (SELECT q.q_id, c.ci,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY (SELECT SUM(c.cvec[s.i]::DOUBLE
+                                              * q.qe[s.i]::DOUBLE)
+                                   FROM (SELECT unnest(generate_series(1, 64))
+                                         AS i) s) DESC, c.ci DESC) AS rn
+              FROM c, q)
+        WHERE rn <= 8
+    ), iv AS MATERIALIZED (
+        SELECT q_id, vec_id
+        FROM (SELECT s.q_id, s.vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                        ORDER BY s.dot DESC, s.vec_id) AS rn
+              FROM (SELECT q.q_id, e.vec_id,
+                           (SELECT SUM(e.embedding[s.i]::DOUBLE
+                                       * q.qe[s.i]::DOUBLE)
+                            FROM (SELECT unnest(generate_series(1, 64))
+                                  AS i) s) AS dot
+                    FROM embeddings e
+                    JOIN asn ON asn.vec_id = e.vec_id
+                    JOIN pr ON pr.cid = asn.cid
+                    JOIN q ON q.q_id = pr.q_id
+                    WHERE e.vec_id <> q.q_id) s)
+        WHERE rn <= 10
+    ), ex AS MATERIALIZED (
+        SELECT q_id, vec_id
+        FROM (SELECT q.q_id, e.vec_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY (SELECT SUM(e.embedding[s.i]::DOUBLE
+                                              * q.qe[s.i]::DOUBLE)
+                                   FROM (SELECT unnest(generate_series(1, 64))
+                                         AS i) s) DESC, e.vec_id) AS rn
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.q_id)
+        WHERE rn <= 10
+    ), hits AS (
+        SELECT iv.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM iv JOIN ex ON ex.q_id = iv.q_id AND ex.vec_id = iv.vec_id
+        GROUP BY iv.q_id
+    )
+    SELECT q.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+               AS recall_at_10
+    FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+    ORDER BY q.q_id
+    """,
+)
+def l_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX QUALITY EVAL, in-engine: recall@10 of the batched IVF
+    search (l_sim_search_ivf_batch) against the exact brute-force
+    top-10 for the same 10-query batch — the measurement an ANN
+    deployment runs before trusting a probe budget (tune n_probe from
+    the observed recall curve, not the textbook formula; the
+    l_minhash_calibration philosophy applied to the vector index).
+
+    Determinism: both arms rank by the sequential-fold dot product
+    with the vec_id tiebreak, so rank-10 boundaries are
+    engine-identical; recall is an exact-integer hit count divided by
+    10 in double — no float accumulation. Ground truth and IVF results
+    share the candidate universe (corpus minus the query itself).
+
+    Scale: the IVF arm is the probe-pruned batch plan (assignment
+    amortized, |batch| x n_probe buckets scanned); the exact arm is
+    one linear scan fanned out 10x by the broadcast query batch with a
+    group-limit top-10 — at eval time you run it on a sampled corpus
+    slice, which is exactly what a bounded query batch against a
+    partition-pruned scan gives. Both rank windows sit under the
+    WindowGroupLimit threshold.
+    """
+    from sqlengine_spark.functions import vdot
+
+    iv = l_sim_search_ivf_batch(spark, sf_dir).select("q_id", "vec_id")
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "embedding")
+    qb = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(qb))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", vdot(F.col("embedding"), F.col("qe")).alias("dot"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    ex = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    hits = iv.join(ex, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qb.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(10).cast("double")
+            ).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
+
+
+@query(
     "l_sim_search_ivf_batch",
     oracle="""
     WITH c AS MATERIALIZED (

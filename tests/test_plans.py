@@ -168,6 +168,9 @@ CARTESIAN_WHITELIST = {
     "l_topic_cooccur",       # 1-row corpus-count broadcast
     "d_agg_theta_setops",    # two 1-row sketch aggregates joined
     "l_sim_search_batch",    # 10-row query batch broadcast
+    "l_ann_recall_eval",     # same 10-row query batch broadcast (its
+                             # exact ground-truth arm); the IVF arm is
+                             # the probe-pruned keyed plan
     "l_embedding_rp",        # 8-row output-dim table broadcast (the
                              # JL sign matrix is hash-derived, never
                              # materialized; per-vector fan-out is a
