@@ -1544,3 +1544,113 @@ def m_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("forecast_next"),
     )
+
+
+@query(
+    "m_ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS yc
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY x) AS i, x, yc FROM d
+    ), init AS (
+        SELECT CAST((SELECT SUM(yc) FROM s WHERE i <= 7) AS DOUBLE)
+                   / CAST(7 AS DOUBLE) AS l7,
+               (CAST((SELECT SUM(yc) FROM s WHERE i BETWEEN 8 AND 14)
+                     AS DOUBLE) / CAST(7 AS DOUBLE)
+                - CAST((SELECT SUM(yc) FROM s WHERE i <= 7) AS DOUBLE)
+                   / CAST(7 AS DOUBLE)) / CAST(7 AS DOUBLE) AS b7
+    ), h AS (
+        SELECT 7 AS i, CAST(NULL AS BIGINT) AS x, CAST(NULL AS BIGINT) AS yc,
+               init.l7 AS lvl, init.b7 AS tr,
+               (SELECT list(CAST(yc AS DOUBLE) - init.l7 ORDER BY i)
+                FROM s WHERE i <= 7) AS seas,
+               CAST(NULL AS DOUBLE) AS fc
+        FROM init
+        WHERE (SELECT MAX(i) FROM s) >= 14
+        UNION ALL
+        SELECT s.i, s.x, s.yc,
+               ROUND((2e-1 * (CAST(s.yc AS DOUBLE) - h.seas[1])
+                      + 8e-1 * (h.lvl + h.tr)) * 1e4) / 1e4,
+               ROUND((1e-1 * ((ROUND((2e-1 * (CAST(s.yc AS DOUBLE)
+                                              - h.seas[1])
+                                      + 8e-1 * (h.lvl + h.tr)) * 1e4) / 1e4)
+                              - h.lvl)
+                      + 9e-1 * h.tr) * 1e4) / 1e4,
+               h.seas[2:7] || [
+                   ROUND((3e-1 * (CAST(s.yc AS DOUBLE)
+                                  - (ROUND((2e-1 * (CAST(s.yc AS DOUBLE)
+                                                    - h.seas[1])
+                                            + 8e-1 * (h.lvl + h.tr))
+                                           * 1e4) / 1e4))
+                          + 7e-1 * h.seas[1]) * 1e4) / 1e4],
+               ROUND(((ROUND((2e-1 * (CAST(s.yc AS DOUBLE) - h.seas[1])
+                              + 8e-1 * (h.lvl + h.tr)) * 1e4) / 1e4)
+                      + (ROUND((1e-1 * ((ROUND((2e-1 * (CAST(s.yc AS DOUBLE)
+                                                        - h.seas[1])
+                                                + 8e-1 * (h.lvl + h.tr))
+                                               * 1e4) / 1e4) - h.lvl)
+                                + 9e-1 * h.tr) * 1e4) / 1e4)
+                      + h.seas[2]) * 1e4) / 1e4
+        FROM h JOIN s ON s.i = h.i + 1
+    )
+    SELECT CAST(x AS BIGINT) AS x, yc,
+           lvl + 0 AS level_s,
+           tr + 0 AS trend_s,
+           seas[7] + 0 AS season_s,
+           fc + 0 AS forecast_next
+    FROM h WHERE i >= 8
+    """,
+)
+def m_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS ADDITIVE (triple-exponential) SMOOTHING with a
+    7-day season over the global daily revenue series (Winters 1960;
+    the public exponential-smoothing family) — the seasonal extension
+    of m_ts_holt: level l_t = a(y_t - s_(t-7)) + (1-a)(l_(t-1) +
+    b_(t-1)), trend b_t = g(l_t - l_(t-1)) + (1-g)b_(t-1), season
+    s_t = d(y_t - l_t) + (1-d)s_(t-7) with a=0.2, g=0.1, d=0.3;
+    classical init from the first two weeks (l = week-1 mean, b =
+    week-over-week mean slope / 7, s_i = y_i - l for days 1-7); emits
+    the smoothed series from day 8 plus the one-step forecast
+    l_t + b_t + s_(t-6).
+
+    Determinism: daily totals are exact integer cents (rule 6);
+    level/trend/season are re-quantized to 4 dp half-away EACH step,
+    so both engines replay the identical sequential recurrence (the
+    m_ts_holt sanction); all outputs carry +0 against rule-5b -0.0
+    (trend and season go negative). The seasonal lag is the structural
+    novelty: Spark reads it as element_at(acc, -7).s from the fold's
+    own history, DuckDB carries a 7-element seasonal list through the
+    recursive CTE — two independent formulations of the same state
+    machine, hash-compared.
+
+    Spark-first shape: the recurrence runs INSIDE Catalyst as one
+    aggregate() higher-order fold over the sort_array'd day series —
+    zero Python, zero driver loops; the day series is calendar-bounded
+    (never corpus-sized) while the heavy (day)-keyed cents rollup is a
+    map-side-partial groupBy that scales to 100 TB unchanged
+    (m_ts_holt measured 0.26x of the single-process engine at x100 on
+    the same shape).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x")
+    ).agg(F.sum((F.col("value") * 100).cast("bigint")).alias("yc"))
+    srow = daily.agg(
+        F.sort_array(F.collect_list(F.struct("x", "yc"))).alias("s")
+    ).filter(F.size("s") >= 14)
+    rec = "aggregate(slice(s, 8, size(s) - 7), transform(slice(s, 1, 7), u -> named_struct('init', true, 'x', u.x, 'yc', u.yc, 'lvl', CAST(aggregate(slice(s, 1, 7), CAST(0 AS BIGINT), (a, u) -> a + u.yc) AS DOUBLE) / CAST(7 AS DOUBLE), 'tr', ((CAST(aggregate(slice(s, 8, 7), CAST(0 AS BIGINT), (a, u) -> a + u.yc) AS DOUBLE) / CAST(7 AS DOUBLE)) - (CAST(aggregate(slice(s, 1, 7), CAST(0 AS BIGINT), (a, u) -> a + u.yc) AS DOUBLE) / CAST(7 AS DOUBLE))) / CAST(7 AS DOUBLE), 's', CAST(u.yc AS DOUBLE) - (CAST(aggregate(slice(s, 1, 7), CAST(0 AS BIGINT), (a, u) -> a + u.yc) AS DOUBLE) / CAST(7 AS DOUBLE)), 'fc', CAST(NULL AS DOUBLE))), (acc, e) -> concat(acc, array(named_struct('init', false, 'x', e.x, 'yc', e.yc, 'lvl', ROUND((2e-1 * (CAST(e.yc AS DOUBLE) - element_at(acc, -7).s) + 8e-1 * (element_at(acc, -1).lvl + element_at(acc, -1).tr)) * 1e4) / 1e4, 'tr', ROUND((1e-1 * ((ROUND((2e-1 * (CAST(e.yc AS DOUBLE) - element_at(acc, -7).s) + 8e-1 * (element_at(acc, -1).lvl + element_at(acc, -1).tr)) * 1e4) / 1e4) - element_at(acc, -1).lvl) + 9e-1 * element_at(acc, -1).tr) * 1e4) / 1e4, 's', ROUND((3e-1 * (CAST(e.yc AS DOUBLE) - (ROUND((2e-1 * (CAST(e.yc AS DOUBLE) - element_at(acc, -7).s) + 8e-1 * (element_at(acc, -1).lvl + element_at(acc, -1).tr)) * 1e4) / 1e4)) + 7e-1 * element_at(acc, -7).s) * 1e4) / 1e4, 'fc', ROUND(((ROUND((2e-1 * (CAST(e.yc AS DOUBLE) - element_at(acc, -7).s) + 8e-1 * (element_at(acc, -1).lvl + element_at(acc, -1).tr)) * 1e4) / 1e4) + (ROUND((1e-1 * ((ROUND((2e-1 * (CAST(e.yc AS DOUBLE) - element_at(acc, -7).s) + 8e-1 * (element_at(acc, -1).lvl + element_at(acc, -1).tr)) * 1e4) / 1e4) - element_at(acc, -1).lvl) + 9e-1 * element_at(acc, -1).tr) * 1e4) / 1e4) + element_at(acc, -6).s) * 1e4) / 1e4))))"
+    return (
+        srow.select(F.explode(F.expr(rec)).alias("e"))
+        .filter(~F.col("e.init"))
+        .select(
+            F.col("e.x").cast("bigint").alias("x"),
+            F.col("e.yc").alias("yc"),
+            (F.col("e.lvl") + F.lit(0.0)).alias("level_s"),
+            (F.col("e.tr") + F.lit(0.0)).alias("trend_s"),
+            (F.col("e.s") + F.lit(0.0)).alias("season_s"),
+            (F.col("e.fc") + F.lit(0.0)).alias("forecast_next"),
+        )
+    )
