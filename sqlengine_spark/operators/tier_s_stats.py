@@ -1659,3 +1659,206 @@ def a_scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fin.price").alias("price"),
         F.col("meta.priority").alias("priority"),
     )
+
+
+@query(
+    "m_ab_ratio_delta",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE arm = 'A') AS BIGINT) AS ua,
+               CAST(COUNT(*) FILTER (WHERE arm = 'B') AS BIGINT) AS ub,
+               CAST(SUM(x) FILTER (WHERE arm = 'A') AS BIGINT) AS sxa,
+               CAST(SUM(n) FILTER (WHERE arm = 'A') AS BIGINT) AS sna,
+               CAST(SUM(x * x) FILTER (WHERE arm = 'A') AS BIGINT) AS sxxa,
+               CAST(SUM(n * n) FILTER (WHERE arm = 'A') AS BIGINT) AS snna,
+               CAST(SUM(x * n) FILTER (WHERE arm = 'A') AS BIGINT) AS sxna,
+               CAST(SUM(x) FILTER (WHERE arm = 'B') AS BIGINT) AS sxb,
+               CAST(SUM(n) FILTER (WHERE arm = 'B') AS BIGINT) AS snb,
+               CAST(SUM(x * x) FILTER (WHERE arm = 'B') AS BIGINT) AS sxxb,
+               CAST(SUM(n * n) FILTER (WHERE arm = 'B') AS BIGINT) AS snnb,
+               CAST(SUM(x * n) FILTER (WHERE arm = 'B') AS BIGINT) AS sxnb
+        FROM u
+    ), c AS (
+        SELECT ua, ub,
+               CAST(sxa AS DOUBLE) / CAST(sna AS DOUBLE) AS ra,
+               CAST(sxb AS DOUBLE) / CAST(snb AS DOUBLE) AS rb,
+               (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
+                    / CAST(ua AS DOUBLE)) / CAST(NULLIF(ua - 1, 0) AS DOUBLE) AS vxa,
+               (CAST(snna AS DOUBLE) - CAST(sna AS DOUBLE) * CAST(sna AS DOUBLE)
+                    / CAST(ua AS DOUBLE)) / CAST(NULLIF(ua - 1, 0) AS DOUBLE) AS vna,
+               (CAST(sxna AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sna AS DOUBLE)
+                    / CAST(ua AS DOUBLE)) / CAST(NULLIF(ua - 1, 0) AS DOUBLE) AS cxa,
+               (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
+                    / CAST(ub AS DOUBLE)) / CAST(NULLIF(ub - 1, 0) AS DOUBLE) AS vxb,
+               (CAST(snnb AS DOUBLE) - CAST(snb AS DOUBLE) * CAST(snb AS DOUBLE)
+                    / CAST(ub AS DOUBLE)) / CAST(NULLIF(ub - 1, 0) AS DOUBLE) AS vnb,
+               (CAST(sxnb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(snb AS DOUBLE)
+                    / CAST(ub AS DOUBLE)) / CAST(NULLIF(ub - 1, 0) AS DOUBLE) AS cxb,
+               CAST(sna AS DOUBLE) / CAST(ua AS DOUBLE) AS mna,
+               CAST(snb AS DOUBLE) / CAST(ub AS DOUBLE) AS mnb
+        FROM m
+    ), s AS (
+        SELECT ua, ub, ra, rb,
+               sqrt((vxa - 2e0 * ra * cxa + ra * ra * vna)
+                    / CAST(ua AS DOUBLE)) / mna AS sea,
+               sqrt((vxb - 2e0 * rb * cxb + rb * rb * vnb)
+                    / CAST(ub AS DOUBLE)) / mnb AS seb
+        FROM c
+    ), f AS (
+        SELECT ua, ub, ra, rb, ra - rb AS diff,
+               sqrt(sea * sea + seb * seb) AS se
+        FROM s
+    )
+    SELECT ua AS users_a, ub AS users_b,
+           ROUND(ra * 1e6, 0) / 1e6 + 0 AS ratio_a,
+           ROUND(rb * 1e6, 0) / 1e6 + 0 AS ratio_b,
+           ROUND(diff * 1e6, 0) / 1e6 + 0 AS diff,
+           ROUND(se * 1e6, 0) / 1e6 + 0 AS se,
+           ROUND(diff / se * 1e4, 0) / 1e4 + 0 AS z,
+           ROUND((diff - 196e-2 * se) * 1e6, 0) / 1e6 + 0 AS ci_lo,
+           ROUND((diff + 196e-2 * se) * 1e6, 0) / 1e6 + 0 AS ci_hi
+    FROM f
+    """,
+)
+def m_ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD RATIO-METRIC A/B READOUT (Deng et al., KDD 2018 —
+    public method): the metric is revenue-per-event, a RATIO of two
+    user-level sums, so the naive per-event variance is wrong
+    (events within a user are correlated); the delta method gives
+    se(R) = sqrt(var_x - 2R cov(x,n) + R^2 var_n) / (sqrt(U) *
+    mean_n) from user-level moments. Completes the experimentation
+    family next to m_ab_test_ztest (proportions) and m_ab_cuped
+    (variance reduction): this is the readout platforms use for any
+    per-event or per-session metric.
+
+    Determinism: same md5-nibble hash split as m_ab_test_ztest; all
+    ten per-arm moments are exact BIGINT sums of integer cents (x*x
+    at this fixture's magnitudes stays far below 2^63; at ~100x the
+    production fix is Welford/HUGEINT — the l_ml_linreg_normal note);
+    ratios, variances, z and the 95% CI are the IDENTICAL double
+    expression both engines (1.96 spelled 196e-2 per rule 12d);
+    NULLIF guards the U-1 Bessel denominators; every output that can
+    straddle zero carries the +0 guard (rule 5b).
+
+    Scale: one events scan -> user-keyed partial-agg (map-side
+    combine) -> one 12-scalar aggregate -> 1 row; 100 TB of events
+    shuffles |users| thin rows, the m_ab_test_ztest shape exactly.
+    """
+    e = table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum((F.col("value") * 100).cast("bigint")).alias("x"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                    "0", "1", "2", "3", "4", "5", "6", "7"
+                ),
+                "A",
+            )
+            .otherwise("B")
+            .alias("arm"),
+            "x",
+            "n",
+        )
+    )
+
+    def arm_aggs(tag: str):
+        cond = F.col("arm") == tag
+        t = tag.lower()
+        return [
+            F.count(F.when(cond, 1)).alias(f"u{t}"),
+            F.sum(F.when(cond, F.col("x")).otherwise(0)).cast("bigint").alias(f"sx{t}"),
+            F.sum(F.when(cond, F.col("n")).otherwise(0)).cast("bigint").alias(f"sn{t}"),
+            F.sum(F.when(cond, F.col("x") * F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxx{t}"),
+            F.sum(F.when(cond, F.col("n") * F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"snn{t}"),
+            F.sum(F.when(cond, F.col("x") * F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxn{t}"),
+        ]
+
+    m = u.agg(*(arm_aggs("A") + arm_aggs("B")))
+
+    def d(c):  # CAST(col AS DOUBLE), mirroring the oracle
+        return F.col(c).cast("double")
+
+    def bessel(sq, s1, s2, uu):
+        return (d(sq) - d(s1) * d(s2) / d(uu)) / F.nullif(
+            F.col(uu) - 1, F.lit(0)
+        ).cast("double")
+
+    c = m.select(
+        "ua",
+        "ub",
+        (d("sxa") / d("sna")).alias("ra"),
+        (d("sxb") / d("snb")).alias("rb"),
+        bessel("sxxa", "sxa", "sxa", "ua").alias("vxa"),
+        bessel("snna", "sna", "sna", "ua").alias("vna"),
+        bessel("sxna", "sxa", "sna", "ua").alias("cxa"),
+        bessel("sxxb", "sxb", "sxb", "ub").alias("vxb"),
+        bessel("snnb", "snb", "snb", "ub").alias("vnb"),
+        bessel("sxnb", "sxb", "snb", "ub").alias("cxb"),
+        (d("sna") / d("ua")).alias("mna"),
+        (d("snb") / d("ub")).alias("mnb"),
+    )
+    s = c.select(
+        "ua",
+        "ub",
+        "ra",
+        "rb",
+        (
+            F.sqrt(
+                (
+                    F.col("vxa")
+                    - F.lit(2.0) * F.col("ra") * F.col("cxa")
+                    + F.col("ra") * F.col("ra") * F.col("vna")
+                )
+                / d("ua")
+            )
+            / F.col("mna")
+        ).alias("sea"),
+        (
+            F.sqrt(
+                (
+                    F.col("vxb")
+                    - F.lit(2.0) * F.col("rb") * F.col("cxb")
+                    + F.col("rb") * F.col("rb") * F.col("vnb")
+                )
+                / d("ub")
+            )
+            / F.col("mnb")
+        ).alias("seb"),
+    )
+    f = s.select(
+        "ua",
+        "ub",
+        "ra",
+        "rb",
+        (F.col("ra") - F.col("rb")).alias("diff"),
+        F.sqrt(F.col("sea") * F.col("sea") + F.col("seb") * F.col("seb")).alias("se"),
+    )
+    return f.select(
+        F.col("ua").alias("users_a"),
+        F.col("ub").alias("users_b"),
+        dround(F.col("ra"), 6).alias("ratio_a"),
+        dround(F.col("rb"), 6).alias("ratio_b"),
+        dround(F.col("diff"), 6).alias("diff"),
+        dround(F.col("se"), 6).alias("se"),
+        dround(F.col("diff") / F.col("se"), 4).alias("z"),
+        dround(F.col("diff") - F.lit(1.96) * F.col("se"), 6).alias("ci_lo"),
+        dround(F.col("diff") + F.lit(1.96) * F.col("se"), 6).alias("ci_hi"),
+    )
