@@ -66,6 +66,12 @@ HEADLINE = [
                              # residuals (1.6x/1.4x of the single-
                              # process engine at x10/x100 — BASELINE.md
                              # round-9 note; tracks event analytics)
+    "l_span_corrupt",        # round 10: T5-style span corruption — the
+                             # whole-corpus data-prep TRANSFORM class
+                             # (posexplode fan-out + per-doc windows +
+                             # conditional collect reassembly); x10
+                             # ratio 1.88 vs the single-process engine
+                             # at build time (BASELINE.md round-10)
     "l_graph_triangles",     # round 9: benched after the edge-iterator
                              # rewrite (adjacency-array intersects
                              # in-task instead of shuffling the 41M-row
