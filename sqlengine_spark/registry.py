@@ -31,12 +31,15 @@ _ORACLES: dict[str, str] = {}
 #: round 9 AFTER its window filled (newest first), l_sim_search_ivf
 #: (graduated to a SQL oracle in r9; its only prior row is the
 #: pre-graduation rows-only record from r4, so the hash path has never
-#: earned a driver row), the 33 staged oracled keys, one filler from
-#: the r11 queue, and a 2-key rows-only tail. ROUND-10 ARITHMETIC
-#: (registry = 358 keys at rotation time): 291 keys hold driver rows
-#: from r1-r9; this window adds 46 fresh rows (4 anchors re-prove)
-#: → 337 covered after r10, backlog 21 (+1 per r10 build that
-#: displaces a slot) closes in ROUND 11.
+#: earned a driver row), the staged oracled backlog keys, and a 1-key
+#: rows-only tail. FINAL ROUND-10 ARITHMETIC (registry = 364 keys
+#: after the 6 round-10 builds, each of which took a window slot and
+#: displaced one staged key back to the r11 queue): 289 keys hold
+#: driver rows from r1-r9 for their current oracle surface
+#: (l_sim_search_ivf's r4 rows-only record predates its oracle, so it
+#: re-earns a hash row here); this window adds 46 fresh rows (4
+#: anchors re-prove) → 335 covered after r10, backlog 29 closes in
+#: ROUND 11 (+1 per r11 build).
 #: Keys verified in r1-r9 sit dead last (they re-verify if the window
 #: ever widens).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
