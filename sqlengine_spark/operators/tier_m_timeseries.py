@@ -1654,3 +1654,103 @@ def m_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e.fc") + F.lit(0.0)).alias("forecast_next"),
         )
     )
+
+
+@query(
+    "m_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        FROM events GROUP BY user_id
+    ), sz AS (
+        SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM f GROUP BY cw
+    ), r AS (
+        SELECT f.cw,
+               CAST((CAST(date_trunc('week', e.ts) AS DATE)
+                     - CAST(f.cw AS DATE)) // 7 AS BIGINT) AS age_week,
+               CAST(SUM(CAST(trunc(e.value * 100) AS BIGINT))
+                    AS BIGINT) AS week_cents
+        FROM events e JOIN f ON f.user_id = e.user_id
+        GROUP BY 1, 2
+    ), c AS (
+        SELECT cw, age_week, week_cents,
+               CAST(SUM(week_cents) OVER (
+                   PARTITION BY cw ORDER BY age_week
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM r
+    )
+    SELECT CAST(CAST(c.cw AS DATE) AS VARCHAR) AS cohort_week,
+           age_week, week_cents, cum_cents, sz.cohort_users,
+           ROUND(CAST(cum_cents AS DOUBLE) / CAST(sz.cohort_users AS DOUBLE)
+                 / 1e2 * 1e4, 0) / 1e4 + 0 AS ltv_per_user
+    FROM c JOIN sz ON sz.cw = c.cw
+    ORDER BY cohort_week, age_week
+    """,
+)
+def m_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE CURVES: users grouped by first-event week
+    (the m_cohort_retention cohorts), revenue accumulated by cohort
+    AGE — cumulative dollars per cohort member at each week of life,
+    the monetary readout subscription/growth teams pair with the
+    retention triangle (retention says who came back; LTV says what
+    they were worth).
+
+    Determinism: revenue quantizes to integer cents per event (rule
+    6), so the (cohort, age) rollup and the running cumulative are
+    exact BIGINT — integer window sums are immune to the rule-9
+    segment-tree-vs-sequential float divergence; ltv_per_user is one
+    mirrored double expression over exact integers (cents → dollars
+    via / 1e2), rounded 4 dp with the +0 guard. Week arithmetic is
+    Monday-truncated dates and exact multiples of 7 in both engines;
+    cohort_week is a derived DATE projected as yyyy-MM-dd (rule 3).
+
+    Scale: the first-event table and the revenue rollup share the
+    user_id partitioning; after the user-keyed join everything
+    aggregates to the |cohorts| x |ages| calendar grid — window and
+    final join are calendar-sized, independent of event volume; the
+    cohort-size table broadcasts.
+    """
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    sz = f.groupBy("cw").agg(F.count("*").alias("cohort_users"))
+    r = (
+        e.join(f, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.date_trunc("week", "ts"), F.col("cw")) / 7)
+            .cast("bigint")
+            .alias("age_week"),
+        )
+        .agg(F.sum((F.col("value") * 100).cast("bigint")).alias("week_cents"))
+    )
+    wc = (
+        W.partitionBy("cw")
+        .orderBy("age_week")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = r.select(
+        "cw",
+        "age_week",
+        "week_cents",
+        F.sum("week_cents").over(wc).cast("bigint").alias("cum_cents"),
+    )
+    return (
+        c.join(F.broadcast(sz), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "age_week",
+            "week_cents",
+            "cum_cents",
+            "cohort_users",
+            dround(
+                F.col("cum_cents").cast("double")
+                / F.col("cohort_users").cast("double")
+                / F.lit(1e2),
+                4,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
