@@ -1754,3 +1754,107 @@ def m_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_week")
     )
+
+
+@query(
+    "m_ts_forecast_eval",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS yc
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY x) AS i, x, yc FROM d
+    ), h AS (
+        SELECT 1 AS i, s1.x, s1.yc,
+               CAST(s1.yc AS DOUBLE) AS lvl,
+               CAST(s2.yc AS DOUBLE) - CAST(s1.yc AS DOUBLE) AS tr
+        FROM s s1 JOIN s s2 ON s1.i = 1 AND s2.i = 2
+        UNION ALL
+        SELECT s.i, s.x, s.yc,
+               ROUND((2e-1 * CAST(s.yc AS DOUBLE)
+                      + 8e-1 * (h.lvl + h.tr)) * 1e4) / 1e4,
+               ROUND((1e-1 * (ROUND((2e-1 * CAST(s.yc AS DOUBLE)
+                                     + 8e-1 * (h.lvl + h.tr)) * 1e4) / 1e4
+                              - h.lvl)
+                      + 9e-1 * h.tr) * 1e4) / 1e4
+        FROM h JOIN s ON s.i = h.i + 1
+    ), fc AS (
+        SELECT x, yc,
+               ROUND((lvl + tr) * 1e4) / 1e4 AS fc,
+               LEAD(yc) OVER (ORDER BY x) AS y_next
+        FROM h
+    ), e AS (
+        SELECT CAST(FLOOR(ABS(CAST(y_next AS DOUBLE) - fc)
+                          / CAST(y_next AS DOUBLE) * 1e9 + 0.5)
+                    AS BIGINT) AS ape,
+               CAST(FLOOR(ABS(CAST(y_next AS DOUBLE) - fc)
+                          / ((CAST(y_next AS DOUBLE) + ABS(fc)) / 2e0)
+                          * 1e9 + 0.5) AS BIGINT) AS sape,
+               CAST(FLOOR(ABS(CAST(y_next AS DOUBLE) - fc) * 1e2 + 0.5)
+                    AS BIGINT) AS ae
+        FROM fc WHERE y_next IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_evals,
+           ROUND(CAST(SUM(ape) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1e9 * 1e6, 0) / 1e6 + 0 AS mape,
+           ROUND(CAST(SUM(sape) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1e9 * 1e6, 0) / 1e6 + 0 AS smape,
+           ROUND(CAST(SUM(ae) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1e2 * 1e4, 0) / 1e4 + 0 AS mae_cents
+    FROM e
+    """,
+)
+def m_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST READOUT: one-step-ahead MAPE / sMAPE / MAE of
+    the m_ts_holt forecasts against the NEXT day's actual revenue —
+    the walk-forward evaluation a pipeline runs before trusting any
+    smoother's alpha/gamma (every day's forecast uses only prior days,
+    so this is a true out-of-sample backtest, not a fit statistic).
+
+    Determinism: builds directly on m_ts_holt's output (its level/
+    trend recurrence is re-quantized each step, so forecast_next is an
+    exact 4-dp grid double in both engines); each per-day error ratio
+    is half-up quantized to 1e-9 fixed-point BIGINT BEFORE the sum
+    (rule 11e — cross-row float summation is never trusted to order),
+    and the final means are one mirrored double expression. All
+    outputs are non-negative ratios but carry +0 anyway.
+
+    Scale: inherits m_ts_holt's shape — the corpus-sized work is the
+    daily cents rollup (map-side-partial groupBy); the backtest join
+    is a LEAD window over the calendar-bounded day series and the
+    readout is a 4-scalar aggregate of a ~|days| frame.
+    """
+    h = m_ts_holt(spark, sf_dir)
+    wo = W.orderBy("x")
+    fc = h.select(
+        "x",
+        "yc",
+        (F.round((F.col("level_s") + F.col("trend_s")) * 1e4) / 1e4).alias("fc"),
+        F.lead("yc").over(wo).alias("y_next"),
+    ).filter(F.col("y_next").isNotNull())
+    yd = F.col("y_next").cast("double")
+    err = F.abs(yd - F.col("fc"))
+    e = fc.select(
+        F.floor(err / yd * 1e9 + 0.5).cast("bigint").alias("ape"),
+        F.floor(err / ((yd + F.abs(F.col("fc"))) / F.lit(2.0)) * 1e9 + 0.5)
+        .cast("bigint")
+        .alias("sape"),
+        F.floor(err * 1e2 + 0.5).cast("bigint").alias("ae"),
+    )
+    n = F.count("*").cast("bigint")
+    return e.agg(
+        n.alias("n_evals"),
+        dround(
+            F.sum("ape").cast("double") / F.count("*").cast("double") / F.lit(1e9),
+            6,
+        ).alias("mape"),
+        dround(
+            F.sum("sape").cast("double") / F.count("*").cast("double") / F.lit(1e9),
+            6,
+        ).alias("smape"),
+        dround(
+            F.sum("ae").cast("double") / F.count("*").cast("double") / F.lit(1e2),
+            4,
+        ).alias("mae_cents"),
+    )

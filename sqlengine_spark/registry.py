@@ -55,6 +55,7 @@ PRIORITY_ORDER = (
     #    first (newest-built first), then the round-10 oracle
     #    graduation, then the 9 operators built in round 9 after its
     #    window filled ... --
+    "m_ts_forecast_eval",
     "m_cohort_ltv",
     "m_ab_ratio_delta",
     "m_ts_holt_winters",
@@ -101,12 +102,12 @@ PRIORITY_ORDER = (
     "g_except_all",
     "g_intersect_all",
     "g_union_byname_missing",
-    "h_bitwise",
     #    ... and the rows-only tail (ran-clean rows only:
     #    sketch/stub paths; must be the LAST window slot). --
     "i_sample_stratified",
     # -- ROUND-11 QUEUE (swap into slots 5-50 next round): the
-    #    remaining never-driver-checked backlog, 29 keys. --
+    #    remaining never-driver-checked backlog, 30 keys. --
+    "h_bitwise",
     "h_struct_funcs",
     "h_str_fuzzy",
     "h_date_format",

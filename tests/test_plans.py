@@ -256,6 +256,11 @@ LINT_SKIP = {
 # WindowExec: input provably bounded before the window.
 GLOBAL_WINDOW_WHITELIST = {
     "i_monotonic_id_rank",  # filter-bounded input, docstring-scoped
+    "m_ts_forecast_eval",   # LEAD over the CALENDAR-bounded day series
+                            # (|days| rows after the daily cents
+                            # rollup — the m_ts_holt bounded class);
+                            # the corpus-sized work happens in the
+                            # partial-agg rollup below it
     "l_rag_rerank_rrf",     # rank assignment over the top-RRF_DEPTH
                             # (50-row) candidate list per retriever —
                             # depth-bounded by construction (TakeOrdered
