@@ -280,7 +280,6 @@ def pq_topk(
     kmeans_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
 ) -> DataFrame:
     """PRODUCT-QUANTIZATION approximate top-k (Jégou et al.'s PQ): the
     memory-compression path of the ANN family — vectors are stored as
@@ -288,14 +287,22 @@ def pq_topk(
     bytes vs 256 bytes raw, 32×), and queries score against codes via
     an ADC lookup table without ever touching raw vectors.
 
-    Training: a deterministic seeded sample (smallest ``xxhash64(id,
-    seed)`` — PQ keeps the production hash; ivf_topk switched to md5
-    for its oracle graduation) of ``n_train`` vectors; per sub-space
-    k-means with fixed init (first ``ksub`` sample rows) and a fixed
-    iteration count — no RNG anywhere, so codebooks, codes, and scores
-    are bit-reproducible run to run (asserted in tests/test_ann.py).
-    Codebooks are m·ksub·(dim/m) floats of bounded driver state (the
-    l_kmeans_assign sanction).
+    Training: a deterministic sample (smallest ``md5(id)`` — switched
+    from xxhash64 in round 10 so the DuckDB oracle replays the
+    IDENTICAL sample, the ivf_topk graduation convention) of
+    ``n_train`` vectors; per sub-space k-means with fixed init (first
+    ``ksub`` sample rows) and a fixed iteration count; after EVERY
+    iteration the centroids are half-away quantized to 12 dp (the
+    l_kmeans_assign iterated-value pin), so the next iteration's
+    assignments — and ultimately codes, LUT and scores — compare
+    bit-identical doubles cross-engine. No RNG anywhere; run-to-run
+    bit-determinism asserted in tests/test_ann.py. Codebooks are
+    m·ksub·(dim/m) floats of bounded driver state (the l_kmeans_assign
+    sanction). Within-cluster means use numpy's pairwise summation vs
+    the oracle's AVG — both land on the same 12-dp grid (ulp noise
+    ~1e-16 on unit-scale values vs the 5e-13 grid half-width; the same
+    tolerance argument l_kmeans_assign graduated under, stress-checked
+    at sf0.1).
 
     Encoding: ONE Arrow-batched mapInPandas pass; each batch argmins
     against the broadcast codebooks with a vectorized numpy distance —
@@ -314,7 +321,7 @@ def pq_topk(
 
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     train_rows = (
-        v.select("vid", "vec", F.xxhash64(F.col("vid"), F.lit(seed)).alias("h"))
+        v.select("vid", "vec", F.md5(F.col("vid").cast("string")).alias("h"))
         .orderBy("h", "vid")
         .limit(n_train)
         .collect()
@@ -324,6 +331,13 @@ def pq_topk(
     if dim % m:
         raise ValueError(f"pq_topk: dim {dim} not divisible by m {m}")
     dsub = dim // m
+
+    def q12(a):
+        # half-away-from-zero 12-dp quantizer == ROUND(x*1e12)/1e12 in
+        # DuckDB and dround(x, 12) in Spark — the iterated-value pin
+        y = a * 1e12
+        return np.copysign(np.floor(np.abs(y) + 0.5), y) / 1e12
+
     books = []  # m arrays of (ksub, dsub)
     for j in range(m):
         sub = X[:, j * dsub : (j + 1) * dsub]
@@ -334,7 +348,7 @@ def pq_topk(
             for c in range(ksub):
                 mask = assign == c
                 if mask.any():
-                    cents[c] = sub[mask].mean(0)
+                    cents[c] = q12(sub[mask].mean(0))
         books.append(cents)
 
     def encode(batches):

@@ -2046,7 +2046,136 @@ def l_sim_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l_sim_search_pq")
+def _pq_oracle() -> str:
+    """DuckDB replay of the ENTIRE PQ pipeline (round-10 graduation,
+    seventh rows-only graduate): md5-ordered 256-row training sample,
+    3 unrolled sub-space k-means iterations with 12-dp half-away
+    quantized means and empty-cluster carry-over (the l_kmeans_assign
+    recipe), argmin encoding with the (dist, c) tie rule, the ADC
+    lookup table pivoted into one nested list so the per-vector score
+    is an explicit left-associated 16-term chain (matching Spark's
+    literal-lookup fold term for term), candidate top-100 by the
+    6-dp-rounded ADC score, and the exact re-rank as the ordered
+    64-term sequential dot. Every distance/dot is a left-assoc
+    explicit expression = numpy's sequential reduce over the same
+    doubles."""
+    return """
+    WITH sm AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS i,
+               embedding AS v
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 256
+    ), sv AS MATERIALIZED (
+        SELECT sm.i, j.j, [sm.v[(j.j - 1) * 4 + 1]::DOUBLE, sm.v[(j.j - 1) * 4 + 2]::DOUBLE, sm.v[(j.j - 1) * 4 + 3]::DOUBLE, sm.v[(j.j - 1) * 4 + 4]::DOUBLE] AS s
+        FROM sm, (SELECT unnest(generate_series(1, 16)) AS j) j
+    ), cb0 AS MATERIALIZED (
+        SELECT j, i - 1 AS c, s AS w FROM sv WHERE i <= 16
+    )    , a1 AS MATERIALIZED (
+        SELECT i, j, c FROM (
+            SELECT sv.i, sv.j, cb.c,
+                   ROW_NUMBER() OVER (PARTITION BY sv.i, sv.j
+                                      ORDER BY (sv.s[1] - cb.w[1]) * (sv.s[1] - cb.w[1]) + (sv.s[2] - cb.w[2]) * (sv.s[2] - cb.w[2]) + (sv.s[3] - cb.w[3]) * (sv.s[3] - cb.w[3]) + (sv.s[4] - cb.w[4]) * (sv.s[4] - cb.w[4]) ASC,
+                                               cb.c ASC) AS rn
+            FROM sv JOIN cb0 cb ON cb.j = sv.j)
+        WHERE rn = 1
+    ), m1 AS MATERIALIZED (
+        SELECT a.j, a.c,
+               ROUND(AVG(sv.s[1]) * 1e12) / 1e12 AS w1, ROUND(AVG(sv.s[2]) * 1e12) / 1e12 AS w2, ROUND(AVG(sv.s[3]) * 1e12) / 1e12 AS w3, ROUND(AVG(sv.s[4]) * 1e12) / 1e12 AS w4
+        FROM a1 a JOIN sv ON sv.i = a.i AND sv.j = a.j
+        GROUP BY a.j, a.c
+    ), cb1 AS MATERIALIZED (
+        SELECT cb.j, cb.c,
+               CASE WHEN m.c IS NULL THEN cb.w
+                    ELSE [m.w1, m.w2, m.w3, m.w4] END AS w
+        FROM cb0 cb LEFT JOIN m1 m ON m.j = cb.j AND m.c = cb.c
+    )    , a2 AS MATERIALIZED (
+        SELECT i, j, c FROM (
+            SELECT sv.i, sv.j, cb.c,
+                   ROW_NUMBER() OVER (PARTITION BY sv.i, sv.j
+                                      ORDER BY (sv.s[1] - cb.w[1]) * (sv.s[1] - cb.w[1]) + (sv.s[2] - cb.w[2]) * (sv.s[2] - cb.w[2]) + (sv.s[3] - cb.w[3]) * (sv.s[3] - cb.w[3]) + (sv.s[4] - cb.w[4]) * (sv.s[4] - cb.w[4]) ASC,
+                                               cb.c ASC) AS rn
+            FROM sv JOIN cb1 cb ON cb.j = sv.j)
+        WHERE rn = 1
+    ), m2 AS MATERIALIZED (
+        SELECT a.j, a.c,
+               ROUND(AVG(sv.s[1]) * 1e12) / 1e12 AS w1, ROUND(AVG(sv.s[2]) * 1e12) / 1e12 AS w2, ROUND(AVG(sv.s[3]) * 1e12) / 1e12 AS w3, ROUND(AVG(sv.s[4]) * 1e12) / 1e12 AS w4
+        FROM a2 a JOIN sv ON sv.i = a.i AND sv.j = a.j
+        GROUP BY a.j, a.c
+    ), cb2 AS MATERIALIZED (
+        SELECT cb.j, cb.c,
+               CASE WHEN m.c IS NULL THEN cb.w
+                    ELSE [m.w1, m.w2, m.w3, m.w4] END AS w
+        FROM cb1 cb LEFT JOIN m2 m ON m.j = cb.j AND m.c = cb.c
+    )    , a3 AS MATERIALIZED (
+        SELECT i, j, c FROM (
+            SELECT sv.i, sv.j, cb.c,
+                   ROW_NUMBER() OVER (PARTITION BY sv.i, sv.j
+                                      ORDER BY (sv.s[1] - cb.w[1]) * (sv.s[1] - cb.w[1]) + (sv.s[2] - cb.w[2]) * (sv.s[2] - cb.w[2]) + (sv.s[3] - cb.w[3]) * (sv.s[3] - cb.w[3]) + (sv.s[4] - cb.w[4]) * (sv.s[4] - cb.w[4]) ASC,
+                                               cb.c ASC) AS rn
+            FROM sv JOIN cb2 cb ON cb.j = sv.j)
+        WHERE rn = 1
+    ), m3 AS MATERIALIZED (
+        SELECT a.j, a.c,
+               ROUND(AVG(sv.s[1]) * 1e12) / 1e12 AS w1, ROUND(AVG(sv.s[2]) * 1e12) / 1e12 AS w2, ROUND(AVG(sv.s[3]) * 1e12) / 1e12 AS w3, ROUND(AVG(sv.s[4]) * 1e12) / 1e12 AS w4
+        FROM a3 a JOIN sv ON sv.i = a.i AND sv.j = a.j
+        GROUP BY a.j, a.c
+    ), cb3 AS MATERIALIZED (
+        SELECT cb.j, cb.c,
+               CASE WHEN m.c IS NULL THEN cb.w
+                    ELSE [m.w1, m.w2, m.w3, m.w4] END AS w
+        FROM cb2 cb LEFT JOIN m3 m ON m.j = cb.j AND m.c = cb.c
+    )
+    , vv AS MATERIALIZED (
+        SELECT e.vec_id, j.j, [e.embedding[(j.j - 1) * 4 + 1]::DOUBLE, e.embedding[(j.j - 1) * 4 + 2]::DOUBLE, e.embedding[(j.j - 1) * 4 + 3]::DOUBLE, e.embedding[(j.j - 1) * 4 + 4]::DOUBLE] AS s
+        FROM embeddings e, (SELECT unnest(generate_series(1, 16)) AS j) j
+    ), code AS MATERIALIZED (
+        SELECT vec_id, j, c FROM (
+            SELECT vv.vec_id, vv.j, cb.c,
+                   ROW_NUMBER() OVER (PARTITION BY vv.vec_id, vv.j
+                                      ORDER BY (vv.s[1] - cb.w[1]) * (vv.s[1] - cb.w[1]) + (vv.s[2] - cb.w[2]) * (vv.s[2] - cb.w[2]) + (vv.s[3] - cb.w[3]) * (vv.s[3] - cb.w[3]) + (vv.s[4] - cb.w[4]) * (vv.s[4] - cb.w[4]) ASC,
+                                               cb.c ASC) AS rn
+            FROM vv JOIN cb3 cb ON cb.j = vv.j)
+        WHERE rn = 1
+    ), cl AS MATERIALIZED (
+        SELECT vec_id, list(c ORDER BY j) AS cs FROM code GROUP BY vec_id
+    ), q AS MATERIALIZED (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), lv AS MATERIALIZED (
+        SELECT cb.j, cb.c, q.qe[(cb.j - 1) * 4 + 1]::DOUBLE * cb.w[1] + q.qe[(cb.j - 1) * 4 + 2]::DOUBLE * cb.w[2] + q.qe[(cb.j - 1) * 4 + 3]::DOUBLE * cb.w[3] + q.qe[(cb.j - 1) * 4 + 4]::DOUBLE * cb.w[4] AS v
+        FROM cb3 cb, q
+    ), lutl AS MATERIALIZED (
+        SELECT j, list(v ORDER BY c) AS lv FROM lv GROUP BY j
+    ), lut2 AS MATERIALIZED (
+        SELECT list(lv ORDER BY j) AS L FROM lutl
+    ), sc AS MATERIALIZED (
+        SELECT cl.vec_id, lut2.L[1][cl.cs[1] + 1] + lut2.L[2][cl.cs[2] + 1] + lut2.L[3][cl.cs[3] + 1] + lut2.L[4][cl.cs[4] + 1] + lut2.L[5][cl.cs[5] + 1] + lut2.L[6][cl.cs[6] + 1] + lut2.L[7][cl.cs[7] + 1] + lut2.L[8][cl.cs[8] + 1] + lut2.L[9][cl.cs[9] + 1] + lut2.L[10][cl.cs[10] + 1] + lut2.L[11][cl.cs[11] + 1] + lut2.L[12][cl.cs[12] + 1] + lut2.L[13][cl.cs[13] + 1] + lut2.L[14][cl.cs[14] + 1] + lut2.L[15][cl.cs[15] + 1] + lut2.L[16][cl.cs[16] + 1] AS score
+        FROM cl, lut2
+        WHERE cl.vec_id <> 0
+    ), cand AS MATERIALIZED (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(score * 1e6, 0) / 1e6 DESC,
+                                vec_id) AS rn
+            FROM sc)
+        WHERE rn <= 100
+    ), ver AS MATERIALIZED (
+        SELECT c.vec_id,
+               ROUND((SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                      FROM (SELECT unnest(generate_series(1, 64)) AS i) s)
+                     * 1e6, 0) / 1e6 + 0 AS sim
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id, q
+    )
+    SELECT vec_id, sim FROM ver
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("l_sim_search_pq", oracle=_pq_oracle())
 def l_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank — the THIRD scale
     path for vector search next to LSH (l_sim_join_lsh) and IVF
@@ -2056,10 +2185,17 @@ def l_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen (no Python, no shuffle, no raw-vector reads), and the
     top-100 ADC candidates are re-ranked with the exact JVM ``vdot``
     to produce the final top-10. Candidate-recall≥90% vs the exact
-    top-10 and run-to-run bit-determinism (no RNG: seeded-sample
+    top-10 and run-to-run bit-determinism (no RNG: md5-sample
     training, fixed k-means init/iterations) are pinned in
     tests/test_ann.py — measured 100% on this data, floor 80% in the
     assertion for data-drift headroom.
+
+    GRADUATED from rows-only to a full SQL oracle in round 10 (the
+    seventh graduate): the training sample is md5-ordered, every
+    k-means iteration's centroids are 12-dp half-away quantized (the
+    l_kmeans_assign pin), and _pq_oracle() replays training, encoding,
+    the ADC table, candidate selection and the exact re-rank in DuckDB
+    — hash-MATCH at sf0.01 and sf0.1.
 
     Scale: this is how a 1 B-vector index actually serves — the code
     table is 16 B/vector (fits hot storage at sizes where raw floats

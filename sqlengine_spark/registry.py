@@ -55,6 +55,7 @@ PRIORITY_ORDER = (
     #    first (newest-built first), then the round-10 oracle
     #    graduation, then the 9 operators built in round 9 after its
     #    window filled ... --
+    "l_sim_search_pq",
     "m_ts_forecast_eval",
     "m_cohort_ltv",
     "m_ab_ratio_delta",
@@ -101,12 +102,12 @@ PRIORITY_ORDER = (
     "k_udtf_polymorphic",
     "g_except_all",
     "g_intersect_all",
-    "g_union_byname_missing",
     #    ... and the rows-only tail (ran-clean rows only:
     #    sketch/stub paths; must be the LAST window slot). --
     "i_sample_stratified",
     # -- ROUND-11 QUEUE (swap into slots 5-50 next round): the
-    #    remaining never-driver-checked backlog, 30 keys. --
+    #    remaining never-driver-checked backlog, 31 keys. --
+    "g_union_byname_missing",
     "h_bitwise",
     "h_struct_funcs",
     "h_str_fuzzy",
@@ -116,7 +117,6 @@ PRIORITY_ORDER = (
     "e_win_pct_of_total",
     "l_multimodal_decode",
     "l_tokens_zipf_fit",
-    "l_sim_search_pq",
     "l_bpe_encode",
     "l_tokenizer_stats",
     "l_multimodal_header_parse",
