@@ -114,6 +114,33 @@ def test_fresh_keys_precede_verified_keys():
     assert last_fresh < first_verified_past_anchors
 
 
+#: The nine keys that are INHERENTLY rows-only (round-10 state, after
+#: seven graduations): RNG TABLESAMPLE pair, approx-sketch quartet,
+#: watermark-behavioral, the production-xxhash MinHash twin, and the
+#: declared multimodal decode stub. Everything graduatable has
+#: graduated; a new rows-only registration (or an accidental oracle
+#: removal) must update this pin deliberately.
+INHERENTLY_ROWS_ONLY = {
+    "d_agg_approx_distinct",
+    "d_agg_approx_quantile",
+    "d_agg_hll_merge",
+    "d_agg_theta_setops",
+    "i_sample",
+    "i_sample_stratified",
+    "j_watermark_late_drop",
+    "l_dedup_near_minhash",
+    "l_multimodal_decode",
+}
+
+
+def test_rows_only_set_is_exactly_the_inherent_nine():
+    rows_only = set(all_queries()) - set(all_oracles())
+    assert rows_only == INHERENTLY_ROWS_ONLY, (
+        f"rows-only drift: unexpected={sorted(rows_only - INHERENTLY_ROWS_ONLY)} "
+        f"missing={sorted(INHERENTLY_ROWS_ONLY - rows_only)}"
+    )
+
+
 def test_readme_counts_match_registry():
     """r8 verdict item 5: the README's headline tallies drifted twice
     (328-vs-331). Generate-don't-state: this test greps the README's
