@@ -1858,3 +1858,105 @@ def m_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mae_cents"),
     )
+
+
+@query(
+    "m_ts_kalman",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS yc
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS i,
+               x, yc
+        FROM d
+    ), h AS (
+        SELECT event_type, 1 AS i, x, yc,
+               CAST(yc AS DOUBLE) AS lvl, 1e4 AS pv, 0e0 AS k
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.i, s.x, s.yc,
+               ROUND((h.lvl
+                      + (ROUND((h.pv + 25e0) / (h.pv + 25e0 + 1e4) * 1e6)
+                         / 1e6)
+                        * (CAST(s.yc AS DOUBLE) - h.lvl)) * 1e4) / 1e4,
+               ROUND(((1e0 - ROUND((h.pv + 25e0) / (h.pv + 25e0 + 1e4)
+                                   * 1e6) / 1e6)
+                      * (h.pv + 25e0)) * 1e4) / 1e4,
+               ROUND((h.pv + 25e0) / (h.pv + 25e0 + 1e4) * 1e6) / 1e6
+        FROM h JOIN s ON s.event_type = h.event_type AND s.i = h.i + 1
+    )
+    SELECT event_type, CAST(x AS BIGINT) AS x, yc,
+           lvl + 0 AS level_s,
+           pv + 0 AS var_p,
+           k + 0 AS gain_k
+    FROM h
+    """,
+)
+def m_ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER (local-level / random-walk-plus-noise model)
+    over each event type's daily revenue series (Kalman 1960; the
+    public state-space filtering method): per step the prior variance
+    inflates by process noise Q=25, the gain K = P/(P+R) with
+    observation noise R=1e4 blends the new observation into the level
+    l_t = l_{t-1} + K(y_t - l_{t-1}), and the posterior variance
+    contracts to (1-K)P. Unlike m_ts_ewma's FIXED smoothing constant,
+    the Kalman gain ADAPTS: it starts high (uncertain prior) and
+    settles to the steady-state ratio — the optimal online denoiser a
+    metrics pipeline runs over noisy daily series.
+
+    Determinism: daily totals are exact integer cents (rule 6
+    cast-truncate); the recurrence replays IDENTICALLY in both engines
+    with the gain quantized to the 1e-6 grid and level/variance to the
+    1e-4 grid each step (the m_ts_holt bounded-iteration sanction);
+    every float output adds +0 (rule 5b). Literals in e-notation
+    (rule 12d).
+
+    Spark-first shape: the recurrence runs INSIDE Catalyst as an
+    aggregate() higher-order fold over each type's sort_array'd day
+    series — zero Python, zero driver loops; DuckDB replays it as a
+    per-key recursive CTE. Series are BOUNDED (calendar days per event
+    type), so the per-group array state is a constant; the heavy work —
+    the (type, day)-keyed cents rollup over all events — is a
+    distributed map-side-partial groupBy that scales to 100 TB
+    unchanged. One event type = one fold task; the type domain is
+    bounded (|event_types| ~ 10), matching the m_ts_holt sanction."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.sum((F.col("value") * 100).cast("bigint")).alias("yc"))
+    srow = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("x", "yc"))).alias("s")
+    )
+    prev = "element_at(acc, -1)"
+    k_expr = (
+        f"ROUND(({prev}.pv + 25e0) / ({prev}.pv + 25e0 + 1e4) * 1e6) / 1e6"
+    )
+    rec = (
+        "aggregate("
+        " slice(s, 2, size(s) - 1),"
+        " array(named_struct('x', s[0].x, 'yc', s[0].yc,"
+        "  'lvl', CAST(s[0].yc AS DOUBLE), 'pv', 1e4, 'k', 0e0)),"
+        " (acc, e) -> concat(acc, array(named_struct("
+        "  'x', e.x, 'yc', e.yc,"
+        f"  'lvl', ROUND(({prev}.lvl + ({k_expr})"
+        f"   * (CAST(e.yc AS DOUBLE) - {prev}.lvl)) * 1e4) / 1e4,"
+        f"  'pv', ROUND(((1e0 - ({k_expr})) * ({prev}.pv + 25e0)) * 1e4)"
+        "   / 1e4,"
+        f"  'k', {k_expr}"
+        " ))))"
+    )
+    return srow.select(
+        "event_type", F.explode(F.expr(rec)).alias("e")
+    ).select(
+        "event_type",
+        F.col("e.x").cast("bigint").alias("x"),
+        F.col("e.yc").alias("yc"),
+        (F.col("e.lvl") + F.lit(0.0)).alias("level_s"),
+        (F.col("e.pv") + F.lit(0.0)).alias("var_p"),
+        (F.col("e.k") + F.lit(0.0)).alias("gain_k"),
+    )

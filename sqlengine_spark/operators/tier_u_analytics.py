@@ -575,3 +575,253 @@ def m_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac"
         ),
     )
+
+
+@query(
+    "m_rfm_segment",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS md,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS mc
+        FROM orders GROUP BY o_custkey
+    ), a AS (
+        SELECT MAX(md) AS anchor FROM c
+    ), r AS (
+        SELECT o_custkey,
+               CAST(datediff('day', md, a.anchor) AS BIGINT) AS rec_days,
+               f, mc
+        FROM c CROSS JOIN a
+    ), b AS (
+        SELECT quantile_disc(rec_days, 0.2) AS r20,
+               quantile_disc(rec_days, 0.4) AS r40,
+               quantile_disc(rec_days, 0.6) AS r60,
+               quantile_disc(rec_days, 0.8) AS r80,
+               quantile_disc(f, 0.2) AS f20, quantile_disc(f, 0.4) AS f40,
+               quantile_disc(f, 0.6) AS f60, quantile_disc(f, 0.8) AS f80,
+               quantile_disc(mc, 0.2) AS m20, quantile_disc(mc, 0.4) AS m40,
+               quantile_disc(mc, 0.6) AS m60, quantile_disc(mc, 0.8) AS m80
+        FROM r
+    ), s AS (
+        SELECT o_custkey,
+               5 - ((CASE WHEN rec_days > r20 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rec_days > r40 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rec_days > r60 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rec_days > r80 THEN 1 ELSE 0 END))
+                   AS r_score,
+               1 + (CASE WHEN f > f20 THEN 1 ELSE 0 END)
+                 + (CASE WHEN f > f40 THEN 1 ELSE 0 END)
+                 + (CASE WHEN f > f60 THEN 1 ELSE 0 END)
+                 + (CASE WHEN f > f80 THEN 1 ELSE 0 END) AS f_score,
+               1 + (CASE WHEN mc > m20 THEN 1 ELSE 0 END)
+                 + (CASE WHEN mc > m40 THEN 1 ELSE 0 END)
+                 + (CASE WHEN mc > m60 THEN 1 ELSE 0 END)
+                 + (CASE WHEN mc > m80 THEN 1 ELSE 0 END) AS m_score,
+               mc
+        FROM r CROSS JOIN b
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(mc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1e2 * 1e2) / 1e2 AS avg_monetary
+    FROM s GROUP BY r_score, f_score, m_score
+    """,
+)
+def m_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary quintile
+    scoring — the classic CRM customer-value grid, Hughes 1994; public
+    method): per customer, days since last order (recency, anchored at
+    the corpus max order date), order count (frequency), and lifetime
+    revenue in exact cents (monetary) each map to a 1-5 score by
+    comparison against the metric's GLOBAL 20/40/60/80th discrete
+    percentiles; the output is the segment grid with customer counts
+    and average lifetime value.
+
+    Determinism: all three metrics are exact integers; boundaries come
+    from percentile_disc ≡ DuckDB quantile_disc (the
+    d_agg_percentile_disc verified pairing), so scores are pure integer
+    comparisons — no interpolation, no float accumulation. avg_monetary
+    is one int/int division re-quantized to the cent grid.
+
+    Scale (the deliberate NON-ntile design): a global ntile(5) would
+    sort the whole customer dimension on ONE reducer — the global-
+    window trap. Instead the 12 boundaries are a distributed
+    partial+final percentile AGGREGATE (1 output row, broadcast back),
+    and score assignment is a map-side comparison — no global sort at
+    any size. Both 1-row joins (anchor date, boundaries) broadcast;
+    per-customer metrics are one custkey-keyed partial-agg groupBy over
+    the fact table."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("md"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("mc"),
+    )
+    anchor = c.agg(F.max("md").alias("anchor"))
+    r = c.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "md").cast("bigint").alias("rec_days"),
+        "f",
+        "mc",
+    )
+    qs = []
+    for col, pre in (("rec_days", "r"), ("f", "f"), ("mc", "m")):
+        for p in (20, 40, 60, 80):
+            qs.append(
+                F.expr(
+                    f"percentile_disc({p / 100}) WITHIN GROUP"
+                    f" (ORDER BY {col})"
+                ).alias(f"{pre}{p}")
+            )
+    b = r.agg(*qs)
+
+    def score(col: str, pre: str):
+        hits = sum(
+            F.when(F.col(col) > F.col(f"{pre}{p}"), 1).otherwise(0)
+            for p in (20, 40, 60, 80)
+        )
+        return hits
+
+    s = r.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        (F.lit(5) - score("rec_days", "r")).alias("r_score"),
+        (F.lit(1) + score("f", "f")).alias("f_score"),
+        (F.lit(1) + score("mc", "m")).alias("m_score"),
+        "mc",
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.round(
+                F.sum("mc").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1e2
+                * 1e2
+            )
+            / 1e2
+        ).alias("avg_monetary"),
+    )
+
+
+@query(
+    "m_basket_affinity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM items
+    ), pc AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p
+        FROM items GROUP BY l_partkey
+    ), pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+        HAVING COUNT(*) >= 3
+    ), m AS (
+        SELECT pa, pb, n_ab, ca.n_p AS n_a, cb.n_p AS n_b, n.n_orders
+        FROM pairs
+        JOIN pc ca ON ca.l_partkey = pa
+        JOIN pc cb ON cb.l_partkey = pb
+        CROSS JOIN n
+    )
+    SELECT pa, pb, n_ab, n_a, n_b,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6) / 1e6
+               AS confidence,
+           ROUND(CAST(n_ab * n_orders AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE) * 1e6) / 1e6 AS lift
+    FROM m
+    ORDER BY CAST(n_ab * n_orders AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+             DESC, pa, pb
+    LIMIT 50
+    """,
+)
+def m_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET AFFINITY (association-rule support / confidence /
+    lift, Agrawal et al. 1993; public method): which part pairs
+    co-occur in the same order more than independence predicts. Pair
+    counts come from a self-join of the distinct (order, part) item
+    sets on the order key; lift(a,b) = P(ab) / (P(a)P(b)) =
+    n_ab * N / (n_a * n_b); the output is the top 50 pairs by lift
+    among pairs with support >= 3 orders.
+
+    Determinism: every count is an exact integer; confidence and lift
+    are single int-ratio divisions (IEEE-exact both engines) quantized
+    to the 1e-6 grid for display, while the ORDER BY sorts on the RAW
+    division (bit-identical cross-engine) with (pa, pb) tie-breaks —
+    the rule-5 unique-key total order. All values positive (no -0.0
+    exposure).
+
+    Scale: the pair fan-out is per-ORDER — sum over orders of
+    |basket|^2, linear in the fact table for bounded basket sizes
+    (TPC-H ~7; a retail basket ~30) and keyed on the order key, never
+    a part x part cartesian. Pair counts partial-agg before the
+    (pa, pb) shuffle; the per-part count table is part-dimension-sized
+    and broadcast onto the pair stream; the 1-row order total
+    broadcasts (whitelisted). Top-50 is TakeOrdered — no global sort.
+    At 100 TB the min-support HAVING prunes the pair tail before the
+    dimension joins."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    bb = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(bb, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    m = (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("pa"),
+                                  F.col("n_p").alias("n_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("pb"),
+                                  F.col("n_p").alias("n_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    lift_raw = (F.col("n_ab") * F.col("n_orders")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        m.select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.round(
+                    F.col("n_ab").cast("double")
+                    / F.col("n_a").cast("double")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("confidence"),
+            (F.round(lift_raw * 1e6) / 1e6).alias("lift"),
+            lift_raw.alias("_lift_raw"),
+        )
+        .orderBy(F.col("_lift_raw").desc(), "pa", "pb")
+        .limit(50)
+        .drop("_lift_raw")
+    )

@@ -617,3 +617,158 @@ def l_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((2 * ov2).cast("double") / (l2c + l2r).cast("double"))
         .alias("rouge2_f"),
     )
+
+
+@query(
+    "l_eval_bleu",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, doc_id % 2 AS side,
+               string_split(text, ' ') AS a
+        FROM documents
+    ), u1 AS (
+        SELECT pair_id, side, unnest(a) AS g FROM d
+    ), pg1 AS (
+        SELECT pair_id, g,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM u1 GROUP BY pair_id, g
+    ), a1 AS (
+        SELECT pair_id,
+               CAST(SUM(c0) AS BIGINT) AS lc,
+               CAST(SUM(c1) AS BIGINT) AS lr,
+               CAST(SUM(LEAST(c0, c1)) AS BIGINT) AS m1
+        FROM pg1 GROUP BY pair_id
+    ), u2 AS (
+        SELECT pair_id, side,
+               unnest(list_transform(generate_series(1, len(a) - 1),
+                      i -> a[i] || ' ' || a[i + 1])) AS g
+        FROM d
+    ), pg2 AS (
+        SELECT pair_id, g,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM u2 GROUP BY pair_id, g
+    ), a2 AS (
+        SELECT pair_id,
+               CAST(SUM(c0) AS BIGINT) AS l2c,
+               CAST(SUM(LEAST(c0, c1)) AS BIGINT) AS m2
+        FROM pg2 GROUP BY pair_id
+    ), j AS (
+        SELECT a1.pair_id, lc, lr, m1,
+               COALESCE(l2c, 0) AS l2c, COALESCE(m2, 0) AS m2
+        FROM a1 LEFT JOIN a2 ON a2.pair_id = a1.pair_id
+    ), p AS (
+        SELECT pair_id, lc, lr, m1, l2c, m2,
+               CAST(m1 AS DOUBLE) / CAST(lc AS DOUBLE) AS p1,
+               CASE WHEN l2c = 0 THEN 0e0
+                    ELSE CAST(m2 AS DOUBLE) / CAST(l2c AS DOUBLE) END AS p2,
+               CASE WHEN lc >= lr THEN 1e0
+                    ELSE ROUND(exp(1e0 - CAST(lr AS DOUBLE)
+                                         / CAST(lc AS DOUBLE)) * 1e6) / 1e6
+               END AS bp
+        FROM j
+    )
+    SELECT pair_id, lc, lr, m1, l2c, m2,
+           ROUND(p1 * 1e6) / 1e6 + 0 AS p1,
+           ROUND(p2 * 1e6) / 1e6 + 0 AS p2,
+           bp + 0 AS bp,
+           ROUND(bp * sqrt(p1 * p2) * 1e6) / 1e6 + 0 AS bleu2
+    FROM p
+    """,
+)
+def l_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence BLEU-2 between candidate/reference document pairs
+    (doc 2k candidate, doc 2k+1 reference — the l_eval_rouge pairing):
+    clipped n-gram PRECISION p_n = sum_g min(tf_cand, tf_ref) /
+    |cand n-grams| for n=1,2, brevity penalty BP = min(1,
+    exp(1 - len_ref/len_cand)), BLEU-2 = BP * sqrt(p1*p2)
+    (Papineni et al. 2002, "BLEU: a Method for Automatic Evaluation of
+    Machine Translation" — public method). The precision-oriented
+    complement of ROUGE's recall-oriented F1: a generation eval
+    harness reports both.
+
+    Determinism: all counts are exact integers; p1/p2 are single
+    int/int divisions (IEEE-exact both engines); BP's exp() follows the
+    l_ml_score_linear sigmoid sanction (per-row transcendental, then
+    ROUND*1e6 grid); bleu2 multiplies two quantized factors through a
+    correctly-rounded sqrt then re-quantizes. Every float output adds
+    +0 against the rule-5b -0.0 trap. Zero-bigram candidates (single
+    token) get p2 = 0 via the same CASE guard as rouge2.
+
+    Scale: identical shape to l_eval_rouge — tokenize + bigram build
+    are map-side array transforms, the clipped overlap is a
+    (pair_id, gram)-keyed partial-agg groupBy computing both sides' tf
+    in one pass (no self-join), then a thin pair-keyed rollup; shuffle
+    volume linear in token count, never pairwise in the corpus. The
+    token-array frame is localCheckpointed (rule 11a) so split(text)
+    runs once for both gram pipelines. Bigrams guard size>=2 (rule
+    11d)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.split(F.col("text"), " ").alias("toks"),
+    ).localCheckpoint()
+
+    uni = base.select("pair_id", "side", F.explode("toks").alias("g"))
+    big = base.select(
+        "pair_id",
+        "side",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i + 1]))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("g"),
+    )
+
+    def clipped(grams: DataFrame, cols: dict[str, str]) -> DataFrame:
+        pg = grams.groupBy("pair_id", "g").agg(
+            F.coalesce(
+                F.sum(F.when(F.col("side") == 0, F.lit(1))), F.lit(0)
+            ).alias("c0"),
+            F.coalesce(
+                F.sum(F.when(F.col("side") == 1, F.lit(1))), F.lit(0)
+            ).alias("c1"),
+        )
+        aggs = []
+        for name, expr in cols.items():
+            aggs.append(F.sum(F.expr(expr)).alias(name))
+        return pg.groupBy("pair_id").agg(*aggs)
+
+    a1 = clipped(uni, {"lc": "c0", "lr": "c1", "m1": "least(c0, c1)"})
+    a2 = clipped(big, {"l2c": "c0", "m2": "least(c0, c1)"})
+    l2c = F.coalesce(F.col("l2c"), F.lit(0))
+    m2 = F.coalesce(F.col("m2"), F.lit(0))
+    p1 = F.col("m1").cast("double") / F.col("lc").cast("double")
+    p2 = F.when(l2c == 0, F.lit(0.0)).otherwise(
+        m2.cast("double") / l2c.cast("double")
+    )
+    bp = F.when(F.col("lc") >= F.col("lr"), F.lit(1.0)).otherwise(
+        F.round(
+            F.exp(
+                F.lit(1.0)
+                - F.col("lr").cast("double") / F.col("lc").cast("double")
+            )
+            * 1e6
+        )
+        / 1e6
+    )
+    return a1.join(a2, "pair_id", "left").select(
+        "pair_id",
+        "lc",
+        "lr",
+        "m1",
+        l2c.alias("l2c"),
+        m2.alias("m2"),
+        (F.round(p1 * 1e6) / 1e6 + F.lit(0.0)).alias("p1"),
+        (F.round(p2 * 1e6) / 1e6 + F.lit(0.0)).alias("p2"),
+        (bp + F.lit(0.0)).alias("bp"),
+        (F.round(bp * F.sqrt(p1 * p2) * 1e6) / 1e6 + F.lit(0.0)).alias(
+            "bleu2"
+        ),
+    )

@@ -212,6 +212,14 @@ CARTESIAN_WHITELIST = {
                                 # free percent-of-total form)
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
+    "m_rfm_segment",            # two 1-row broadcasts (anchor date,
+                                # quantile boundaries) over the
+                                # custkey-keyed aggregate — the
+                                # deliberate non-ntile design (no
+                                # global sort; docstring)
+    "m_basket_affinity",        # 1-row order-total broadcast onto the
+                                # pair-count stream; the pair build
+                                # itself is an orderkey equi-join
     "m_funnel_windowed",        # 1-row stage-1-denominator broadcast
                                 # over the 3-row stage union (r9 verdict
                                 # item 7 folded the old s1.count() job
