@@ -825,3 +825,80 @@ def m_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_lift_raw")
     )
+
+
+@query(
+    "m_seq_editdist",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS ch,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), p AS (
+        SELECT user_id,
+               string_agg(ch, '' ORDER BY rn) AS path
+        FROM e WHERE rn <= 20 GROUP BY user_id
+    ), modal AS (
+        SELECT path AS mpath FROM p
+        GROUP BY path
+        ORDER BY COUNT(*) DESC, path
+        LIMIT 1
+    )
+    SELECT CAST(levenshtein(p.path, m.mpath) AS INT) AS edit_dist,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p CROSS JOIN modal m
+    GROUP BY edit_dist
+    """,
+)
+def m_seq_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL-SEQUENCE EDIT DISTANCE: each user's first 20 events
+    (ordered by ts with event_id tie-break — the rule-5 unique total
+    order) become a path string over the event-type initials (the five
+    fixture types have distinct initials, asserted nowhere but checked
+    at build: c/e/p/s/v), the MODAL path is the most common such
+    string (count-desc, path-asc tie-break), and the output is the
+    histogram of Levenshtein distances from every user's path to the
+    modal one — the "how far from the canonical journey" readout a
+    product-analytics pipeline computes (edit-distance clustering of
+    clickstreams; Levenshtein 1966, public method).
+
+    Determinism: levenshtein ≡ cross-engine (the h_str_fuzzy verified
+    pairing); paths are deterministic strings; the modal pick has a
+    full tie-break; outputs are exact integers.
+
+    Scale: path build is ONE user-keyed window (rank, partitioned by
+    user — never global) + a user-keyed ordered string_agg; the modal
+    row is a path-keyed partial-agg count + TakeOrdered(1), broadcast
+    back (1-row, whitelisted). Levenshtein is O(20^2) per USER row —
+    bounded by the rn <= 20 cap, not by stream length. The histogram
+    is a |distinct distances|-row partial agg. At 100 TB every stage
+    is keyed on user or path; nothing global but the 1-row modal
+    broadcast."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 20)
+    p = e.groupBy("user_id").agg(
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(rn, ch))),"
+                   " s -> s.ch)"),
+            "",
+        ).alias("path")
+    )
+    modal = (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "path")
+        .limit(1)
+        .select(F.col("path").alias("mpath"))
+    )
+    return (
+        p.crossJoin(F.broadcast(modal))
+        .select(F.levenshtein("path", "mpath").alias("edit_dist"))
+        .groupBy("edit_dist")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

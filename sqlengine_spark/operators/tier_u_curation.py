@@ -757,3 +757,89 @@ def l_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_after"),
         F.sum(F.col("doc_id") * F.col("copy_no")).alias("checksum"),
     )
+
+
+@query(
+    "l_rl_group_advantage",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id,
+               CAST(CAST(trunc(value * 100) AS BIGINT) AS BIGINT) AS rc
+        FROM events
+    ), g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rc) AS BIGINT) AS s,
+               CAST(SUM(rc * rc) AS BIGINT) AS ss
+        FROM r GROUP BY user_id
+    )
+    SELECT r.user_id, r.event_id,
+           ROUND(CAST(r.rc AS DOUBLE) / 1e2 * 1e2) / 1e2 AS reward,
+           ROUND(
+               (CAST(r.rc AS DOUBLE)
+                - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+               / sqrt((CAST(g.n * g.ss - g.s * g.s AS DOUBLE))
+                      / CAST(g.n * g.n AS DOUBLE))
+               * 1e9) / 1e9 + 0 AS advantage
+    FROM r JOIN g ON g.user_id = r.user_id
+    WHERE g.n >= 2 AND g.n * g.ss > g.s * g.s
+    """,
+)
+def l_rl_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-RELATIVE ADVANTAGE NORMALIZATION — the GRPO reward
+    transform (Shao et al. 2024, "DeepSeekMath", eq. 3; public
+    method): within each rollout group (here: a user's event stream;
+    in an RLHF pipeline: the k sampled completions per prompt), each
+    reward maps to (r - mean(group)) / std_pop(group), so the policy
+    gradient sees per-group-centered, unit-scale advantages with no
+    learned value model.
+
+    Determinism: rewards quantize to exact integer cents at the row
+    level (rule 6 cast-truncate); group moments are exact BIGINT sums;
+    mean and population variance are single int-ratio divisions,
+    std one correctly-rounded sqrt, the advantage one subtract + one
+    divide — every op IEEE-identical cross-engine — then a 1e-9
+    quantization with the rule-5b '+ 0' guard (advantages straddle
+    zero by construction). Zero-variance and singleton groups are
+    filtered by the SAME integer predicate in both engines (n*ss >
+    s*s — exact, no float epsilon; the ADVICE-r9 cv_folds guard
+    lesson applied at birth).
+
+    Scale: one user-keyed partial-agg groupBy for the moments plus a
+    user-keyed equi-join back to the reward stream (both sides shuffle
+    on the group key once; AQE handles group-count skew) — the exact
+    shape a trillion-token RLHF reward pipe needs: no window, no
+    global pass, group state is 3 scalars."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") * 100).cast("bigint").alias("rc"),
+    )
+    g = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("s"),
+        F.sum(F.col("rc") * F.col("rc")).alias("ss"),
+    )
+    j = r.join(g, "user_id").filter(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("ss") > F.col("s") * F.col("s"))
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    varp = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (F.col("n") * F.col("n")).cast("double")
+    return j.select(
+        "user_id",
+        "event_id",
+        (F.round(F.col("rc").cast("double") / 1e2 * 1e2) / 1e2).alias(
+            "reward"
+        ),
+        (
+            F.round(
+                (F.col("rc").cast("double") - mean) / F.sqrt(varp) * 1e9
+            )
+            / 1e9
+            + F.lit(0.0)
+        ).alias("advantage"),
+    )

@@ -772,3 +772,71 @@ def l_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bleu2"
         ),
     )
+
+
+@query(
+    "l_eval_pass_at_k",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n, c,
+           ROUND((1e0
+                  - (CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                    * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+                    * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+                    * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE)))
+                 * 1e12) / 1e12 AS pass_at_5
+    FROM u WHERE n >= 5
+    """,
+)
+def l_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS@K — the unbiased estimator for "at least one of k sampled
+    attempts passes" from n attempts with c passes (Chen et al. 2021,
+    "Evaluating Large Language Models Trained on Code", eq. 1; public
+    method): pass@k = 1 - C(n-c, k)/C(n, k), evaluated in the
+    numerically-stable product form 1 - prod_{i=0..k-1} (n-c-i)/(n-i)
+    with k=5. Each user's event stream stands in for a problem's
+    attempt set; an attempt passes when value > 150. When fewer than k
+    attempts fail (n-c < k) some numerator factor is exactly 0, so the
+    product collapses and pass@k = 1 — the estimator's own boundary
+    case, no special-casing.
+
+    Determinism: n and c are exact integers; the estimator is FIVE
+    int-ratio divisions chained by left-associative multiplication —
+    every step a single correctly-rounded IEEE op evaluated in the
+    same order by both engines (the l_ml_cv_folds slope precedent) —
+    then one 1e-12 quantization. Values in [0, 1]: no -0.0 exposure.
+    The n >= 5 filter guards the (n-i) denominators in both engines.
+
+    Scale: one user-keyed partial-agg groupBy over the fact table plus
+    a map-side closed-form projection — no window, no join, no
+    iteration; |users| output rows."""
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("value") > 150, 1)), F.lit(0)
+            ).alias("c"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    prod = None
+    for i in range(5):
+        term = (F.col("n") - F.col("c") - F.lit(i)).cast("double") / (
+            F.col("n") - F.lit(i)
+        ).cast("double")
+        prod = term if prod is None else prod * term
+    return u.select(
+        "user_id",
+        "n",
+        "c",
+        (F.round((F.lit(1.0) - prod) * 1e12) / 1e12).alias("pass_at_5"),
+    )

@@ -212,6 +212,9 @@ CARTESIAN_WHITELIST = {
                                 # free percent-of-total form)
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
+    "m_seq_editdist",           # 1-row modal-path broadcast (TakeOrdered
+                                # feeds it) onto the |users|-row path
+                                # table; the path build is user-keyed
     "m_rfm_segment",            # two 1-row broadcasts (anchor date,
                                 # quantile boundaries) over the
                                 # custkey-keyed aggregate — the
