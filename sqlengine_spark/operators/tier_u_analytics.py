@@ -902,3 +902,112 @@ def m_seq_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("edit_dist")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "m_mix_shift_decomp",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN day(CAST(ts AS DATE)) <= 15 THEN 1 ELSE 2 END
+                   AS period,
+               CAST(trunc(value * 100) AS BIGINT) AS vc
+        FROM events
+    ), seg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN period = 1 THEN vc ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN period = 2 THEN vc ELSE 0 END)
+                    AS BIGINT) AS s2
+        FROM e GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+        FROM seg
+    ), m AS (
+        SELECT event_type,
+               CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS w1,
+               CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS w2,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS r1,
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS r2
+        FROM seg CROSS JOIN tot
+        WHERE n1 > 0 AND n2 > 0
+    )
+    SELECT event_type,
+           ROUND(w1 * 1e9) / 1e9 + 0 AS w1,
+           ROUND(w2 * 1e9) / 1e9 + 0 AS w2,
+           ROUND(r1 * 1e7) / 1e7 + 0 AS r1_cents,
+           ROUND(r2 * 1e7) / 1e7 + 0 AS r2_cents,
+           ROUND((w2 - w1) * r1 * 1e7) / 1e7 + 0 AS mix_effect,
+           ROUND(w1 * (r2 - r1) * 1e7) / 1e7 + 0 AS rate_effect,
+           ROUND((w2 - w1) * (r2 - r1) * 1e7) / 1e7 + 0
+               AS interaction_effect
+    FROM m
+    """,
+)
+def m_mix_shift_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIX-SHIFT DECOMPOSITION (Oaxaca-Blinder / index-number
+    decomposition; public method): why did average revenue-per-event
+    move between the first and second half of the month? Per segment
+    (event type), the delta in the weighted mean splits into a MIX
+    effect (w2 - w1) * r1 — the segment got more/less traffic share —
+    a RATE effect w1 * (r2 - r1) — the segment itself got
+    better/worse — and the interaction residual; summed over segments
+    these reconstruct the total metric delta exactly. The readout
+    every metrics review wants when "the average moved but no segment
+    did".
+
+    Determinism: per-segment counts and cent-sums are exact BIGINTs
+    pivoted by period in ONE pass (no self-join); weights and rates
+    are single int-ratio divisions; each effect is one product of two
+    exact-division doubles quantized once at the end with the
+    rule-5b '+ 0' (effects straddle zero by construction).
+
+    Scale: one segment-keyed partial-agg groupBy over the fact table
+    + a 1-row totals broadcast — the d_pivot conditional-aggregation
+    shape; |segments| output rows, no window, no iteration."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.when(F.dayofmonth(F.to_date("ts")) <= 15, 1)
+        .otherwise(2)
+        .alias("period"),
+        (F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    seg = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("period") == 1, F.col("vc")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("period") == 2, F.col("vc")).otherwise(0)).alias(
+            "s2"
+        ),
+    )
+    tot = seg.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    m = seg.crossJoin(F.broadcast(tot)).filter(
+        (F.col("n1") > 0) & (F.col("n2") > 0)
+    )
+    w1 = F.col("n1").cast("double") / F.col("t1").cast("double")
+    w2 = F.col("n2").cast("double") / F.col("t2").cast("double")
+    r1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    r2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+
+    def q(col, n):
+        return F.round(col * (10**n)) / (10**n) + F.lit(0.0)
+
+    return m.select(
+        "event_type",
+        q(w1, 9).alias("w1"),
+        q(w2, 9).alias("w2"),
+        q(r1, 7).alias("r1_cents"),
+        q(r2, 7).alias("r2_cents"),
+        q((w2 - w1) * r1, 7).alias("mix_effect"),
+        q(w1 * (r2 - r1), 7).alias("rate_effect"),
+        q((w2 - w1) * (r2 - r1), 7).alias("interaction_effect"),
+    )

@@ -840,3 +840,229 @@ def l_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         (F.round((F.lit(1.0) - prod) * 1e12) / 1e12).alias("pass_at_5"),
     )
+
+
+# 1/log2(i+1) DCG rank weights on the 1e-12 fixed-point grid, i = 1..10,
+# plus their cumulative sums (the ideal-DCG ladder). Integer literals so
+# per-query DCG is an EXACT BIGINT sum in both engines (rule 11e) — no
+# float accumulation order anywhere; nDCG is one final int/int division.
+_DCG_W = [1000000000000, 630929753571, 500000000000, 430676558073,
+          386852807235, 356207187108, 333333333333, 315464876786,
+          301029995664, 289064826318]
+_DCG_CUM = [1000000000000, 1630929753571, 2130929753571, 2561606311644,
+            2948459118879, 3304666305987, 3637999639320, 3953464516106,
+            4254494511770, 4543559338088]
+
+
+@query(
+    "l_eval_ndcg",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id AS q_id, embedding AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS MATERIALIZED (
+        SELECT q.q_id, e.vec_id,
+               CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+               (SELECT SUM(e.embedding[s.i]::DOUBLE * q.qe[s.i]::DOUBLE)
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) s) AS dot
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    ), nr AS (
+        SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel FROM scored
+        GROUP BY q_id
+    ), topk AS (
+        SELECT q_id, rel, rn
+        FROM (SELECT q_id, rel,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY dot DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= 10
+    ), dcg AS (
+        SELECT q_id,
+               CAST(SUM(rel * ({_DCG_W}::BIGINT[])[rn]) AS BIGINT)
+                   AS dcg_fp
+        FROM topk GROUP BY q_id
+    )
+    SELECT nr.q_id, nr.n_rel, dcg.dcg_fp,
+           CAST(dcg.dcg_fp AS DOUBLE) / 1e12 AS dcg_at_10,
+           CASE WHEN nr.n_rel = 0 THEN 0e0
+                ELSE CAST(dcg.dcg_fp AS DOUBLE)
+                     / CAST(({_DCG_CUM}::BIGINT[])[
+                           CAST(LEAST(10, nr.n_rel) AS INT)] AS DOUBLE)
+           END AS ndcg_at_10
+    FROM nr JOIN dcg ON dcg.q_id = nr.q_id
+    """,
+)
+def l_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of label-relevance retrieval (Järvelin & Kekäläinen
+    2002, the graded-ranking IR metric; public method): for each of
+    the 10 query vectors, candidates rank by exact cosine-order dot
+    product (vdot, bit-identical cross-engine), a candidate is
+    relevant when its class label matches the query's, DCG@10 sums
+    the rank-discounted relevance 1/log2(rank+1), and nDCG divides by
+    the ideal DCG for the query's total relevant count — the
+    search-quality readout that, unlike l_ann_recall_eval's recall,
+    rewards putting the relevant results FIRST.
+
+    Determinism: the discount weights are INTEGER literals on the
+    1e-12 grid (module constants _DCG_W/_DCG_CUM), so per-query DCG is
+    an exact BIGINT sum — immune to accumulation order in both engines
+    (rule 11e); nDCG is one int/int division. Rank boundaries share
+    the (dot DESC, vec_id) unique total order with every sibling
+    vector op.
+
+    Scale: one broadcast of the 10-query batch over a single corpus
+    scan; the per-query rank window sits under the WindowGroupLimit
+    threshold (rank-only Window node, rule 13a) so map tasks emit just
+    their local top-10 per query; n_rel is a q_id-keyed partial agg on
+    the same scored stream. |queries| x corpus work, never corpus²."""
+    v = table(spark, sf_dir, "embeddings")
+    qb = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    from sqlengine_spark.functions import vdot
+
+    scored = (
+        v.crossJoin(F.broadcast(qb))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            vdot(F.col("embedding"), F.col("qe")).alias("dot"),
+        )
+        .localCheckpoint()
+    )
+    nr = scored.groupBy("q_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    w_arr = F.array(*[F.lit(x) for x in _DCG_W])
+    cum_arr = F.array(*[F.lit(x) for x in _DCG_CUM])
+    dcg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "q_id",
+            (F.col("rel") * F.element_at(w_arr, F.col("rn"))).alias("t"),
+        )
+        .groupBy("q_id")
+        .agg(F.sum("t").cast("bigint").alias("dcg_fp"))
+    )
+    return nr.join(dcg, "q_id").select(
+        "q_id",
+        "n_rel",
+        "dcg_fp",
+        (F.col("dcg_fp").cast("double") / 1e12).alias("dcg_at_10"),
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("dcg_fp").cast("double")
+            / F.element_at(
+                cum_arr, F.least(F.lit(10), F.col("n_rel")).cast("int")
+            ).cast("double")
+        )
+        .alias("ndcg_at_10"),
+    )
+
+
+@query(
+    "m_ab_power_mde",
+    oracle="""
+    WITH a AS (
+        SELECT user_id % 2 AS arm,
+               CAST(trunc(value * 100) AS BIGINT) AS vc
+        FROM events
+    ), g AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vc) AS BIGINT) AS s,
+               CAST(SUM(vc * vc) AS BIGINT) AS ss
+        FROM a GROUP BY arm
+    ), p AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+               MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+               MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+               MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+        FROM g
+    ), v AS (
+        SELECT n0, n1,
+               CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+               (CAST(n0 * ss0 - s0 * s0 AS DOUBLE))
+                   / CAST(n0 * n0 AS DOUBLE) AS var0,
+               (CAST(n1 * ss1 - s1 * s1 AS DOUBLE))
+                   / CAST(n1 * n1 AS DOUBLE) AS var1
+        FROM p
+    )
+    SELECT n0 AS n_control, n1 AS n_treat,
+           ROUND(mean0 * 1e6) / 1e6 AS mean_control_cents,
+           ROUND((2.8015989838225857e0
+                  * sqrt(var0 / CAST(n0 AS DOUBLE)
+                         + var1 / CAST(n1 AS DOUBLE))) * 1e6) / 1e6
+               AS mde_abs_cents,
+           ROUND((2.8015989838225857e0
+                  * sqrt(var0 / CAST(n0 AS DOUBLE)
+                         + var1 / CAST(n1 AS DOUBLE)))
+                 / mean0 * 1e9) / 1e9 AS mde_rel
+    FROM v
+    """,
+)
+def m_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT for an A/B test at 80% power /
+    two-sided alpha=0.05 (the standard experiment-sizing readout;
+    public method): MDE = (z_{1-a/2} + z_{power}) * SE(delta) with the
+    two z constants folded into the single literal
+    2.8015989838225857 = 1.959963984540054 + 0.8416212335729143
+    (identical decimal literal in both engines → identical double —
+    the l_eval_ndcg literal-constant discipline; no inverse-CDF
+    evaluation at query time). Arms split by user_id parity; SE uses
+    each arm's own population variance over exact cent integers.
+
+    Determinism: counts/sums/sum-of-squares are exact BIGINTs; the
+    variance ratio and SE are single exact divisions + one
+    correctly-rounded sqrt; outputs quantize once. All outputs
+    positive (no -0.0 exposure).
+
+    Scale: one arm-keyed partial-agg groupBy (2 groups) + a 2-row
+    pivot — the cheapest possible shape; the fact scan is the whole
+    cost at any size."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    g = a.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("ss"),
+    )
+    p = g.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(c))).alias(f"{c}{arm}")
+            for arm in (0, 1)
+            for c in ("n", "s", "ss")
+        ]
+    )
+    mean0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    var0 = (F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0")).cast(
+        "double"
+    ) / (F.col("n0") * F.col("n0")).cast("double")
+    var1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1") * F.col("n1")).cast("double")
+    z = F.lit(2.8015989838225857)
+    se = F.sqrt(
+        var0 / F.col("n0").cast("double") + var1 / F.col("n1").cast("double")
+    )
+    return p.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        (F.round(mean0 * 1e6) / 1e6).alias("mean_control_cents"),
+        (F.round(z * se * 1e6) / 1e6).alias("mde_abs_cents"),
+        (F.round(z * se / mean0 * 1e9) / 1e9).alias("mde_rel"),
+    )

@@ -168,6 +168,8 @@ CARTESIAN_WHITELIST = {
     "l_topic_cooccur",       # 1-row corpus-count broadcast
     "d_agg_theta_setops",    # two 1-row sketch aggregates joined
     "l_sim_search_batch",    # 10-row query batch broadcast
+    "l_eval_ndcg",           # same 10-row query batch broadcast over
+                             # one corpus scan (group-limited rank)
     "l_ann_recall_eval",     # same 10-row query batch broadcast (its
                              # exact ground-truth arm); the IVF arm is
                              # the probe-pruned keyed plan
@@ -212,6 +214,8 @@ CARTESIAN_WHITELIST = {
                                 # free percent-of-total form)
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
+    "m_mix_shift_decomp",       # 1-row period-totals broadcast over the
+                                # |segments|-row pivot aggregate
     "m_seq_editdist",           # 1-row modal-path broadcast (TakeOrdered
                                 # feeds it) onto the |users|-row path
                                 # table; the path build is user-keyed
