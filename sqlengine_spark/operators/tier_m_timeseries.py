@@ -1960,3 +1960,125 @@ def m_ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e.pv") + F.lit(0.0)).alias("var_p"),
         (F.col("e.k") + F.lit(0.0)).alias("gain_k"),
     )
+
+
+@query(
+    "m_ts_cusum",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS yc
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS i,
+               x, yc
+        FROM d
+    ), p AS (
+        SELECT event_type,
+               CAST(SUM(yc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+               ROUND(sqrt((CAST(COUNT(*) * SUM(yc * yc)
+                                - SUM(yc) * SUM(yc) AS DOUBLE))
+                          / CAST(COUNT(*) * COUNT(*) AS DOUBLE))
+                     * 1e4) / 1e4 AS sd
+        FROM s GROUP BY event_type
+    ), h AS (
+        SELECT s.event_type, s.i, s.x, s.yc, p.mu, p.sd,
+               0e0 AS cpos, 0e0 AS cneg
+        FROM s JOIN p ON p.event_type = s.event_type WHERE s.i = 1
+        UNION ALL
+        SELECT h.event_type, s.i, s.x, s.yc, h.mu, h.sd,
+               ROUND(GREATEST(0e0, h.cpos + (CAST(s.yc AS DOUBLE) - h.mu
+                                             - 5e-1 * h.sd)) * 1e4) / 1e4,
+               ROUND(GREATEST(0e0, h.cneg - (CAST(s.yc AS DOUBLE) - h.mu
+                                             + 5e-1 * h.sd)) * 1e4) / 1e4
+        FROM h JOIN s ON s.event_type = h.event_type AND s.i = h.i + 1
+    )
+    SELECT event_type, CAST(x AS BIGINT) AS x, yc,
+           cpos + 0 AS cusum_pos,
+           cneg + 0 AS cusum_neg,
+           CASE WHEN cpos > 4e0 * sd OR cneg > 4e0 * sd THEN 1 ELSE 0 END
+               AS alarm
+    FROM h
+    """,
+)
+def m_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SIDED CUSUM CHANGE DETECTION (Page 1954; the classic
+    sequential drift monitor; public method) over each event type's
+    daily revenue: with per-type reference mean mu and population sd,
+    the positive chart accumulates C+_t = max(0, C+_{t-1} + (y_t - mu
+    - k)) and the negative chart C-_t = max(0, C-_{t-1} - (y_t - mu +
+    k)) with slack k = 0.5*sd; an alarm fires when either chart
+    crosses h = 4*sd — the standard (k, h) = (0.5 sigma, 4 sigma)
+    tuning. The monitoring primitive a metrics pipeline runs where
+    m_ts_changepoint does retrospective segmentation.
+
+    Determinism: daily totals are exact cents; mu is one int-ratio
+    division, sd one correctly-rounded sqrt over exact integer moments
+    quantized to the 1e-4 grid; the recurrence replays identically in
+    both engines with each chart re-quantized per step (the m_ts_holt
+    sanction); chart values are >= 0 by construction and every output
+    adds +0 (rule 5b).
+
+    Spark-first shape: reference moments ride the SAME per-type
+    groupBy that builds the day series (no second scan); the
+    recurrence is a zero-Python aggregate() fold over the bounded
+    calendar-day array; DuckDB replays it as a per-key recursive CTE.
+    The corpus-scale work — the (type, day) cents rollup — is a
+    distributed partial-agg groupBy, unchanged at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.sum((F.col("value") * 100).cast("bigint")).alias("yc"))
+    srow = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("x", "yc"))).alias("s"),
+        (
+            F.sum("yc").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu"),
+        (
+            F.round(
+                F.sqrt(
+                    (
+                        F.count(F.lit(1)) * F.sum(F.col("yc") * F.col("yc"))
+                        - F.sum("yc") * F.sum("yc")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * F.count(F.lit(1))).cast("double")
+                )
+                * 1e4
+            )
+            / 1e4
+        ).alias("sd"),
+    )
+    prev = "element_at(acc, -1)"
+    rec = (
+        "aggregate("
+        " slice(s, 2, size(s) - 1),"
+        " array(named_struct('x', s[0].x, 'yc', s[0].yc,"
+        "  'cpos', 0e0, 'cneg', 0e0)),"
+        " (acc, e) -> concat(acc, array(named_struct("
+        "  'x', e.x, 'yc', e.yc,"
+        f"  'cpos', ROUND(GREATEST(0e0, {prev}.cpos"
+        "    + (CAST(e.yc AS DOUBLE) - mu - 5e-1 * sd)) * 1e4) / 1e4,"
+        f"  'cneg', ROUND(GREATEST(0e0, {prev}.cneg"
+        "    - (CAST(e.yc AS DOUBLE) - mu + 5e-1 * sd)) * 1e4) / 1e4"
+        " ))))"
+    )
+    return srow.select(
+        "event_type", "sd", F.explode(F.expr(rec)).alias("e")
+    ).select(
+        "event_type",
+        F.col("e.x").cast("bigint").alias("x"),
+        F.col("e.yc").alias("yc"),
+        (F.col("e.cpos") + F.lit(0.0)).alias("cusum_pos"),
+        (F.col("e.cneg") + F.lit(0.0)).alias("cusum_neg"),
+        F.when(
+            (F.col("e.cpos") > 4.0 * F.col("sd"))
+            | (F.col("e.cneg") > 4.0 * F.col("sd")),
+            1,
+        )
+        .otherwise(0)
+        .alias("alarm"),
+    )

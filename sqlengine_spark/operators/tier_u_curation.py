@@ -843,3 +843,87 @@ def l_rl_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("advantage"),
     )
+
+
+@query(
+    "l_text_burstiness",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), c AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tf GROUP BY doc_id, t
+    ), m AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(SUM(f * f) AS BIGINT) AS ss
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 * 1e9) / 1e9 AS ttr,
+           ROUND(CAST(n_types * ss - n_tokens * n_tokens AS DOUBLE)
+                 / CAST(n_types * n_tokens AS DOUBLE) * 1e9) / 1e9 + 0
+               AS fano
+    FROM m
+    """,
+)
+def l_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD BURSTINESS per document — the Fano factor (index of
+    dispersion) of the within-document term-frequency distribution
+    (Church & Gale 1995, "Poisson mixtures"; public method):
+    fano = var(tf)/mean(tf) over the doc's term types. Uniform vocab
+    use scores near the Poisson baseline; repetition-heavy,
+    template-y, or keyword-stuffed text scores high — a corpus-quality
+    signal complementary to l_text_repetition's n-gram repeat rate
+    (this one is order-free) and to l_dup_ngram_rate. Type-token
+    ratio rides along.
+
+    Determinism: both statistics reduce to EXACT integer moments
+    (n_types, n_tokens, sum tf^2) — fano = (V*ss - N^2)/(V*N) is one
+    int-ratio division (population var over mean, algebraically
+    folded), ttr likewise; one 1e-9 quantization each, with '+ 0' on
+    fano (rule 5b: a doc where every type appears once gives
+    V*ss = N^2 exactly, and near-boundary values can round negative).
+
+    Scale: one (doc, token)-keyed partial-agg groupBy then one
+    doc-keyed rollup — the l_text_tokenize_tf shuffle shape, linear in
+    token count; no window, no join."""
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    m = c.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").alias("n_tokens"),
+        F.sum(F.col("f") * F.col("f")).alias("ss"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double")
+                * 1e9
+            )
+            / 1e9
+        ).alias("ttr"),
+        (
+            F.round(
+                (
+                    F.col("n_types") * F.col("ss")
+                    - F.col("n_tokens") * F.col("n_tokens")
+                ).cast("double")
+                / (F.col("n_types") * F.col("n_tokens")).cast("double")
+                * 1e9
+            )
+            / 1e9
+            + F.lit(0.0)
+        ).alias("fano"),
+    )
