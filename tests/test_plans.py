@@ -1076,3 +1076,29 @@ def test_nested_pruning_reads_only_leaves(spark):
     assert "price" in read_schema and "status" in read_schema
     assert "PushedFilters" in plan
     assert "IsNotNull" in plan or "EqualTo" in plan
+
+
+def test_ndcg_rank_window_group_limited(spark):
+    """l_eval_ndcg's per-query top-10 must plan as WindowGroupLimit
+    (rank-only Window node, CLAUDE.md rule 13a) so map tasks emit only
+    their local top-10 per query — never the full scored corpus."""
+    plan = _plan(spark, "l_eval_ndcg")
+    assert "WindowGroupLimit" in plan
+
+
+def test_rfm_has_no_global_sort_or_window(spark):
+    """m_rfm_segment's deliberate non-ntile design: quintile boundaries
+    are a distributed percentile AGGREGATE broadcast back, so the plan
+    must contain no Window node at all and no single-partition sort."""
+    plan = _plan(spark, "m_rfm_segment")
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_basket_affinity_broadcasts_dims_and_takeordered(spark):
+    """m_basket_affinity: per-part count tables broadcast onto the
+    pair stream (never shuffled against it) and the top-50 is
+    TakeOrdered, not a global sort."""
+    plan = _plan(spark, "m_basket_affinity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
