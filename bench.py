@@ -66,6 +66,16 @@ HEADLINE = [
                              # residuals (1.6x/1.4x of the single-
                              # process engine at x10/x100 — BASELINE.md
                              # round-9 note; tracks event analytics)
+    "m_basket_affinity",     # round 10b: market-basket lift — per-order
+                             # pair fan-out + broadcast dim joins +
+                             # TakeOrdered (x100 parity 1.09x with the
+                             # single-process engine; tracks the
+                             # association-mining family)
+    "m_ts_kalman",           # round 10b: adaptive-gain Kalman fold —
+                             # tracks the aggregate()-recurrence family
+                             # (Spark FASTER than the single-process
+                             # recursive-CTE replay at x10/x100:
+                             # 0.82x/0.73x class — BASELINE.md)
     "l_span_corrupt",        # round 10: T5-style span corruption — the
                              # whole-corpus data-prep TRANSFORM class
                              # (posexplode fan-out + per-doc windows +
