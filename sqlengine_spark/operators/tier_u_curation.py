@@ -927,3 +927,144 @@ def l_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("fano"),
     )
+
+
+@query(
+    "l_filter_attrition",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), c AS (
+        SELECT doc_id, CAST(SUM(f) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(MAX(f) AS BIGINT) AS max_tf
+        FROM (SELECT doc_id, t, COUNT(*) AS f FROM tf GROUP BY doc_id, t)
+        GROUP BY doc_id
+    ), g AS (
+        SELECT d.doc_id,
+               CASE WHEN d.n_chars BETWEEN 60 AND 500 THEN 1 ELSE 0 END
+                   AS g1,
+               CASE WHEN d.lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END
+                   AS g2,
+               CASE WHEN c.max_tf * 100 <= 15 * c.n_tok THEN 1 ELSE 0 END
+                   AS g3,
+               CASE WHEN c.n_types >= 15 THEN 1 ELSE 0 END AS g4
+        FROM documents d JOIN c ON c.doc_id = d.doc_id
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(SUM(g1) AS BIGINT) AS a1,
+               CAST(SUM(g2) AS BIGINT) AS a2,
+               CAST(SUM(g3) AS BIGINT) AS a3,
+               CAST(SUM(g4) AS BIGINT) AS a4,
+               CAST(SUM(g1 * g2) AS BIGINT) AS c2,
+               CAST(SUM(g1 * g2 * g3) AS BIGINT) AS c3,
+               CAST(SUM(g1 * g2 * g3 * g4) AS BIGINT) AS c4
+        FROM g
+    )
+    SELECT u.stage, u.gate, u.n_pass_alone, u.n_pass_cum,
+           ROUND(CAST(u.n_pass_cum AS DOUBLE) / CAST(u.n_in AS DOUBLE)
+                 * 1e6) / 1e6 AS cum_keep_rate
+    FROM (
+        SELECT 1 AS stage, 'length_60_500' AS gate, a1 AS n_pass_alone,
+               a1 AS n_pass_cum, n_in FROM a
+        UNION ALL
+        SELECT 2, 'lang_en_de_fr', a2, c2, n_in FROM a
+        UNION ALL
+        SELECT 3, 'max_tf_le_15pct', a3, c3, n_in FROM a
+        UNION ALL
+        SELECT 4, 'types_ge_15', a4, c4, n_in FROM a
+    ) u
+    """,
+)
+def l_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER ATTRITION FUNNEL — the per-gate kill report every
+    corpus curation pipeline publishes (cf. the RefinedWeb/C4 filter
+    cascade tables; public method): four representative gates (length
+    band, language allowlist, max-token-frequency repetition cap,
+    vocabulary-diversity floor) evaluated on every document in ONE
+    pass, emitting each gate's standalone pass count AND the
+    cumulative pass count in cascade order — the marginal-vs-joint
+    attrition view that tells you which gate actually does the
+    killing and which is redundant given its predecessors.
+
+    Determinism: every gate is an integer predicate (the repetition
+    cap is cross-multiplied — max_tf * 100 <= 15 * n_tok — so no
+    float ratio exists anywhere); counts are exact BIGINTs; the keep
+    rate is one int-ratio division.
+
+    Scale: per-doc token stats are one (doc, token)-keyed partial-agg
+    groupBy + one doc-keyed rollup (the l_text_burstiness shape); gate
+    flags and all 8 funnel counters fold in ONE conditional-aggregation
+    pass (no per-gate scans, no joins between stages); output is 4
+    rows at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("f").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("f").alias("max_tf"),
+        )
+    )
+    g = d.join(c, "doc_id").select(
+        F.when(F.col("n_chars").between(60, 500), 1).otherwise(0).alias(
+            "g1"
+        ),
+        F.when(F.col("lang").isin("en", "de", "fr"), 1)
+        .otherwise(0)
+        .alias("g2"),
+        F.when(F.col("max_tf") * 100 <= 15 * F.col("n_tok"), 1)
+        .otherwise(0)
+        .alias("g3"),
+        F.when(F.col("n_types") >= 15, 1).otherwise(0).alias("g4"),
+    )
+    a = g.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum("g1").alias("a1"),
+        F.sum("g2").alias("a2"),
+        F.sum("g3").alias("a3"),
+        F.sum("g4").alias("a4"),
+        F.sum(F.col("g1") * F.col("g2")).alias("c2"),
+        F.sum(F.col("g1") * F.col("g2") * F.col("g3")).alias("c3"),
+        F.sum(
+            F.col("g1") * F.col("g2") * F.col("g3") * F.col("g4")
+        ).alias("c4"),
+    )
+    # ONE pass: the 4 funnel rows explode out of the single aggregate
+    # row (a 4-way union of selects over `a` would re-execute the whole
+    # aggregation per branch — Catalyst does not dedupe union inputs)
+    rows = [
+        (1, "length_60_500", "a1", "a1"),
+        (2, "lang_en_de_fr", "a2", "c2"),
+        (3, "max_tf_le_15pct", "a3", "c3"),
+        (4, "types_ge_15", "a4", "c4"),
+    ]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(stage).alias("stage"),
+                F.lit(gate).alias("gate"),
+                F.col(alone).alias("n_pass_alone"),
+                F.col(cum).alias("n_pass_cum"),
+            )
+            for stage, gate, alone, cum in rows
+        ]
+    )
+    return a.select("n_in", F.explode(stages).alias("e")).select(
+        F.col("e.stage").alias("stage"),
+        F.col("e.gate").alias("gate"),
+        F.col("e.n_pass_alone").alias("n_pass_alone"),
+        F.col("e.n_pass_cum").alias("n_pass_cum"),
+        (
+            F.round(
+                F.col("e.n_pass_cum").cast("double")
+                / F.col("n_in").cast("double")
+                * 1e6
+            )
+            / 1e6
+        ).alias("cum_keep_rate"),
+    )

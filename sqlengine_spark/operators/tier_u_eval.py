@@ -1066,3 +1066,274 @@ def m_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(z * se * 1e6) / 1e6).alias("mde_abs_cents"),
         (F.round(z * se / mean0 * 1e9) / 1e9).alias("mde_rel"),
     )
+
+
+@query(
+    "l_eval_brier",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               CAST(FLOOR(CAST((n_chars - 40) * (n_chars - 40) AS DOUBLE)
+                          / CAST((n_chars - 40) * (n_chars - 40) + 40000
+                                 AS DOUBLE) * 1e6) AS BIGINT) AS pq
+        FROM documents
+    ), b AS (
+        SELECT LEAST(pq // 100000, 9) AS bin, pos, pq,
+               (pq - pos * 1000000) * (pq - pos * 1000000) AS sqerr
+        FROM s
+    ), k AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(SUM(pos) AS BIGINT) AS p_k,
+               CAST(SUM(pq) AS BIGINT) AS q_k,
+               CAST(SUM(sqerr) AS BIGINT) AS se_k
+        FROM b GROUP BY bin
+    ), g AS (
+        SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+               CAST(SUM(p_k) AS BIGINT) AS p,
+               CAST(SUM(se_k) AS BIGINT) AS se,
+               CAST(SUM(CAST(trunc(
+                   CAST(n_k AS DOUBLE)
+                   * (CAST(q_k AS DOUBLE) / CAST(n_k AS DOUBLE) / 1e6
+                      - CAST(p_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                   * (CAST(q_k AS DOUBLE) / CAST(n_k AS DOUBLE) / 1e6
+                      - CAST(p_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                   * 1e9) AS BIGINT)) AS BIGINT) AS rel_fp
+        FROM k
+    ), g2 AS (
+        SELECT g.n, g.p, g.se, g.rel_fp,
+               CAST((SELECT SUM(CAST(trunc(
+                   CAST(n_k AS DOUBLE)
+                   * (CAST(p_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                      - CAST(g.p AS DOUBLE) / CAST(g.n AS DOUBLE))
+                   * (CAST(p_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                      - CAST(g.p AS DOUBLE) / CAST(g.n AS DOUBLE))
+                   * 1e9) AS BIGINT)) FROM k) AS BIGINT) AS res_fp
+        FROM g
+    )
+    SELECT n, ROUND(CAST(p AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) / 1e9
+               AS base_rate,
+           ROUND(CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 * 1e9) / 1e9
+               AS brier,
+           ROUND(CAST(rel_fp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) * 1e9)
+               / 1e9 AS reliability,
+           ROUND(CAST(res_fp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) * 1e9)
+               / 1e9 AS resolution,
+           ROUND((CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1e0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+               / 1e9 AS uncertainty
+    FROM g2
+    """,
+)
+def l_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with the MURPHY DECOMPOSITION (Brier 1950; Murphy
+    1973 — the proper-scoring-rule audit for any probabilistic gate):
+    over the same frozen rational-squash scorer and en-label as
+    l_calibration_curve, emit the mean squared error of the predicted
+    probabilities (brier), and its decile-binned decomposition into
+    RELIABILITY (calibration error, lower better), RESOLUTION
+    (discrimination, higher better), and UNCERTAINTY (base-rate
+    entropy) — brier ≈ reliability - resolution + uncertainty up to
+    the within-bin forecast variance.
+
+    Determinism: probabilities quantize to the 1e-6 grid at the ROW
+    level, so the Brier numerator is an exact BIGINT sum of squared
+    integer residuals (order-immune, rule 11e; (1e6)^2 * N stays far
+    under 2^63 through x100 — at ledger scales swap the grid to 1e4 or
+    sum per-bin). The per-BIN reliability/resolution terms quantize to
+    1e-9 fixed-point before the 10-term sum. Every division is a
+    single int-ratio op.
+
+    Scale: map-side scoring + one 10-group partial-agg rollup + a
+    1-row fold — the l_calibration_curve plan with two more exact
+    integer columns."""
+    d = table(spark, sf_dir, "documents")
+    z2 = (F.col("n_chars") - 40) * (F.col("n_chars") - 40)
+    p = z2.cast("double") / (z2 + 40000).cast("double")
+    pq = F.floor(p * 1e6).cast("bigint")
+    b = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        pq.alias("pq"),
+    ).select(
+        F.least(F.expr("pq div 100000"), F.lit(9).cast("bigint")).alias(
+            "bin"
+        ),
+        "pos",
+        "pq",
+        (
+            (F.col("pq") - F.col("pos") * 1000000)
+            * (F.col("pq") - F.col("pos") * 1000000)
+        ).alias("sqerr"),
+    )
+    k = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("pos").alias("p_k"),
+        F.sum("pq").alias("q_k"),
+        F.sum("sqerr").alias("se_k"),
+    )
+    conf = F.col("q_k").cast("double") / F.col("n_k").cast("double") / 1e6
+    acc = F.col("p_k").cast("double") / F.col("n_k").cast("double")
+    base = F.col("p").cast("double") / F.col("n").cast("double")
+    g = k.agg(
+        F.sum("n_k").alias("n"),
+        F.sum("p_k").alias("p"),
+        F.sum("se_k").alias("se"),
+        F.sum(
+            (
+                F.col("n_k").cast("double") * (conf - acc) * (conf - acc)
+                * 1e9
+            ).cast("bigint")
+        ).alias("rel_fp"),
+        F.collect_list(F.struct("bin", "n_k", "p_k")).alias("bins"),
+    )
+    # resolution needs the GLOBAL base rate, so fold it over the
+    # bounded 10-element bin list carried through the same 1-row agg
+    res_fp = F.expr(
+        "aggregate(bins, 0L, (acc2, e) -> acc2 + CAST("
+        " CAST(e.n_k AS DOUBLE)"
+        " * (CAST(e.p_k AS DOUBLE) / CAST(e.n_k AS DOUBLE)"
+        "    - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(e.p_k AS DOUBLE) / CAST(e.n_k AS DOUBLE)"
+        "    - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * 1e9 AS BIGINT))"
+    )
+    return g.select(
+        "n",
+        (F.round(base * 1e9) / 1e9).alias("base_rate"),
+        (
+            F.round(
+                F.col("se").cast("double") / F.col("n").cast("double")
+                / 1e12
+                * 1e9
+            )
+            / 1e9
+        ).alias("brier"),
+        (
+            F.round(
+                F.col("rel_fp").cast("double")
+                / 1e9
+                / F.col("n").cast("double")
+                * 1e9
+            )
+            / 1e9
+        ).alias("reliability"),
+        (
+            F.round(
+                res_fp.cast("double") / 1e9 / F.col("n").cast("double")
+                * 1e9
+            )
+            / 1e9
+        ).alias("resolution"),
+        (F.round(base * (F.lit(1.0) - base) * 1e9) / 1e9).alias(
+            "uncertainty"
+        ),
+    )
+
+
+@query(
+    "l_eval_spearman",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, n_chars AS a,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS b
+        FROM documents
+    ), ra AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY a
+    ), ra2 AS (
+        SELECT a, 2 * (SUM(c) OVER (ORDER BY a) - c) + c + 1 AS r2
+        FROM ra
+    ), rb AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY b
+    ), rb2 AS (
+        SELECT b, 2 * (SUM(c) OVER (ORDER BY b) - c) + c + 1 AS r2
+        FROM rb
+    ), j AS (
+        SELECT CAST(ra2.r2 AS BIGINT) AS x, CAST(rb2.r2 AS BIGINT) AS y
+        FROM f JOIN ra2 ON ra2.a = f.a JOIN rb2 ON rb2.b = f.b
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM j
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1e9) / 1e9 + 0 AS spearman_rho
+    FROM m
+    """,
+)
+def l_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between two per-document quality
+    signals (document length in chars vs vocabulary size in distinct
+    tokens) with the exact tie-corrected treatment: rho = Pearson over
+    AVERAGE ranks (Spearman 1904; public method) — the agreement audit
+    a curation pipeline runs before replacing an expensive signal with
+    a cheap proxy.
+
+    Determinism: average ranks live on the half-integer grid, so the
+    DOUBLED rank 2r = 2*(cum_before) + count + 1 is an exact BIGINT per
+    distinct VALUE; all five moments are exact integer sums (doubling
+    cancels in the correlation). The final rho is one expression over
+    exactly-representable doubles with a correctly-rounded sqrt,
+    quantized once with the rule-5b '+ 0'.
+
+    Scale (the deliberate non-global-rank design): ranks attach per
+    distinct VALUE, not per row — the rank ladder is a cumulative sum
+    over the VALUE-DOMAIN-grouped table (n_chars domain ~500 values,
+    vocab-size domain likewise — the m_survival_km value-domain-bounded
+    window class), then broadcast-joined back onto the corpus; a
+    row-level rank window would sort the whole corpus on one reducer.
+    Moments are one partial-agg fold to a single row."""
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.col("n_chars").alias("a"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias(
+            "b"
+        ),
+    )
+
+    def dranks(col: str):
+        cnt = f.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return cnt.select(
+            col,
+            (
+                2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+            ).alias("r2"),
+        )
+    j = (
+        f.join(F.broadcast(dranks("a").withColumnRenamed("r2", "x")), "a")
+        .join(F.broadcast(dranks("b").withColumnRenamed("r2", "y")), "b")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "n",
+        (
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                * 1e9
+            )
+            / 1e9
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
+    )

@@ -32,14 +32,15 @@ _ORACLES: dict[str, str] = {}
 #: (graduated to a SQL oracle in r9; its only prior row is the
 #: pre-graduation rows-only record from r4, so the hash path has never
 #: earned a driver row), the staged oracled backlog keys, and a 1-key
-#: rows-only tail. FINAL ROUND-10 ARITHMETIC (registry = 378 keys
-#: after the 18 round-10 builds, each of which took a window slot and
+#: rows-only tail. FINAL ROUND-10 ARITHMETIC (registry = 381 keys
+#: after the 21 round-10 builds, each of which took a window slot and
 #: displaced one staged key back to the r11 queue): 289 keys hold
 #: driver rows from r1-r9 for their current oracle surface
 #: (l_sim_search_ivf's r4 rows-only record predates its oracle, so it
 #: re-earns a hash row here); this window adds 46 fresh rows (4
-#: anchors re-prove) → 335 covered after r10, backlog 43 closes in
-#: ROUND 11 (+1 per r11 build).
+#: anchors re-prove) → 335 covered after r10, backlog 46 = exactly
+#: one window: ROUND 11 converges it by spending its whole window on
+#: the staged queue (any r11 builds go behind it, closing in r12).
 #: Keys verified in r1-r9 sit dead last (they re-verify if the window
 #: ever widens).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
@@ -51,6 +52,9 @@ PRIORITY_ORDER = (
     "d_agg_q1_pricing",
     "j_tumbling_1h",
     "l_dedup_exact",
+    "l_filter_attrition",
+    "l_eval_spearman",
+    "l_eval_brier",
     "l_text_burstiness",
     "m_ts_cusum",
     "m_ab_power_mde",
@@ -99,14 +103,17 @@ PRIORITY_ORDER = (
     "d_agg_bitmap_distinct",
     "d_agg_grouping_id",
     "d_agg_listagg",
-    "d_agg_group_by_all",
-    "h_try_funcs",
-    "h_url_funcs",
     #    ... and the rows-only tail (ran-clean rows only:
     #    sketch/stub paths; must be the LAST window slot). --
     "i_sample_stratified",
     # -- ROUND-11 QUEUE (swap into slots 5-50 next round): the
-    #    remaining never-driver-checked backlog, 43 keys. --
+    #    remaining never-driver-checked backlog, 46 keys — exactly one
+    #    window. ROUND 11 IS THE CONVERGENCE ROUND: spend its whole
+    #    window on this queue and build nothing new into slots 5-50
+    #    (new r11 keys, if any, go BEHIND this queue and close in r12).
+    "d_agg_group_by_all",
+    "h_try_funcs",
+    "h_url_funcs",
     "h_sql_pipe",
     "h_collation",
     "h_interval_arith",

@@ -301,6 +301,12 @@ GLOBAL_WINDOW_WHITELIST = {
     "l_curriculum_pacing",  # global_pos numbers the TakeOrdered 100-row
                             # schedule head — bounded by the plan's own
                             # GlobalLimit, never the corpus
+    "l_eval_spearman",      # doubled-rank ladders run over the VALUE-
+                            # DOMAIN-grouped tables (n_chars / vocab-
+                            # size domains, ~500 rows — the
+                            # m_survival_km value-domain-bounded
+                            # class), broadcast back; never a row-level
+                            # corpus rank
     "i_sample_systematic",  # the exact every-20th spacing IS the
                             # operator's fixture-level contract; the
                             # warehouse form (hash mod k, i_sample_hash
