@@ -327,3 +327,69 @@ def test_group_advantage_is_standardized_per_group(spark):
         var = sum((a - mean) ** 2 for a in advs) / n
         assert abs(mean) < 1e-6, uid
         assert abs(math.sqrt(var) - 1.0) < 1e-6, uid
+
+
+def test_brier_murphy_identity_and_bounds(spark):
+    """brier = reliability - resolution + uncertainty + within-bin
+    variance, and the within-bin variance term must be non-negative —
+    the Murphy decomposition's defining identity."""
+    (r,) = all_queries()["l_eval_brier"](spark, SF_DIR_SMALL).collect()
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["reliability"] >= 0.0 and r["resolution"] >= 0.0
+    assert 0.0 <= r["uncertainty"] <= 0.25
+    wbv = r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"])
+    assert wbv >= -1e-6
+    assert r["resolution"] <= r["uncertainty"] + 1e-9
+
+
+def test_spearman_matches_python_rank_recompute(spark):
+    """Independent recompute with Python average ranks — catches a
+    doubled-rank ladder or tie-handling bug."""
+    import statistics as st
+
+    (r,) = all_queries()["l_eval_spearman"](spark, SF_DIR_SMALL).collect()
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("n_chars", "text")
+        .collect()
+    )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r_avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r_avg
+            i = j + 1
+        return ranks
+
+    a = [d["n_chars"] for d in docs]
+    b = [len(set(d["text"].split(" "))) for d in docs]
+    ra, rb = avg_ranks(a), avg_ranks(b)
+    ma, mb = st.mean(ra), st.mean(rb)
+    num = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    den = (
+        sum((x - ma) ** 2 for x in ra) * sum((y - mb) ** 2 for y in rb)
+    ) ** 0.5
+    assert r["n"] == len(docs)
+    assert abs(r["spearman_rho"] - num / den) < 1e-6
+
+
+def test_filter_attrition_funnel_monotone(spark):
+    rows = sorted(
+        all_queries()["l_filter_attrition"](spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    n_docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet").count()
+    prev_cum = n_docs
+    for r in rows:
+        assert 0 <= r["n_pass_cum"] <= min(r["n_pass_alone"], prev_cum)
+        prev_cum = r["n_pass_cum"]
+        assert abs(r["cum_keep_rate"] - round(r["n_pass_cum"] / n_docs, 6)) < 1e-9
+    assert rows[0]["n_pass_cum"] == rows[0]["n_pass_alone"]
