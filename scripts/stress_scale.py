@@ -50,8 +50,7 @@ _FACT_OFFSETS = {
     "orders": "SELECT o_orderkey + i*100000000 AS o_orderkey,"
               " o_custkey + i*10000000 AS o_custkey, o_orderstatus,"
               " o_totalprice, o_orderdate, o_orderpriority",
-    "embeddings": "SELECT CASE WHEN i = 0 THEN vec_id"
-                  " ELSE vec_id + i*10000000 END AS vec_id, embedding,"
+    "embeddings": "SELECT vec_id + i*10000000 AS vec_id, embedding,"
                   " label",
 }
 
@@ -61,7 +60,14 @@ def build_x100() -> str:
     con = duckdb.connect()
     for t in TABLES:
         dst = f"{X100}/{t}.parquet"
-        if os.path.exists(dst):
+        src_path = f"{SF01}/{t}.parquet"
+        # a cached replica OLDER than its sf0.1 source is stale — the
+        # driver regenerates testdata between rounds (rule 1b), and a
+        # silently-reused old corpus invalidates every number measured
+        # on it (rule 8)
+        if os.path.exists(dst) and os.path.getmtime(
+            dst
+        ) > os.path.getmtime(src_path):
             continue
         src = f"read_parquet('{SF01}/{t}.parquet')"
         if t in _FACT_OFFSETS:

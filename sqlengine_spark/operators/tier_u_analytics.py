@@ -693,14 +693,11 @@ def m_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        (
-            F.round(
-                F.sum("mc").cast("double")
-                / F.count(F.lit(1)).cast("double")
-                / 1e2
-                * 1e2
-            )
-            / 1e2
+        dround(
+            F.sum("mc").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1e2,
+            2,
         ).alias("avg_monetary"),
     )
 
@@ -810,15 +807,11 @@ def m_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
-            (
-                F.round(
-                    F.col("n_ab").cast("double")
-                    / F.col("n_a").cast("double")
-                    * 1e6
-                )
-                / 1e6
+            dround(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"),
+                6,
             ).alias("confidence"),
-            (F.round(lift_raw * 1e6) / 1e6).alias("lift"),
+            dround(lift_raw, 6).alias("lift"),
             lift_raw.alias("_lift_raw"),
         )
         .orderBy(F.col("_lift_raw").desc(), "pa", "pb")
@@ -998,8 +991,7 @@ def m_mix_shift_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = F.col("s1").cast("double") / F.col("n1").cast("double")
     r2 = F.col("s2").cast("double") / F.col("n2").cast("double")
 
-    def q(col, n):
-        return F.round(col * (10**n)) / (10**n) + F.lit(0.0)
+    q = dround  # the fixed-point quantizer IS the shared helper
 
     return m.select(
         "event_type",

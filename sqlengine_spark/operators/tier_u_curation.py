@@ -832,15 +832,9 @@ def l_rl_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id",
         "event_id",
-        (F.round(F.col("rc").cast("double") / 1e2 * 1e2) / 1e2).alias(
-            "reward"
-        ),
-        (
-            F.round(
-                (F.col("rc").cast("double") - mean) / F.sqrt(varp) * 1e9
-            )
-            / 1e9
-            + F.lit(0.0)
+        dround(F.col("rc").cast("double") / 1e2, 2).alias("reward"),
+        dround(
+            (F.col("rc").cast("double") - mean) / F.sqrt(varp), 9
         ).alias("advantage"),
     )
 
@@ -906,25 +900,18 @@ def l_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_types",
-        (
-            F.round(
-                F.col("n_types").cast("double")
-                / F.col("n_tokens").cast("double")
-                * 1e9
-            )
-            / 1e9
+        dround(
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+            9,
         ).alias("ttr"),
-        (
-            F.round(
-                (
-                    F.col("n_types") * F.col("ss")
-                    - F.col("n_tokens") * F.col("n_tokens")
-                ).cast("double")
-                / (F.col("n_types") * F.col("n_tokens")).cast("double")
-                * 1e9
-            )
-            / 1e9
-            + F.lit(0.0)
+        dround(
+            (
+                F.col("n_types") * F.col("ss")
+                - F.col("n_tokens") * F.col("n_tokens")
+            ).cast("double")
+            / (F.col("n_types") * F.col("n_tokens")).cast("double"),
+            9,
         ).alias("fano"),
     )
 
@@ -1059,12 +1046,9 @@ def l_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.gate").alias("gate"),
         F.col("e.n_pass_alone").alias("n_pass_alone"),
         F.col("e.n_pass_cum").alias("n_pass_cum"),
-        (
-            F.round(
-                F.col("e.n_pass_cum").cast("double")
-                / F.col("n_in").cast("double")
-                * 1e6
-            )
-            / 1e6
+        dround(
+            F.col("e.n_pass_cum").cast("double")
+            / F.col("n_in").cast("double"),
+            6,
         ).alias("cum_keep_rate"),
     )

@@ -749,14 +749,13 @@ def l_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         m2.cast("double") / l2c.cast("double")
     )
     bp = F.when(F.col("lc") >= F.col("lr"), F.lit(1.0)).otherwise(
-        F.round(
+        dround(
             F.exp(
                 F.lit(1.0)
                 - F.col("lr").cast("double") / F.col("lc").cast("double")
-            )
-            * 1e6
+            ),
+            6,
         )
-        / 1e6
     )
     return a1.join(a2, "pair_id", "left").select(
         "pair_id",
@@ -765,12 +764,10 @@ def l_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m1",
         l2c.alias("l2c"),
         m2.alias("m2"),
-        (F.round(p1 * 1e6) / 1e6 + F.lit(0.0)).alias("p1"),
-        (F.round(p2 * 1e6) / 1e6 + F.lit(0.0)).alias("p2"),
+        dround(p1, 6).alias("p1"),
+        dround(p2, 6).alias("p2"),
         (bp + F.lit(0.0)).alias("bp"),
-        (F.round(bp * F.sqrt(p1 * p2) * 1e6) / 1e6 + F.lit(0.0)).alias(
-            "bleu2"
-        ),
+        dround(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
     )
 
 
@@ -838,7 +835,7 @@ def l_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n",
         "c",
-        (F.round((F.lit(1.0) - prod) * 1e12) / 1e12).alias("pass_at_5"),
+        dround(F.lit(1.0) - prod, 12).alias("pass_at_5"),
     )
 
 
@@ -993,10 +990,12 @@ def l_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), v AS (
         SELECT n0, n1,
                CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
-               (CAST(n0 * ss0 - s0 * s0 AS DOUBLE))
-                   / CAST(n0 * n0 AS DOUBLE) AS var0,
-               (CAST(n1 * ss1 - s1 * s1 AS DOUBLE))
-                   / CAST(n1 * n1 AS DOUBLE) AS var1
+               (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+                - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                   / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS var0,
+               (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS var1
         FROM p
     )
     SELECT n0 AS n_control, n1 AS n_treat,
@@ -1023,10 +1022,12 @@ def m_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation at query time). Arms split by user_id parity; SE uses
     each arm's own population variance over exact cent integers.
 
-    Determinism: counts/sums/sum-of-squares are exact BIGINTs; the
-    variance ratio and SE are single exact divisions + one
-    correctly-rounded sqrt; outputs quantize once. All outputs
-    positive (no -0.0 exposure).
+    Determinism: counts/sums/sum-of-squares are exact BIGINTs cast to
+    double BEFORE multiplying (each moment is exactly representable;
+    the products round correctly and identically in both engines, and
+    BIGINT products would overflow at x100 arm sizes — see the inline
+    note); the SE is one expression + one correctly-rounded sqrt;
+    outputs quantize once. All outputs positive (no -0.0 exposure).
 
     Scale: one arm-keyed partial-agg groupBy (2 groups) + a 2-row
     pivot — the cheapest possible shape; the fact scan is the whole
@@ -1048,13 +1049,21 @@ def m_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n", "s", "ss")
         ]
     )
+    # moments multiply in DOUBLE: the arms are corpus-halves, so the
+    # BIGINT product n*ss overflows at the repo's own x100 stress scale
+    # (n ~ 5e6 x ss ~ 5e14 > 2^63); each cast double is exact and the
+    # products are correctly rounded identically in both engines (the
+    # l_eval_spearman moments pattern)
     mean0 = F.col("s0").cast("double") / F.col("n0").cast("double")
-    var0 = (F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0")).cast(
-        "double"
-    ) / (F.col("n0") * F.col("n0")).cast("double")
-    var1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
-        "double"
-    ) / (F.col("n1") * F.col("n1")).cast("double")
+
+    def _varp(n, s, ss):
+        nd = F.col(n).cast("double")
+        sd2 = F.col(s).cast("double")
+        ssd = F.col(ss).cast("double")
+        return (nd * ssd - sd2 * sd2) / (nd * nd)
+
+    var0 = _varp("n0", "s0", "ss0")
+    var1 = _varp("n1", "s1", "ss1")
     z = F.lit(2.8015989838225857)
     se = F.sqrt(
         var0 / F.col("n0").cast("double") + var1 / F.col("n1").cast("double")
@@ -1062,9 +1071,9 @@ def m_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("n0").alias("n_control"),
         F.col("n1").alias("n_treat"),
-        (F.round(mean0 * 1e6) / 1e6).alias("mean_control_cents"),
-        (F.round(z * se * 1e6) / 1e6).alias("mde_abs_cents"),
-        (F.round(z * se / mean0 * 1e9) / 1e9).alias("mde_rel"),
+        dround(mean0, 6).alias("mean_control_cents"),
+        dround(z * se, 6).alias("mde_abs_cents"),
+        dround(z * se / mean0, 9).alias("mde_rel"),
     )
 
 
@@ -1198,34 +1207,18 @@ def l_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.select(
         "n",
-        (F.round(base * 1e9) / 1e9).alias("base_rate"),
-        (
-            F.round(
-                F.col("se").cast("double") / F.col("n").cast("double")
-                / 1e12
-                * 1e9
-            )
-            / 1e9
+        dround(base, 9).alias("base_rate"),
+        dround(
+            F.col("se").cast("double") / F.col("n").cast("double") / 1e12, 9
         ).alias("brier"),
-        (
-            F.round(
-                F.col("rel_fp").cast("double")
-                / 1e9
-                / F.col("n").cast("double")
-                * 1e9
-            )
-            / 1e9
+        dround(
+            F.col("rel_fp").cast("double") / 1e9 / F.col("n").cast("double"),
+            9,
         ).alias("reliability"),
-        (
-            F.round(
-                res_fp.cast("double") / 1e9 / F.col("n").cast("double")
-                * 1e9
-            )
-            / 1e9
+        dround(
+            res_fp.cast("double") / 1e9 / F.col("n").cast("double"), 9
         ).alias("resolution"),
-        (F.round(base * (F.lit(1.0) - base) * 1e9) / 1e9).alias(
-            "uncertainty"
-        ),
+        dround(base * (F.lit(1.0) - base), 9).alias("uncertainty"),
     )
 
 
@@ -1298,7 +1291,8 @@ def l_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias(
             "b"
         ),
-    )
+    ).localCheckpoint()  # rule 11a: the split+array_distinct tokenize
+    # pass feeds BOTH rank ladders and the moments join — one scan
 
     def dranks(col: str):
         cnt = f.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
@@ -1327,13 +1321,9 @@ def l_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     return m.select(
         "n",
-        (
-            F.round(
-                (n * sxy - sx * sy)
-                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-                * 1e9
-            )
-            / 1e9
-            + F.lit(0.0)
+        dround(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
         ).alias("spearman_rho"),
     )

@@ -243,7 +243,7 @@ def test_seq_editdist_histogram_covers_all_users(spark):
     )
     assert sum(r["n_users"] for r in rows) == n_users
     dists = {r["edit_dist"]: r["n_users"] for r in rows}
-    assert all(d >= 0 for d in dists)
+    assert all(n > 0 for n in dists.values())
     assert dists.get(0, 0) >= 1  # the modal path itself
 
 
