@@ -16,7 +16,13 @@ Usage:
 
 Row counts are asserted equal between engines on every rep; a query
 whose oracle answer is quadratic on the degenerate 31-token vocabulary
-(bench.py note) should not be pointed at --x100.
+(bench.py note) should not be pointed at --x100. Same caution for
+DENSITY-quadratic answers: replication multiplies per-bucket/value
+density 10x, so ops whose answer is pairs-within-a-band explode
+quadratically (measured: c_join_range_bucketed's x100 ANSWER is
+~100M pairs — the driver-side Arrow materialization dies, and the
+DuckDB fetchall would too; the plan itself is the linear bucketed
+hash join either way).
 """
 
 from __future__ import annotations
