@@ -633,15 +633,27 @@ def l_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-shingle count — equal fingerprints flag near-identical
     prefixes/content for cheap first-pass dedup routing. md5 is pinned
     because both engines implement it identically; the shingle explode
-    partial-aggregates to one row per doc before the shuffle."""
+    partial-aggregates to one row per doc before the shuffle.
+
+    Plan note (round-10 x100 hunt): shingles slice a per-doc CHAR
+    ARRAY (split('')), not substr(text, i, 8) — Spark's UTF8String
+    substring walks code points O(i) per call, making per-position
+    substr quadratic per document (the l_text_entropy finding; paired
+    at x100: 38.9 -> 5.8 s, identical results; DuckDB's byte-offset
+    substring never paid the walk, which is why only the Spark side
+    changes)."""
     d = table(spark, sf_dir, "documents")
     return (
         d.select(
             "doc_id",
+            F.split("text", "").alias("ca"),
+        )
+        .select(
+            "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(length(text) - 7, 1)),"
-                    " i -> substr(text, i, 8))"
+                    "transform(sequence(1, greatest(size(ca) - 7, 1)),"
+                    " i -> array_join(slice(ca, i, 8), ''))"
                 )
             ).alias("s"),
         )

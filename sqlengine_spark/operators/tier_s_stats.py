@@ -394,16 +394,20 @@ def l_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes map-side, shuffle only |docs|·|alphabet| rows, then a
     doc-keyed agg. Linear in corpus bytes, embarrassingly parallel —
     the same shape as l_text_fingerprint's shingle explode.
+
+    Plan note (round-10 x100 hunt): chars come from ONE split('')
+    array per doc, NOT explode(sequence)+substring(lt, i, 1) — the
+    substring form re-walks the UTF-8 bytes O(i) per generated row
+    (quadratic per document) and drags the full string through the
+    Generate (rule 12a); paired at x100 the split form is 16.9 ->
+    3.6 s with identical checksums (the rule-13b trade measured in
+    the opposite direction: here the per-row arithmetic IS the
+    quadratic term and the short-lived array wins).
     """
     d = table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
-    ch = (
-        d.select("doc_id", F.lower(F.col("text")).alias("lt"))
-        .select(
-            "doc_id",
-            "lt",
-            F.explode(F.sequence(F.lit(1), F.length("lt"))).alias("i"),
-        )
-        .select("doc_id", F.expr("substring(lt, i, 1)").alias("c"))
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("c"),
     )
     cls = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
     term = (
