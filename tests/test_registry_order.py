@@ -29,11 +29,11 @@ def test_queries_dict_iterates_in_priority_order():
     assert list(all_queries()) == list(PRIORITY_ORDER)
 
 
-# Round-10 window spends its last two slots on rows-only keys
-# (sketch/stub paths that can only ever record ``err: no_oracle``
-# ran-clean rows) — the r9 pattern that let the HLL/Theta pair and
-# i_sample earn their rows.
-WINDOWED_ROWS_ONLY: set = {"i_sample_stratified"}
+# Round-11 window spends its last slot on the one rows-only key in the
+# convergence backlog (the declared media-decode stub, which can only
+# ever record an ``err: no_oracle`` ran-clean row) — the r9/r10 pattern
+# that let the sketch/sampling keys earn their rows.
+WINDOWED_ROWS_ONLY: set = {"l_multimodal_decode"}
 
 
 def test_window_is_oracled_except_declared_scale_paths():
