@@ -118,7 +118,9 @@ def main() -> int:
             continue
         # warm both engines once (JIT / file cache), then interleave
         qs[qid](spark, sf_dir).toPandas()
-        duck_con(sf_dir).execute(osql[qid]).fetchall()
+        con = duck_con(sf_dir)  # r10 ADVICE: close the warm-up
+        con.execute(osql[qid]).fetchall()  # connection too — many-qid
+        con.close()  # runs leaked a handle per query
         ss, ds, n = [], [], None
         for _ in range(args.reps):
             t0 = time.perf_counter()

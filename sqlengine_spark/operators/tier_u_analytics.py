@@ -730,10 +730,12 @@ def m_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pa, pb, n_ab, n_a, n_b,
            ROUND(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6) / 1e6
                AS confidence,
-           ROUND(CAST(n_ab * n_orders AS DOUBLE)
-                 / CAST(n_a * n_b AS DOUBLE) * 1e6) / 1e6 AS lift
+           ROUND(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6) / 1e6
+               AS lift
     FROM m
-    ORDER BY CAST(n_ab * n_orders AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+    ORDER BY CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
              DESC, pa, pb
     LIMIT 50
     """,
@@ -797,9 +799,13 @@ def m_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n))
     )
-    lift_raw = (F.col("n_ab") * F.col("n_orders")).cast("double") / (
-        F.col("n_a") * F.col("n_b")
-    ).cast("double")
+    # r10 ADVICE: cast each factor to double BEFORE multiplying — the
+    # BIGINT products n_ab*n_orders / n_a*n_b wrap (Spark) or raise
+    # (DuckDB) near 1e10 orders; at fixture scales both forms are exact
+    # (< 2^53) so the hash is unchanged. Oracle mirrors.
+    lift_raw = (
+        F.col("n_ab").cast("double") * F.col("n_orders").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
     return (
         m.select(
             "pa",

@@ -1244,11 +1244,14 @@ def l_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(ra2.r2 AS BIGINT) AS x, CAST(rb2.r2 AS BIGINT) AS y
         FROM f JOIN ra2 ON ra2.a = f.a JOIN rb2 ON rb2.b = f.b
     ), m AS (
+        -- HUGEINT moments mirror the Spark side's DECIMAL(38,0) sums:
+        -- exact at any corpus size (BIGINT sxx wraps near N~1.5M)
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
         FROM j
     )
     SELECT n,
@@ -1273,8 +1276,11 @@ def l_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: average ranks live on the half-integer grid, so the
     DOUBLED rank 2r = 2*(cum_before) + count + 1 is an exact BIGINT per
     distinct VALUE; all five moments are exact integer sums (doubling
-    cancels in the correlation). The final rho is one expression over
-    exactly-representable doubles with a correctly-rounded sqrt,
+    cancels in the correlation), carried in DECIMAL(38,0) Spark-side /
+    HUGEINT oracle-side so they stay exact to ~1e12 rows (r10 ADVICE:
+    BIGINT sxx wraps near N~1.5M — and a double sum would re-open
+    rule-9 sum-order divergence). The final rho is one expression over
+    the exact moments cast to double with a correctly-rounded sqrt,
     quantized once with the rule-5b '+ 0'.
 
     Scale (the deliberate non-global-rank design): ranks attach per
@@ -1307,13 +1313,21 @@ def l_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.join(F.broadcast(dranks("a").withColumnRenamed("r2", "x")), "a")
         .join(F.broadcast(dranks("b").withColumnRenamed("r2", "y")), "b")
     )
+    # r10 ADVICE: BIGINT moment sums overflow near N~1.5M docs (sxx
+    # grows ~(2N)^3/3); Spark non-ANSI would wrap silently while DuckDB
+    # promotes to HUGEINT, silently diverging the engines. Sum in
+    # DECIMAL(38,0) instead — exact and ORDER-INDEPENDENT in both
+    # engines (a double sum would re-open rule-9 sum-order hash risk),
+    # good to ~1e12 rows; the oracle mirrors with explicit HUGEINT.
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     m = j.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
