@@ -130,18 +130,24 @@ def l_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate and exact Jaccard all hash-match cross-engine.
 
     Shape: one shingle explode → distinct, ONE 16-min aggregation pass
-    for the full signature (no per-hash scan), then 4 first-match band
-    self-joins (each band join carries the residual "no earlier band
-    agreed", the r9 l_simhash_hamming_join lesson — every candidate
-    pair materializes in exactly ONE branch, no dedup shuffle), then
+    for the full signature (no per-hash scan), then ONE fused band
+    self-join: each doc explodes into 4 (band, b0..b3) rows carrying
+    its full signature array, a single 5-key equi-join finds all
+    same-band collisions, and a pair-keyed groupBy dedups pairs that
+    agree in multiple bands (r10 verdict item 5 — this replaced 4
+    stacked band joins whose residual "no earlier band agreed"
+    predicates grew O(bands²); paired-interleaved at sf0.1: 5.59/5.48 s
+    → 5.09/4.70 s medians over 2×5 reps, identical 254 rows). The
+    estimate is a JVM-side zip_with over the carried signature arrays;
     the exact-verify stage joins candidate pairs to shingle postings.
 
-    Scale: band joins are equi-joins on 4-column signature keys —
+    Scale: the fused band join is one equi-join on (band, 4 mins) —
     collision groups are true near-dup clusters, so candidate volume is
-    output-bound, never N²; the verify stage is |cands| x shingles — the
-    same bounded shape as _verify_jaccard. The signature frame is
-    localCheckpointed: 8 join sides + the estimate read one
-    materialization (CLAUDE.md rule 11a).
+    output-bound, never N², and the pair-dedup shuffle moves only that
+    output-bound volume; the verify stage is |cands| x shingles — the
+    same bounded shape as _verify_jaccard. At 1000 executors this is
+    one exchange of 4 band rows per doc instead of four full-signature
+    self-join exchanges.
     """
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -159,46 +165,53 @@ def l_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(_h60(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"m{s}")
-                for s in range(_N_HASH)
-            ]
-        )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_h60(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"m{s}")
+            for s in range(_N_HASH)
+        ]
+    )  # single consumer since the band-join fuse — no checkpoint needed
+    sigarr = F.array(*[F.col(f"m{s}") for s in range(_N_HASH)])
+    band_rows = sig.select(
+        "doc_id",
+        sigarr.alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        *[
+                            F.col(f"m{band * _BAND_ROWS + r}").alias(f"b{r}")
+                            for r in range(_BAND_ROWS)
+                        ],
+                    )
+                    for band in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", *[f"bb.b{r}" for r in range(_BAND_ROWS)])
+    band_keys = ["band"] + [f"b{r}" for r in range(_BAND_ROWS)]
+    a = band_rows.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), *band_keys
+    )
+    b = band_rows.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), *band_keys
+    )
+    # one fused equi-join over all bands; pairs agreeing in >1 band
+    # collapse in the output-bound pair-keyed dedup agg
+    cands = (
+        a.join(b, band_keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+        # candidate pairs feed 3 consumers (candidate-doc semi-join,
+        # exact intersection, final estimate projection) — one
+        # materialization (rule 11a)
         .localCheckpoint()
     )
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"m{s}").alias(f"am{s}") for s in range(_N_HASH)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"m{s}").alias(f"bm{s}") for s in range(_N_HASH)],
-    )
 
-    def band_eq(band: int) -> Column:
-        lo = band * _BAND_ROWS
-        cond = F.lit(True)
-        for s in range(lo, lo + _BAND_ROWS):
-            cond = cond & (F.col(f"am{s}") == F.col(f"bm{s}"))
-        return cond
-
-    cands = None
-    for band in range(_N_BANDS):
-        cond = (F.col("doc_a") < F.col("doc_b")) & band_eq(band)
-        for earlier in range(band):
-            cond = cond & ~band_eq(earlier)
-        piece = a.join(b, cond)
-        cands = piece if cands is None else cands.unionAll(piece)
-    # candidate pairs feed 3 consumers (candidate-doc semi-join, exact
-    # intersection, final estimate projection) — one materialization
-    # (rule 11a)
-    cands = cands.localCheckpoint()
-
-    matches = sum(
-        (F.col(f"am{s}") == F.col(f"bm{s}")).cast("int") for s in range(_N_HASH)
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     est = matches / F.lit(float(_N_HASH))
 
