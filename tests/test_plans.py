@@ -1108,3 +1108,13 @@ def test_basket_affinity_broadcasts_dims_and_takeordered(spark):
     plan = _plan(spark, "m_basket_affinity")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_group_advantage_never_broadcasts_the_fact_stream(spark):
+    # r11: without the shuffle_hash hint Catalyst broadcast the FULL
+    # reward stream (BuildLeft on fixture-sized stats) — 2.3x slower at
+    # x100 and a guaranteed OOM at 100 TB. The moments join must be a
+    # shuffled join on the group key.
+    plan = _plan(spark, "l_rl_group_advantage")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
