@@ -95,8 +95,14 @@ def _prefix_postings(tok: DataFrame, tau_num: int = 3, tau_den: int = 5) -> Data
     w_ord = W.partitionBy("doc_id").orderBy("df", "t")
     w_all = W.partitionBy("doc_id")
     ceil_tau_n = F.expr(f"({tau_num} * n + {tau_den - 1}) div {tau_den}")
+    # NO explicit broadcast of dfreq (r11): the df table is VOCAB-sized
+    # and vocabulary is Heaps-law unbounded on a real corpus — a forced
+    # broadcast OOM'd a plain 1g session at 50k docs / 450k distinct
+    # tokens (the bounded-cluster fixture find). A plain join lets AQE
+    # decide from the ACTUAL built size: tiny vocab -> runtime
+    # broadcast, open vocab -> shuffle join on t.
     return (
-        tok.join(F.broadcast(dfreq), "t")
+        tok.join(dfreq, "t")
         .withColumn("r", F.row_number().over(w_ord))
         .withColumn("n", F.count("*").over(w_all))
         .filter(F.col("r") <= F.col("n") - ceil_tau_n + 1)
@@ -166,8 +172,10 @@ def l_simjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df → N) ranks LAST in the global order, so it only enters prefixes
     of docs that consist almost entirely of stopwords; posting-list
     self-join mass drops from Σ df² to Σ prefix-df², and the verify is
-    linear in surviving candidates. The df table is |vocab|-sized and
-    broadcast; prefix ranking is one shuffle keyed doc_id."""
+    linear in surviving candidates. The df table is |vocab|-sized —
+    joined PLAIN (AQE broadcasts it only when actually small; vocab is
+    Heaps-law unbounded at 100 TB); prefix ranking is one shuffle
+    keyed doc_id."""
     d = table(spark, sf_dir, "documents")
     tok = _tokens(d)
     pref = _prefix_postings(tok)
@@ -464,7 +472,10 @@ def l_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(score.desc(), "t")
     return (
-        tf.join(F.broadcast(df), "t")
+        # plain join: df is vocab-sized (unbounded on real corpora) —
+        # AQE broadcasts it at runtime only when actually small (r11;
+        # the docstring's graceful-degradation claim is now true)
+        tf.join(df, "t")
         .crossJoin(F.broadcast(n))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1867,8 +1878,10 @@ def l_topic_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 25)
     )
-    da = F.broadcast(df_tab.select(F.col("t").alias("ta"), F.col("n_docs").alias("dfa")))
-    db = F.broadcast(df_tab.select(F.col("t").alias("tb"), F.col("n_docs").alias("dfb")))
+    # plain joins: df_tab is vocab-sized (unbounded on real corpora) —
+    # AQE broadcasts at runtime only when actually small (r11)
+    da = df_tab.select(F.col("t").alias("ta"), F.col("n_docs").alias("dfa"))
+    db = df_tab.select(F.col("t").alias("tb"), F.col("n_docs").alias("dfb"))
     return (
         pairs.join(da, "ta")
         .join(db, "tb")
