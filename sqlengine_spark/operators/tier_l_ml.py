@@ -526,7 +526,13 @@ def l_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("true_lang"),
         F.posexplode(F.split("lt", " ")).alias("pos", "tok"),
-    ).join(F.broadcast(lp), "tok", "left")
+    ).join(F.broadcast(lp), "tok", "left")  # model broadcast — KEPT
+    # explicit (r11): lp IS the trained NB model (vocab x |labels|
+    # log-likelihoods), and broadcasting the model to the scoring pass
+    # is the standard distributed-NB serving plan; dropping the hint
+    # made Catalyst sort-merge the fanned token stream (sf0.1 paired:
+    # 5.23 s vs 1.3-2.3 s). At open-vocab scale the model table is
+    # capped upstream (top-K features), not shuffled per token.
     # true_lang is functionally dependent on doc_id — fold it into the
     # GROUPING KEY, not a string MAX aggregate: a STRING aggregation
     # buffer is immutable, which silently demotes the whole aggregation

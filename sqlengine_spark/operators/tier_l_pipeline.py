@@ -510,9 +510,12 @@ def l_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bic = bg.groupBy("bigram").agg(F.count("*").alias("b_cnt"))
     return (
-        bg.join(F.broadcast(bic), "bigram")
+        # plain joins (r11): bigram/unigram count tables are corpus-
+        # vocabulary-sized (unbounded at 100 TB) — AQE broadcasts them
+        # at runtime only when actually small
+        bg.join(bic, "bigram")
         .join(
-            F.broadcast(uni),
+            uni,
             F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"),
         )
         .groupBy("doc_id")
@@ -1605,7 +1608,10 @@ def l_simjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n"))
     c = F.col("i") / F.col("n")
     return (
-        inter.join(F.broadcast(ca), "doc_a")
+        # plain join (r11): ca is CORPUS-sized (one row per doc) — a
+        # forced broadcast here is an executor OOM at any real scale;
+        # AQE may still broadcast it on tiny fixtures
+        inter.join(ca, "doc_a")
         .filter(c >= 0.9)
         .select(
             "doc_a",
@@ -2791,7 +2797,9 @@ def l_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     db = gb.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
     return (
-        db.join(F.broadcast(lb), "b")
+        # plain join (r11): lb is a per-bigram weight table (unbounded
+        # open-vocabulary space at 100 TB); AQE decides at runtime
+        db.join(lb, "b")
         .groupBy("doc_id")
         .agg(F.sum(F.col("n") * F.col("l")).cast("bigint").alias("w_fp"))
     )
