@@ -1117,12 +1117,16 @@ def l_token_gini_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up 1e-12 fixed point — a total order with the token tiebreak
     (rule 5). Gini gain is non-negative, so no negative-zero hazard.
 
-    Scale: one (doc_id, en, token)-distinct shuffle (doc-level
-    presence, not term frequency), one token-keyed partial+final count
-    agg to a vocabulary-bounded table, a 1-row broadcast of (N, P)
-    (the e_win_pct_of_total pattern — no driver collect), and a
-    TakeOrdered top-20. At open-vocabulary 100 TB the vocab table
-    shards by token hash; nothing is corpus-sized after the distinct.
+    Scale: doc-level token presence comes from a MAP-SIDE
+    array_distinct before the explode (r11 — the old plan shuffled
+    every (doc_id, en, token) row through a distinct first; within-doc
+    dedup needs no exchange: paired 1.105→0.763 s at sf0.1,
+    3.295→1.648 s at x100, identical top-20), then one token-keyed
+    partial+final count agg to a vocabulary-bounded table, a 1-row
+    broadcast of (N, P) (the e_win_pct_of_total pattern — no driver
+    collect), and a TakeOrdered top-20. At open-vocabulary 100 TB the
+    vocab table shards by token hash; the ONLY shuffle is per-doc type
+    sets into that agg.
     """
     d = table(spark, sf_dir, "documents")
     en = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
@@ -1130,8 +1134,9 @@ def l_token_gini_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("nn"), F.sum(en).alias("pp")
     )
     t = d.select(
-        "doc_id", en.alias("en"), F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+        en.alias("en"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
     cnt = t.groupBy("tok").agg(
         F.count("*").alias("n"), F.sum("en").alias("p")
     )
