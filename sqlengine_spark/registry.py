@@ -101,6 +101,12 @@ PRIORITY_ORDER = (
     #    ... rows-only tail (ran-clean row only: the declared media
     #    decode stub; must be the LAST window slot). --
     "l_multimodal_decode",
+    # -- ROUND-12 QUEUE: operators BUILT in round 11 (behind the
+    #    convergence window per the r10 verdict; they earn driver rows
+    #    in r12) --
+    "l_ngram_assoc_llr",
+    "l_eval_slice_accuracy",
+    "l_rag_chunk_overlap",
     # -- verified in r1-r10 (dead last; re-verify if window widens) --
     #    round-10 window keys first (newest rows first):
     "l_filter_attrition",
