@@ -344,3 +344,262 @@ def l_rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c.overlap_prev",
         "c.chunk_md5",
     )
+
+
+@query(
+    "l_embed_norm_stats",
+    oracle="""
+    WITH v AS (
+        SELECT label, vec_id,
+               CAST(FLOOR(sqrt((SELECT SUM(e.embedding[s.i]::DOUBLE
+                                           * e.embedding[s.i]::DOUBLE)
+                                FROM (SELECT unnest(generate_series(1, 64))
+                                      AS i) s)) * 1e6 + 0.5) AS BIGINT)
+                   AS nq
+        FROM embeddings e
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           ROUND(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1e6 * 1e6) / 1e6 + 0 AS avg_norm,
+           MIN(nq) / 1e6 + 0 AS min_norm,
+           MAX(nq) / 1e6 + 0 AS max_norm
+    FROM v GROUP BY label ORDER BY label
+    """,
+)
+def l_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING HYGIENE AUDIT per label: vector count, zero-vector
+    count, and the mean/min/max L2 norm — the first QA table an
+    embedding pipeline publishes (norm collapse, un-normalized
+    batches, and dead/zero vectors are the classic silent failures
+    before any ANN index is built).
+
+    Determinism: the squared norm is the bit-pinned sequential vdot
+    fold (functions.vdot ≡ DuckDB's ordered generate_series SUM); each
+    row's norm quantizes to a 1e6 fixed-point BIGINT BEFORE the group
+    sums, so every aggregate is an exact integer — immune to per-group
+    float sum order in both engines (CLAUDE.md rule 11e), min/max ride
+    the same grid.
+
+    Scale: one scan of the embeddings table, one label-keyed
+    partial+final agg (label domain bounded); the per-row fold is
+    map-side JVM codegen. At 100 TB this is scan speed."""
+    from sqlengine_spark.functions import vdot
+
+    e = table(spark, sf_dir, "embeddings")
+    nq = F.floor(
+        F.sqrt(vdot(F.col("embedding"), F.col("embedding"))) * 1e6 + 0.5
+    ).cast("bigint")
+    a = e.select("label", nq.alias("nq")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("nq") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum("nq").alias("snq"),
+        F.min("nq").alias("mn"),
+        F.max("nq").alias("mx"),
+    )
+    return a.select(
+        "label",
+        "n_vecs",
+        "n_zero",
+        dround(
+            F.col("snq").cast("double") / F.col("n_vecs").cast("double") / 1e6,
+            6,
+        ).alias("avg_norm"),
+        (F.col("mn") / F.lit(1e6) + F.lit(0.0)).alias("min_norm"),
+        (F.col("mx") / F.lit(1e6) + F.lit(0.0)).alias("max_norm"),
+    ).orderBy("label")
+
+
+@query(
+    "m_ab_sequential_sprt",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(ts AS DATE) AS d,
+               CASE WHEN value > 150 THEN 1 ELSE 0 END AS x
+        FROM events
+    ), daily AS (
+        SELECT arm, d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS k
+        FROM e GROUP BY arm, d
+    ), cum AS (
+        SELECT arm, d,
+               SUM(n) OVER w AS cn, SUM(k) OVER w AS ck
+        FROM daily
+        WINDOW w AS (PARTITION BY arm ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), llr AS (
+        SELECT arm, d, cn, ck,
+               CAST(ck AS DOUBLE) * ln(0.4 / 0.3)
+               + CAST(cn - ck AS DOUBLE) * ln(0.6 / 0.7) AS g
+        FROM cum
+    ), hit AS (
+        SELECT arm, d, cn, ck, g,
+               ROW_NUMBER() OVER (PARTITION BY arm ORDER BY d) AS rn
+        FROM llr
+        WHERE g >= ln(19.0) OR g <= ln(1.0 / 19.0)
+    )
+    SELECT l.arm,
+           CASE WHEN h.arm IS NULL THEN 'continue'
+                WHEN h.g >= ln(19.0) THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           COALESCE(CAST(h.d AS VARCHAR), '') AS decision_day,
+           CAST(COALESCE(h.cn, m.cn) AS BIGINT) AS n_obs,
+           ROUND(COALESCE(h.g, m.g) * 1e6) / 1e6 + 0 AS llr
+    FROM (SELECT DISTINCT arm FROM llr) l
+    LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h ON h.arm = l.arm
+    LEFT JOIN (SELECT arm, cn, g,
+                      ROW_NUMBER() OVER (PARTITION BY arm
+                                         ORDER BY d DESC) AS rl
+               FROM llr) m ON m.arm = l.arm AND m.rl = 1
+    ORDER BY l.arm
+    """,
+)
+def m_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL A/B MONITORING — Wald's SPRT (1945; public
+    method) with DAILY looks: per experiment arm (user_id % 2), the
+    cumulative Bernoulli log-likelihood ratio of H1 (p=0.4) vs H0
+    (p=0.3) over the conversion proxy (value > 150) is checked once
+    per day against the Wald boundaries ±ln(19) (α = β = 0.05); emit
+    the first crossing day and its decision, or 'continue' with the
+    final state. This is the always-valid monitoring loop an
+    experimentation platform runs instead of a fixed-horizon z-test
+    (m_ab_ratio_delta's complement).
+
+    Determinism: daily counts are exact BIGINTs; the cumulative sums
+    are integer window sums; the LLR is one fixed-shape double
+    expression (two ln's of literal ratios — identical libm both
+    engines); boundary compares use the same doubles; decision day is
+    cast to VARCHAR (rule 3).
+
+    Scale: the per-event stream folds to (arm, day) counts in one
+    partial+final agg FIRST — the sequential pass then runs on the
+    bounded looks table (arms × days), never on raw events. This is
+    exactly how production sequential testing works (per-look
+    increments), and the arm-partitioned window sorts ~365 rows per
+    arm, not the corpus (the m_ts value-domain-bounded window class).
+    """
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    e = ev.select(
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        F.to_date("ts").alias("d"),
+        F.when(F.col("value") > 150, 1).otherwise(0).alias("x"),
+    )
+    daily = e.groupBy("arm", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("k")
+    )
+    w = W.partitionBy("arm").orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = daily.select(
+        "arm",
+        "d",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("k").over(w).alias("ck"),
+    )
+    g = F.col("ck").cast("double") * F.log(F.lit(0.4 / 0.3)) + (
+        F.col("cn") - F.col("ck")
+    ).cast("double") * F.log(F.lit(0.6 / 0.7))
+    llr = cum.select("arm", "d", "cn", "ck", g.alias("g")).localCheckpoint()
+    hi, lo = F.log(F.lit(19.0)), F.log(F.lit(1.0 / 19.0))
+    wh = W.partitionBy("arm").orderBy("d")
+    hit = (
+        llr.filter((F.col("g") >= hi) | (F.col("g") <= lo))
+        .withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select(
+            "arm",
+            F.col("d").alias("hd"),
+            F.col("cn").alias("hcn"),
+            F.col("g").alias("hg"),
+        )
+    )
+    wl = W.partitionBy("arm").orderBy(F.col("d").desc())
+    last = (
+        llr.withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") == 1)
+        .select("arm", F.col("cn").alias("mcn"), F.col("g").alias("mg"))
+    )
+    arms = llr.select("arm").distinct()
+    return (
+        arms.join(hit, "arm", "left")
+        .join(last, "arm", "left")
+        .select(
+            "arm",
+            F.when(F.col("hg").isNull(), F.lit("continue"))
+            .when(F.col("hg") >= hi, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.coalesce(F.col("hd").cast("string"), F.lit("")).alias(
+                "decision_day"
+            ),
+            F.coalesce(F.col("hcn"), F.col("mcn")).alias("n_obs"),
+            dround(F.coalesce(F.col("hg"), F.col("mg")), 6).alias("llr"),
+        )
+        .orderBy("arm")
+    )
+
+
+@query(
+    "l_eval_mcnemar",
+    oracle="""
+    WITH p AS (
+        SELECT CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END AS pa,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pb,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), m AS (
+        SELECT CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM p
+    )
+    SELECT n, b, c,
+           ROUND(CAST((b - c) * (b - c) AS DOUBLE)
+                 / CAST(NULLIF(b + c, 0) AS DOUBLE) * 1e6) / 1e6 + 0
+               AS chi2
+    FROM m
+    """,
+)
+def l_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S PAIRED TEST (1947; public method) between two cheap
+    english-detector proxies (contains ' the ' vs n_chars ≥ 300)
+    scored on the SAME documents against the lang label: the
+    discordant-pair counts b (A right, B wrong) and c (A wrong, B
+    right) and χ² = (b−c)²/(b+c). This is THE test for "is model A
+    actually better than model B on this eval set" — paired, so it
+    ignores the items both get right/wrong and is far more sensitive
+    than comparing two accuracies (complements l_eval_slice_accuracy).
+
+    Determinism: b, c are exact BIGINT conditional sums in one pass;
+    χ² is a single integer-ratio division (NULLIF guards b+c=0 — the
+    cv_folds lesson applied at birth), quantized once with '+ 0'.
+
+    Scale: one scan, one 1-row conditional aggregate — scan speed at
+    any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    pa = F.when(F.col("text").like("% the %"), 1).otherwise(0)
+    pb = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    m = d.select(pa.alias("pa"), pb.alias("pb"), y.alias("y")).agg(
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1)
+            .otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1)
+            .otherwise(0)
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bc = F.col("b") + F.col("c")
+    chi2 = ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast(
+        "double"
+    ) / F.when(bc == 0, F.lit(None)).otherwise(bc).cast("double")
+    return m.select("n", "b", "c", dround(chi2, 6).alias("chi2"))

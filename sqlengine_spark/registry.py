@@ -107,6 +107,9 @@ PRIORITY_ORDER = (
     "l_ngram_assoc_llr",
     "l_eval_slice_accuracy",
     "l_rag_chunk_overlap",
+    "l_embed_norm_stats",
+    "m_ab_sequential_sprt",
+    "l_eval_mcnemar",
     # -- verified in r1-r10 (dead last; re-verify if window widens) --
     #    round-10 window keys first (newest rows first):
     "l_filter_attrition",

@@ -122,3 +122,109 @@ def test_chunk_overlap_python_reference(spark):
         # the last chunk must reach the end of the doc
         assert min((i * S) + W, L) == L or n_chunks == 1
     assert seen == len(got)
+
+
+def test_embed_norm_stats_numpy_recompute(spark):
+    import numpy as np
+
+    vecs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .select("label", "embedding")
+        .collect()
+    )
+    agg: dict[int, list] = {}
+    for r in vecs:
+        v = np.array(r["embedding"], dtype=np.float64)
+        # mirror the operator's sequential double fold + 1e6 half-up grid
+        s = 0.0
+        for x in r["embedding"]:
+            s += float(x) * float(x)
+        nq = math.floor(math.sqrt(s) * 1e6 + 0.5)
+        a = agg.setdefault(r["label"], [0, 0, 0, None, None])
+        a[0] += 1
+        a[1] += int(nq == 0)
+        a[2] += nq
+        a[3] = nq if a[3] is None else min(a[3], nq)
+        a[4] = nq if a[4] is None else max(a[4], nq)
+    got = {
+        r["label"]: r
+        for r in all_queries()["l_embed_norm_stats"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for lbl, (n, nz, snq, mn, mx) in agg.items():
+        r = got[lbl]
+        assert (r["n_vecs"], r["n_zero"]) == (n, nz)
+        assert abs(r["avg_norm"] - snq / n / 1e6) < 2e-6
+        assert r["min_norm"] == mn / 1e6
+        assert r["max_norm"] == mx / 1e6
+
+
+def test_sprt_decision_matches_python_walk(spark):
+    rows = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet")
+        .selectExpr(
+            "CAST(user_id % 2 AS BIGINT) AS arm",
+            "CAST(ts AS DATE) AS d",
+            "CASE WHEN value > 150 THEN 1 ELSE 0 END AS x",
+        )
+        .collect()
+    )
+    daily: dict[tuple, list[int]] = {}
+    for r in rows:
+        nk = daily.setdefault((r["arm"], r["d"]), [0, 0])
+        nk[0] += 1
+        nk[1] += r["x"]
+    hi, lo = math.log(19.0), math.log(1.0 / 19.0)
+    la, lb = math.log(0.4 / 0.3), math.log(0.6 / 0.7)
+    expect = {}
+    for arm in {a for a, _ in daily}:
+        cn = ck = 0
+        hitrow = None
+        g = 0.0
+        for d in sorted(d_ for a, d_ in daily if a == arm):
+            n, k = daily[(arm, d)]
+            cn += n
+            ck += k
+            g = ck * la + (cn - ck) * lb
+            if hitrow is None and (g >= hi or g <= lo):
+                hitrow = (
+                    "accept_h1" if g >= hi else "accept_h0",
+                    str(d),
+                    cn,
+                    g,
+                )
+        expect[arm] = hitrow or ("continue", "", cn, g)
+    got = {
+        r["arm"]: r
+        for r in all_queries()["m_ab_sequential_sprt"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for arm, (dec, day, n_obs, g) in expect.items():
+        r = got[arm]
+        assert r["decision"] == dec
+        assert r["decision_day"] == day
+        assert r["n_obs"] == n_obs
+        assert abs(r["llr"] - g) < 2e-6
+
+
+def test_mcnemar_counter_recompute(spark):
+    rows = _docs(spark)
+    b = c = 0
+    for r in rows:
+        pa = 1 if " the " in r["text"] else 0
+        pb = 1 if len(r["text"]) >= 300 else 0
+        y = 1 if r["lang"] == "en" else 0
+        if pa == y and pb != y:
+            b += 1
+        if pa != y and pb == y:
+            c += 1
+    [got] = all_queries()["l_eval_mcnemar"](spark, SF_DIR_SMALL).collect()
+    assert (got["b"], got["c"]) == (b, c)
+    if b + c:
+        assert abs(got["chi2"] - (b - c) ** 2 / (b + c)) < 2e-6
+    else:
+        assert got["chi2"] is None
