@@ -603,3 +603,280 @@ def l_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / F.when(bc == 0, F.lit(None)).otherwise(bc).cast("double")
     return m.select("n", "b", "c", dround(chi2, 6).alias("chi2"))
+
+
+@query(
+    "l_eval_auc",
+    oracle="""
+    WITH f AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), cnt AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(y) AS BIGINT) AS p
+        FROM f GROUP BY v
+    ), r2 AS (
+        SELECT v, c, p,
+               2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+        FROM cnt
+    ), m AS (
+        SELECT SUM(CAST(p AS HUGEINT) * r2) AS s2p,
+               SUM(CAST(p AS HUGEINT)) AS pp,
+               SUM(CAST(c AS HUGEINT)) AS nn
+        FROM r2
+    )
+    SELECT CAST(nn AS BIGINT) AS n, CAST(pp AS BIGINT) AS n_pos,
+           ROUND(CAST(s2p - pp * (pp + 1) AS DOUBLE)
+                 / CAST(2 * pp * (nn - pp) AS DOUBLE) * 1e9) / 1e9 + 0
+               AS auc
+    FROM m
+    """,
+)
+def l_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a score column (n_chars) against a binary label
+    (lang = 'en') via the exact rank-sum identity AUC = (R⁺ − P(P+1)/2)
+    / (P·N⁻) with AVERAGE ranks for ties (Mann-Whitney U / Wilcoxon;
+    public method) — the threshold-free discrimination metric every
+    quality-classifier eval reports next to accuracy and calibration
+    (complements l_calibration_curve and l_eval_brier).
+
+    Determinism: the l_eval_spearman doubled-rank machinery — average
+    ranks live on the half-integer grid so 2R⁺ = Σ p_v·r2_v is an
+    exact integer; moments sum in DECIMAL(38,0) Spark-side / HUGEINT
+    oracle-side (exact AND order-independent — the r10 spearman ADVICE
+    fix applied at birth); AUC is one integer-ratio division quantized
+    at 1e-9 with '+ 0'.
+
+    Scale: the rank ladder runs over the VALUE-DOMAIN-grouped table
+    (n_chars domain ~500 values — the m_survival_km bounded-window
+    class), never per row; one (value)-keyed agg + one 1-row fold.
+    Scan speed at 100 TB."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    cnt = f.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r2 = cnt.select(
+        "c",
+        "p",
+        (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias("r2"),
+    )
+    dec = "decimal(38,0)"
+    m = r2.agg(
+        F.sum(F.col("p").cast(dec) * F.col("r2").cast(dec)).alias("s2p"),
+        F.sum(F.col("p").cast(dec)).alias("pp"),
+        F.sum(F.col("c").cast(dec)).alias("nn"),
+    )
+    return m.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("pp").cast("bigint").alias("n_pos"),
+        dround(
+            (F.col("s2p") - F.col("pp") * (F.col("pp") + 1)).cast("double")
+            / (2 * F.col("pp") * (F.col("nn") - F.col("pp"))).cast("double"),
+            9,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "l_eval_mrr",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qe, label AS ql
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 20
+    ), s AS (
+        SELECT q.q_id, q.ql, e.vec_id, e.label,
+               CAST(FLOOR((SELECT SUM(e.embedding[i.i]::DOUBLE
+                                       * q.qe[i.i]::DOUBLE)
+                           FROM (SELECT unnest(generate_series(1, 64))
+                                 AS i) i) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    ), best AS (
+        SELECT q_id, MAX(struct_pack(sq := sq, vid := -vec_id)) AS b
+        FROM s WHERE label = ql GROUP BY q_id
+    ), rnk AS (
+        SELECT s.q_id,
+               CAST(1 + SUM(CASE WHEN struct_pack(sq := s.sq,
+                                                  vid := -s.vec_id)
+                                      > best.b
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS first_rank
+        FROM s JOIN best ON best.q_id = s.q_id
+        GROUP BY s.q_id
+    )
+    SELECT q_id, first_rank,
+           ROUND(1.0 / CAST(first_rank AS DOUBLE) * 1e9) / 1e9 + 0
+               AS reciprocal_rank
+    FROM rnk ORDER BY q_id
+    """,
+)
+def l_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL MRR — for 20 deterministic md5-sampled query vectors
+    (the l_sim_search_ivf sampling convention), the rank of the FIRST
+    same-label neighbor under dot-product retrieval and its reciprocal
+    rank (per query; the mean is one trivial reduction away and
+    per-query rows are what an eval harness actually stores). Label =
+    relevance is the standard proxy-eval when no click data exists.
+
+    Determinism: similarities quantize to the 1e6 half-up grid BEFORE
+    ranking; the rank is NOT a window sort — it is 1 + |{candidates
+    strictly better than the best relevant candidate}| under the
+    total order (sim, -vec_id), computed as one conditional aggregate
+    against a per-query max (both engines compare identical
+    (BIGINT, BIGINT) struct keys). Integer ranks, one division per
+    query, 1e-9 quantized.
+
+    Scale: the 20-query table broadcasts; sims are one map-side pass
+    over q×corpus; best-relevant and the rank count are two q_id-keyed
+    partial aggs — NO per-query window sort of the corpus (the
+    TakeOrdered/agg shape, not the rank-window shape). At 100 TB this
+    is 20 broadcast dot-product scans fused into one."""
+    e = table(spark, sf_dir, "embeddings")
+    from sqlengine_spark.functions import vdot
+
+    q = (
+        e.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("ql"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "q_id")
+        .limit(20)
+        .drop("h")
+    )
+    s = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "ql",
+            "vec_id",
+            "label",
+            F.floor(vdot(F.col("embedding"), F.col("qe")) * 1e6 + 0.5)
+            .cast("bigint")
+            .alias("sq"),
+        )
+        .localCheckpoint()  # rule 11a: feeds best-relevant AND the count
+    )
+    key = F.struct(F.col("sq").alias("sq"), (-F.col("vec_id")).alias("vid"))
+    best = (
+        s.filter(F.col("label") == F.col("ql"))
+        .groupBy("q_id")
+        .agg(F.max(key).alias("b"))
+    )
+    rnk = (
+        s.join(best, "q_id")
+        .groupBy("q_id")
+        .agg(
+            (
+                1
+                + F.sum(F.when(key > F.col("b"), 1).otherwise(0))
+            ).cast("bigint").alias("first_rank")
+        )
+    )
+    return rnk.select(
+        "q_id",
+        "first_rank",
+        dround(F.lit(1.0) / F.col("first_rank").cast("double"), 9).alias(
+            "reciprocal_rank"
+        ),
+    ).orderBy("q_id")
+
+
+@query(
+    "l_rl_best_of_n",
+    oracle="""
+    WITH r AS (
+        SELECT user_id,
+               CAST(CAST(trunc(value * 100) AS BIGINT) AS BIGINT) AS rc,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(trunc(value * 100) AS BIGINT),
+                                           event_id) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM events
+    ), t AS (
+        SELECT user_id, n, rc, rk,
+               CAST(FLOOR(
+                 (CAST(rk - 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(rk - 2 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                 * (CAST(rk - 3 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+                 * (CAST(rk - 4 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+                 * (5.0 / CAST(n - 4 AS DOUBLE))
+                 * CAST(rc AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS term
+        FROM r WHERE n >= 5 AND rk >= 5
+    )
+    SELECT user_id, MAX(n) AS n,
+           ROUND(CAST(SUM(term) AS DOUBLE) / 1e9 / 1e2 * 1e6) / 1e6 + 0
+               AS bon5
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+)
+def l_rl_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBIASED BEST-OF-N REWARD ESTIMATE — E[max reward of k=5
+    attempts sampled without replacement from the user's n attempts]
+    (the BoN curve of WebGPT app. F / Nakano et al. 2021; the max-
+    order-statistic sibling of l_eval_pass_at_k; public method):
+    BoN₅ = Σ_r C(r−1, 4)/C(n, 5) · reward₍ᵣ₎ over attempts sorted
+    ascending, evaluated in the overflow-free product form
+    (r−1)/n · (r−2)/(n−1) · (r−3)/(n−2) · (r−4)/(n−3) · 5/(n−4) — the
+    probability attempt rank r is the sample max.
+
+    Determinism: rewards quantize to exact integer cents (rule 6);
+    the per-attempt rank is a total order (reward cents, event_id);
+    each term is a fixed-shape double product from exact integers,
+    quantized to a 1e9 fixed-point BIGINT BEFORE the per-user sum —
+    exact integer sums, immune to order in both engines (the
+    l_eval_ndcg grid pattern). One division at the end.
+
+    Scale: one user-partitioned rank window (group-bounded, the
+    rl_group_advantage class) + one user-keyed partial agg. Group
+    state is a rank counter; nothing corpus-global."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") * 100).cast("bigint").alias("rc"),
+    )
+    wr = W.partitionBy("user_id").orderBy("rc", "event_id")
+    wn = W.partitionBy("user_id")
+    t = (
+        r.select(
+            "user_id",
+            "rc",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter((F.col("n") >= 5) & (F.col("rk") >= 5))
+    )
+    rk, n = F.col("rk").cast("double"), F.col("n").cast("double")
+    prob = (
+        (rk - 1) / n
+        * (rk - 2) / (n - 1)
+        * (rk - 3) / (n - 2)
+        * (rk - 4) / (n - 3)
+        * F.lit(5.0) / (n - 4)
+    )
+    term = F.floor(prob * F.col("rc").cast("double") * 1e9 + 0.5).cast(
+        "bigint"
+    )
+    a = t.select("user_id", F.col("n").alias("nn"), term.alias("term")).groupBy(
+        "user_id"
+    ).agg(F.max("nn").alias("n"), F.sum("term").alias("s"))
+    return a.select(
+        "user_id",
+        "n",
+        dround(F.col("s").cast("double") / 1e9 / 1e2, 6).alias("bon5"),
+    ).orderBy("user_id")

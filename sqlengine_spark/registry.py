@@ -110,6 +110,9 @@ PRIORITY_ORDER = (
     "l_embed_norm_stats",
     "m_ab_sequential_sprt",
     "l_eval_mcnemar",
+    "l_eval_auc",
+    "l_eval_mrr",
+    "l_rl_best_of_n",
     # -- verified in r1-r10 (dead last; re-verify if window widens) --
     #    round-10 window keys first (newest rows first):
     "l_filter_attrition",

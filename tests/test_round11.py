@@ -228,3 +228,106 @@ def test_mcnemar_counter_recompute(spark):
         assert abs(got["chi2"] - (b - c) ** 2 / (b + c)) < 2e-6
     else:
         assert got["chi2"] is None
+
+
+def test_auc_matches_sklearn_free_recompute(spark):
+    """AUC recomputed from scratch with the probability-of-correct-
+    ranking definition (all pos/neg pairs, ties count half)."""
+    rows = _docs(spark)
+    import itertools
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet").select(
+        "n_chars", "lang"
+    ).collect()
+    pos = [r["n_chars"] for r in docs if r["lang"] == "en"]
+    neg = [r["n_chars"] for r in docs if r["lang"] != "en"]
+    wins = ties = 0
+    from collections import Counter
+
+    cp, cn = Counter(pos), Counter(neg)
+    for vp, np_ in cp.items():
+        for vn, nn_ in cn.items():
+            if vp > vn:
+                wins += np_ * nn_
+            elif vp == vn:
+                ties += np_ * nn_
+    expect = (wins + ties / 2) / (len(pos) * len(neg))
+    [got] = all_queries()["l_eval_auc"](spark, SF_DIR_SMALL).collect()
+    assert got["n"] == len(pos) + len(neg)
+    assert got["n_pos"] == len(pos)
+    assert abs(got["auc"] - expect) < 2e-9
+    assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_mrr_first_rank_matches_python_sort(spark):
+    import hashlib as _h
+    import math as _m
+
+    vecs = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    byid = {r["vec_id"]: r for r in vecs}
+    qids = sorted(
+        (( _h.md5(str(r["vec_id"]).encode()).hexdigest(), r["vec_id"])
+         for r in vecs)
+    )[:20]
+    got = {
+        r["q_id"]: r
+        for r in all_queries()["l_eval_mrr"](spark, SF_DIR_SMALL).collect()
+    }
+    assert set(got) == {q for _, q in qids}
+    for _, qid in qids:
+        q = byid[qid]
+        scored = []
+        for r in vecs:
+            if r["vec_id"] == qid:
+                continue
+            s = 0.0
+            for a, b in zip(r["embedding"], q["embedding"]):
+                s += float(a) * float(b)
+            scored.append((-_m.floor(s * 1e6 + 0.5), r["vec_id"], r["label"]))
+        scored.sort()
+        rank = next(
+            i + 1
+            for i, (_, _, lbl) in enumerate(scored)
+            if lbl == q["label"]
+        )
+        assert got[qid]["first_rank"] == rank
+        assert abs(got[qid]["reciprocal_rank"] - 1.0 / rank) < 2e-9
+
+
+def test_best_of_n_is_unbiased_vs_exhaustive_max(spark):
+    """For each user, the BoN5 estimator must equal the exact average
+    of max(reward) over ALL C(n,5) subsets (math.comb recompute)."""
+    from collections import defaultdict
+    from math import comb, floor
+
+    evs = spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet").select(
+        "user_id", "event_id", "value"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in evs:
+        by_user[r["user_id"]].append(
+            (int(float(r["value"]) * 100), r["event_id"])
+        )
+    got = {
+        r["user_id"]: r
+        for r in all_queries()["l_rl_best_of_n"](spark, SF_DIR_SMALL).collect()
+    }
+    for uid, rewards in by_user.items():
+        n = len(rewards)
+        if n < 5:
+            assert uid not in got
+            continue
+        srt = sorted(rewards)
+        # exact E[max of 5 w/o replacement]: rank r is the max with
+        # prob C(r-1,4)/C(n,5) — mirror the operator's 1e9 term grid
+        s = 0
+        for i, (rc, _) in enumerate(srt, start=1):
+            if i < 5:
+                continue
+            p = comb(i - 1, 4) / comb(n, 5)
+            s += floor(p * rc * 1e9 + 0.5)
+        expect = round(s / 1e9 / 1e2, 6)
+        assert got[uid]["n"] == n
+        assert abs(got[uid]["bon5"] - expect) < 2e-6
