@@ -82,6 +82,15 @@ HEADLINE = [
                              # conditional collect reassembly); x10
                              # ratio 1.88 vs the single-process engine
                              # at build time (BASELINE.md round-10)
+    "l_ngram_assoc_llr",     # round 11: Dunning LLR collocations —
+                             # tracks the zip_with gram build + single
+                             # corpus shuffle with pair-table-derived
+                             # marginals (x100 6.5 with a 2.0 s
+                             # map-side scan floor — BASELINE.md)
+    "l_rag_chunk_overlap",   # round 11: stride-48 window chunking —
+                             # the zero-shuffle map-only transform
+                             # class; Spark BEATS the single-process
+                             # engine 0.60x at x100 (BASELINE.md)
     "l_graph_triangles",     # round 9: benched after the edge-iterator
                              # rewrite (adjacency-array intersects
                              # in-task instead of shuffling the 41M-row
