@@ -212,6 +212,12 @@ CARTESIAN_WHITELIST = {
     "e_win_pct_of_total",       # 1-row grand-total broadcast over the
                                 # |nations|-row aggregate (the window-
                                 # free percent-of-total form)
+    "l_ngram_assoc_llr",        # 1-row total-bigram-count broadcast onto
+                                # the support-filtered pair table (the
+                                # l_topic_cooccur class)
+    "l_eval_mrr",               # 20-row md5-sampled query-vector batch
+                                # broadcast over one corpus scan (the
+                                # l_sim_search_batch class)
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
     "m_mix_shift_decomp",       # 1-row period-totals broadcast over the
@@ -301,6 +307,9 @@ GLOBAL_WINDOW_WHITELIST = {
     "l_curriculum_pacing",  # global_pos numbers the TakeOrdered 100-row
                             # schedule head — bounded by the plan's own
                             # GlobalLimit, never the corpus
+    "l_eval_auc",           # same doubled-rank ladder as l_eval_spearman:
+                            # runs over the n_chars VALUE DOMAIN (~500
+                            # rows), never per-doc rows
     "l_eval_spearman",      # doubled-rank ladders run over the VALUE-
                             # DOMAIN-grouped tables (n_chars / vocab-
                             # size domains, ~500 rows — the
