@@ -880,3 +880,233 @@ def l_rl_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround(F.col("s").cast("double") / 1e9 / 1e2, 6).alias("bon5"),
     ).orderBy("user_id")
+
+
+@query(
+    "l_ngram_coverage_curve",
+    oracle="""
+    WITH c AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t
+    ), r AS MATERIALIZED (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM c
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM c
+    ), ks AS (
+        SELECT unnest([10, 100, 1000]) AS k
+    )
+    SELECT ks.k AS k,
+           CAST(COALESCE((SELECT SUM(r.c) FROM r WHERE r.rn <= ks.k), 0)
+                AS BIGINT) AS covered,
+           tot.total, tot.n_vocab,
+           ROUND(CAST(COALESCE((SELECT SUM(r.c) FROM r WHERE r.rn <= ks.k),
+                               0) AS DOUBLE)
+                 / CAST(tot.total AS DOUBLE) * 1e9) / 1e9 + 0 AS coverage
+    FROM ks CROSS JOIN tot
+    ORDER BY ks.k
+    """,
+)
+def l_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — what fraction of all token
+    OCCURRENCES the top-k most frequent types cover, at k = 10, 100,
+    1000 (the table a tokenizer-budget decision reads: where the
+    Zipf mass saturates; complements l_tokens_zipf_fit's slope with
+    the operational cumulative view).
+
+    Determinism: counts are exact BIGINTs; top-k membership uses the
+    total order (count desc, token asc); coverage is one int-ratio
+    division on the 1e9 grid with '+ 0'.
+
+    Scale: NO global window — each k's covered mass is a TakeOrdered
+    top-k over the vocab-sized count table followed by a 1-row sum
+    (three tiny jobs), so nothing sorts the vocabulary on one reducer;
+    the token count itself is one partial+final hash agg over the
+    corpus. The oracle states the same truth via DuckDB's ordered-
+    LIMIT rowid subquery."""
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # rule 11a: 3 TakeOrdered heads + the total
+    )
+    tot = c.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    rows = None
+    for k in (10, 100, 1000):
+        topk = (
+            c.orderBy(F.col("c").desc(), "t")
+            .limit(k)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("covered"))
+            .select(F.lit(k).alias("k"), "covered")
+        )
+        rows = topk if rows is None else rows.unionAll(topk)
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("covered").cast("bigint").alias("covered"),
+            "total",
+            "n_vocab",
+            dround(
+                F.col("covered").cast("double") / F.col("total").cast("double"),
+                9,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "l_dedup_rate_report",
+    oracle="""
+    WITH g AS (
+        SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS s
+        FROM documents GROUP BY md5(text)
+    ), b AS (
+        SELECT CASE WHEN s >= 10 THEN 10 ELSE s END AS size_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(s) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS corpus FROM b
+    )
+    SELECT b.size_bucket, b.n_clusters, b.n_docs,
+           b.n_docs - b.n_clusters AS n_removable,
+           ROUND(CAST(b.n_docs - b.n_clusters AS DOUBLE)
+                 / CAST(tot.corpus AS DOUBLE) * 1e9) / 1e9 + 0
+               AS removable_share
+    FROM b CROSS JOIN tot
+    ORDER BY b.size_bucket
+    """,
+)
+def l_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-DEDUP RATE REPORT — the summary table a dedup run
+    publishes before anyone deletes anything: duplicate-cluster-size
+    histogram (bucket 10 = "10+"), docs and removable copies per
+    bucket, and each bucket's share of the corpus that dedup would
+    delete. Reads the same md5 content-hash grouping as l_dedup_exact
+    and rolls it up (pipeline composition: detect → report → act).
+
+    Determinism: every column is an exact BIGINT except the one
+    int-ratio share on the 1e9 grid with '+ 0'.
+
+    Scale: the md5 groupBy is THE 100 TB exact-dedup shuffle
+    (partial+final); the histogram rollup runs on the cluster-size
+    table (bounded by distinct contents); the corpus total broadcasts
+    as one row."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    b = g.select(
+        F.when(F.col("s") >= 10, 10).otherwise(F.col("s")).alias(
+            "size_bucket"
+        ),
+        "s",
+    ).groupBy("size_bucket").agg(
+        F.count(F.lit(1)).alias("n_clusters"), F.sum("s").alias("n_docs")
+    )
+    tot = b.agg(F.sum("n_docs").alias("corpus"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("size_bucket").cast("bigint").alias("size_bucket"),
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_clusters")).alias("n_removable"),
+            dround(
+                (F.col("n_docs") - F.col("n_clusters")).cast("double")
+                / F.col("corpus").cast("double"),
+                9,
+            ).alias("removable_share"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+@query(
+    "l_mix_temperature",
+    oracle="""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ), t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+    ), p AS (
+        SELECT c.lang, c.n,
+               CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS p,
+               pow(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 0.7)
+                   AS w7,
+               pow(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 0.5)
+                   AS w5
+        FROM c CROSS JOIN t
+    ), z AS (
+        SELECT SUM(w7) AS z7, SUM(w5) AS z5 FROM p
+    )
+    SELECT p.lang, p.n,
+           ROUND(p.p * 1e9) / 1e9 + 0 AS p_raw,
+           ROUND(p.w7 / z.z7 * 1e9) / 1e9 + 0 AS q_alpha07,
+           ROUND(p.w5 / z.z5 * 1e9) / 1e9 + 0 AS q_alpha05,
+           ROUND(p.w7 / z.z7 / p.p * 1e6) / 1e6 + 0 AS epochs_alpha07
+    FROM p CROSS JOIN z
+    ORDER BY p.lang
+    """,
+)
+def l_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED MULTILINGUAL SAMPLING WEIGHTS (the
+    mBERT/XLM-R exponential-smoothing recipe, Devlin 2019 / Conneau
+    2020; public method): per language, the raw corpus share p, the
+    resampling share q ∝ p^α at α = 0.7 and 0.5, and the implied
+    effective-epoch multiplier q/p at α = 0.7 — the table that decides
+    how hard low-resource languages are upsampled. Complements
+    l_domain_mix (which APPLIES fixed rates) by COMPUTING the rates.
+
+    Determinism: counts are exact BIGINTs; p and the pow() terms are
+    fixed-shape per-row doubles (same libm pow both engines — the
+    dsir ln precedent); the normalizers z sum ≤ |langs| (bounded
+    domain) terms — and BOTH engines aggregate the same 5-row table,
+    where sum order cannot produce a 1e-9-grid-visible difference
+    because the terms are O(1) and few (documented bound, not an
+    order-free sum; the output rounds at 1e-9 with '+ 0').
+
+    Scale: one lang-keyed partial+final count agg; everything after
+    runs on the |langs|-row table."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "p"
+        ),
+    )
+    p = p.select(
+        "lang",
+        "n",
+        "p",
+        F.pow(F.col("p"), F.lit(0.7)).alias("w7"),
+        F.pow(F.col("p"), F.lit(0.5)).alias("w5"),
+    )
+    z = p.agg(F.sum("w7").alias("z7"), F.sum("w5").alias("z5"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n",
+            dround(F.col("p"), 9).alias("p_raw"),
+            dround(F.col("w7") / F.col("z7"), 9).alias("q_alpha07"),
+            dround(F.col("w5") / F.col("z5"), 9).alias("q_alpha05"),
+            dround(F.col("w7") / F.col("z7") / F.col("p"), 6).alias(
+                "epochs_alpha07"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -113,6 +113,9 @@ PRIORITY_ORDER = (
     "l_eval_auc",
     "l_eval_mrr",
     "l_rl_best_of_n",
+    "l_ngram_coverage_curve",
+    "l_dedup_rate_report",
+    "l_mix_temperature",
     # -- verified in r1-r10 (dead last; re-verify if window widens) --
     #    round-10 window keys first (newest rows first):
     "l_filter_attrition",

@@ -331,3 +331,90 @@ def test_best_of_n_is_unbiased_vs_exhaustive_max(spark):
         expect = round(s / 1e9 / 1e2, 6)
         assert got[uid]["n"] == n
         assert abs(got[uid]["bon5"] - expect) < 2e-6
+
+
+def test_coverage_curve_counter_recompute(spark):
+    from collections import Counter
+
+    rows = _docs(spark)
+    cnt: Counter = Counter()
+    for r in rows:
+        cnt.update(r["text"].split(" "))
+    total = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {
+        r["k"]: r
+        for r in all_queries()["l_ngram_coverage_curve"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(got) == {10, 100, 1000}
+    prev = -1
+    for k in (10, 100, 1000):
+        covered = sum(c for _, c in ordered[:k])
+        r = got[k]
+        assert r["covered"] == covered
+        assert r["total"] == total
+        assert r["n_vocab"] == len(cnt)
+        assert abs(r["coverage"] - covered / total) < 2e-9
+        assert r["covered"] >= prev  # curve is monotone
+        prev = r["covered"]
+
+
+def test_dedup_rate_report_counter_recompute(spark):
+    from collections import Counter
+    import hashlib as _h
+
+    rows = _docs(spark)
+    sizes: Counter = Counter()
+    for r in rows:
+        sizes[_h.md5(r["text"].encode()).hexdigest()] += 1
+    buckets: dict[int, list[int]] = {}
+    for s in sizes.values():
+        b = buckets.setdefault(min(s, 10), [0, 0])
+        b[0] += 1
+        b[1] += s
+    got = {
+        r["size_bucket"]: r
+        for r in all_queries()["l_dedup_rate_report"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(got) == set(buckets)
+    corpus = len(rows)
+    for sb, (ncl, ndoc) in buckets.items():
+        r = got[sb]
+        assert (r["n_clusters"], r["n_docs"]) == (ncl, ndoc)
+        assert r["n_removable"] == ndoc - ncl
+        assert abs(r["removable_share"] - (ndoc - ncl) / corpus) < 2e-9
+    # conservation: docs across buckets == corpus
+    assert sum(r["n_docs"] for r in got.values()) == corpus
+
+
+def test_mix_temperature_python_recompute(spark):
+    from collections import Counter
+
+    rows = _docs(spark)
+    cnt = Counter(r["lang"] for r in rows)
+    total = sum(cnt.values())
+    w7 = {l: (n / total) ** 0.7 for l, n in cnt.items()}
+    w5 = {l: (n / total) ** 0.5 for l, n in cnt.items()}
+    z7, z5 = sum(w7.values()), sum(w5.values())
+    got = {
+        r["lang"]: r
+        for r in all_queries()["l_mix_temperature"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(got) == set(cnt)
+    assert abs(sum(r["q_alpha07"] for r in got.values()) - 1.0) < 1e-6
+    for lang, n in cnt.items():
+        r = got[lang]
+        assert r["n"] == n
+        assert abs(r["p_raw"] - n / total) < 2e-9
+        assert abs(r["q_alpha07"] - w7[lang] / z7) < 2e-9
+        assert abs(r["q_alpha05"] - w5[lang] / z5) < 2e-9
+        assert abs(r["epochs_alpha07"] - (w7[lang] / z7) / (n / total)) < 2e-6
+        # temperature flattens: minority langs upsampled, majority down
+        if n / total < 1 / len(cnt):
+            assert r["q_alpha07"] >= r["p_raw"]
