@@ -15,13 +15,17 @@ Corpus: N_CLUSTERS clusters x 5 members. Every cluster has its own
 41-token vocabulary (t{c}_{k}), so posting-list df <= 5 and the
 postings join is strictly linear in the corpus. Member j (0..4)
 replaces its first j tokens with member-unique tokens (x{c}_{j}_{k}),
-giving a KNOWN within-cluster similarity ladder:
+giving a KNOWN within-cluster similarity ladder (r11 code review
+corrected the algebra; the verified row counts were always right):
 
-  distinct-token Jaccard(j1<j2) = (41-j2) / (41+j1)
-    -> all 10 unordered pairs land in [0.84, 0.98]: every pair passes
-       l_simjoin_jaccard's 0.6 gate; exactly {(0,1),(0,2),(0,3),(0,4),
-       (1,2)} pass l_dedup_cluster's 0.9 gate, whose transitive
-       closure is the full 5-member cluster (0 touches everyone);
+  distinct-token Jaccard(j1<j2) = (41-j2) / (41+j2)
+    (|A∩B| = 41-j2 shared unperturbed tokens; |A∪B| = 41+j2)
+    -> the 10 unordered pairs span [0.822, 0.952]: every pair passes
+       l_simjoin_jaccard's 0.6 gate (10 rows/cluster); exactly
+       {(0,1), (0,2), (1,2)} pass l_dedup_cluster's 0.9 gate
+       (0.952 / 0.907 / 0.907), whose transitive closure is the
+       3-member component {0,1,2} plus singletons 3 and 4 — still one
+       l_dedup_cluster output row per doc (5/cluster);
   containment(a->b) = (41-max(j_a,j_b)) / 41 >= 37/41 = 0.902
     -> all 20 ordered pairs pass the 0.9 gate.
 

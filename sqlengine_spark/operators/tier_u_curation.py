@@ -1014,7 +1014,12 @@ def l_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on a 32-thread single JVM, but the old plan's exchange is
     the whole corpus's token stream at 100 TB, so the zero-shuffle
     plan is kept, the l_budget_select precedent)."""
-    d = table(spark, sf_dir, "documents")
+    # NULL-text docs are excluded from the funnel in BOTH engines: the
+    # oracle's unnest(string_split(NULL)) emits no rows so the inner
+    # join drops the doc from n_in; the map-side plan must filter
+    # explicitly or it would count the row (r11 code review — latent
+    # divergence under rule-1b fixture drift)
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     s = F.sort_array(toks)
     zero = F.lit(0).cast("long")

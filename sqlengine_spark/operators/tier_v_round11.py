@@ -309,13 +309,21 @@ def l_rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical.
 
     Scale: ZERO shuffles — one map-side explode per document (fan-out
-    = L/48, bounded by doc length), no aggregation, no join; exactly
-    the shape that streams 100 TB through 1000 executors at scan
-    speed. Chunk-level dedup/embedding joins downstream key on
-    chunk_md5, which shards uniformly. The WHOLE chunk row (offsets +
-    md5) is computed INSIDE one generator expression — projecting the
-    token array alongside the explode would re-run split() per chunk
-    row (rule 12a)."""
+    = L/48, bounded by doc length), no aggregation, no join. Honest
+    map-work bound (r11 code review): the slice's split() sits inside
+    the transform lambda, so per-doc work is O(L²/48) token copies
+    (pin 14c class) — for typical ≤4k-token web documents that is a
+    bounded ~85× constant over the scan and still beats the
+    single-process engine at x100 (0.60×, BASELINE.md); a
+    long-document corpus (100k+ tokens) should instead take the
+    linear-shuffle variant (posexplode tokens → ≤2 chunk memberships
+    each → (doc, chunk) groupBy reassembly), documented here rather
+    than built because every measured corpus class is short-doc.
+    Chunk-level dedup/embedding joins downstream key on chunk_md5,
+    which shards uniformly. The WHOLE chunk row (offsets + md5) is
+    computed INSIDE the one generator expression — projecting the
+    token array alongside the explode would ADDITIONALLY re-run
+    split() per chunk row (rule 12a)."""
     d = table(spark, sf_dir, "documents")
     chunks = F.expr(
         """
@@ -862,12 +870,17 @@ def l_rl_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 5) & (F.col("rk") >= 5))
     )
     rk, n = F.col("rk").cast("double"), F.col("n").cast("double")
+    # parenthesized QUOTIENT products, mirroring the oracle exactly —
+    # the bare chain a/b*c/d associates as ((a/b)*c)/d and diverges
+    # from the oracle's (a/b)*(c/d) in the last ulp, which the 1e9
+    # term grid then amplifies into ±1-integer cross-engine drift
+    # (r11 code review, reproduced on 4/234,630 sampled triples)
     prob = (
-        (rk - 1) / n
-        * (rk - 2) / (n - 1)
-        * (rk - 3) / (n - 2)
-        * (rk - 4) / (n - 3)
-        * F.lit(5.0) / (n - 4)
+        ((rk - 1) / n)
+        * ((rk - 2) / (n - 1))
+        * ((rk - 3) / (n - 2))
+        * ((rk - 4) / (n - 3))
+        * (F.lit(5.0) / (n - 4))
     )
     term = F.floor(prob * F.col("rc").cast("double") * 1e9 + 0.5).cast(
         "bigint"
@@ -1042,19 +1055,26 @@ def l_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), p AS (
         SELECT c.lang, c.n,
                CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS p,
-               pow(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 0.7)
-                   AS w7,
-               pow(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 0.5)
-                   AS w5
+               CAST(FLOOR(pow(CAST(c.n AS DOUBLE)
+                              / CAST(t.total AS DOUBLE), 0.7) * 1e15 + 0.5)
+                    AS BIGINT) AS w7q,
+               CAST(FLOOR(pow(CAST(c.n AS DOUBLE)
+                              / CAST(t.total AS DOUBLE), 0.5) * 1e15 + 0.5)
+                    AS BIGINT) AS w5q
         FROM c CROSS JOIN t
     ), z AS (
-        SELECT SUM(w7) AS z7, SUM(w5) AS z5 FROM p
+        SELECT CAST(SUM(w7q) AS BIGINT) AS z7,
+               CAST(SUM(w5q) AS BIGINT) AS z5
+        FROM p
     )
     SELECT p.lang, p.n,
            ROUND(p.p * 1e9) / 1e9 + 0 AS p_raw,
-           ROUND(p.w7 / z.z7 * 1e9) / 1e9 + 0 AS q_alpha07,
-           ROUND(p.w5 / z.z5 * 1e9) / 1e9 + 0 AS q_alpha05,
-           ROUND(p.w7 / z.z7 / p.p * 1e6) / 1e6 + 0 AS epochs_alpha07
+           ROUND(CAST(p.w7q AS DOUBLE) / CAST(z.z7 AS DOUBLE) * 1e9) / 1e9
+               + 0 AS q_alpha07,
+           ROUND(CAST(p.w5q AS DOUBLE) / CAST(z.z5 AS DOUBLE) * 1e9) / 1e9
+               + 0 AS q_alpha05,
+           ROUND(CAST(p.w7q AS DOUBLE) / CAST(z.z7 AS DOUBLE) / p.p * 1e6)
+               / 1e6 + 0 AS epochs_alpha07
     FROM p CROSS JOIN z
     ORDER BY p.lang
     """,
@@ -1070,11 +1090,12 @@ def l_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts are exact BIGINTs; p and the pow() terms are
     fixed-shape per-row doubles (same libm pow both engines — the
-    dsir ln precedent); the normalizers z sum ≤ |langs| (bounded
-    domain) terms — and BOTH engines aggregate the same 5-row table,
-    where sum order cannot produce a 1e-9-grid-visible difference
-    because the terms are O(1) and few (documented bound, not an
-    order-free sum; the output rounds at 1e-9 with '+ 0').
+    dsir ln precedent); each weight quantizes to a 1e15 fixed-point
+    BIGINT BEFORE the normalizer sum (r11 code review — a raw double
+    sum would be order-sensitive in both engines; the rule-11e
+    pattern), so z7/z5 are exact integers and every output is a
+    fixed-shape double expression over exact operands, rounded once
+    with '+ 0'.
 
     Scale: one lang-keyed partial+final count agg; everything after
     runs on the |langs|-row table."""
@@ -1092,21 +1113,25 @@ def l_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n",
         "p",
-        F.pow(F.col("p"), F.lit(0.7)).alias("w7"),
-        F.pow(F.col("p"), F.lit(0.5)).alias("w5"),
+        F.floor(F.pow(F.col("p"), F.lit(0.7)) * 1e15 + 0.5)
+        .cast("bigint")
+        .alias("w7q"),
+        F.floor(F.pow(F.col("p"), F.lit(0.5)) * 1e15 + 0.5)
+        .cast("bigint")
+        .alias("w5q"),
     )
-    z = p.agg(F.sum("w7").alias("z7"), F.sum("w5").alias("z5"))
+    z = p.agg(F.sum("w7q").alias("z7"), F.sum("w5q").alias("z5"))
+    q7 = F.col("w7q").cast("double") / F.col("z7").cast("double")
+    q5 = F.col("w5q").cast("double") / F.col("z5").cast("double")
     return (
         p.crossJoin(F.broadcast(z))
         .select(
             "lang",
             "n",
             dround(F.col("p"), 9).alias("p_raw"),
-            dround(F.col("w7") / F.col("z7"), 9).alias("q_alpha07"),
-            dround(F.col("w5") / F.col("z5"), 9).alias("q_alpha05"),
-            dround(F.col("w7") / F.col("z7") / F.col("p"), 6).alias(
-                "epochs_alpha07"
-            ),
+            dround(q7, 9).alias("q_alpha07"),
+            dround(q5, 9).alias("q_alpha05"),
+            dround(q7 / F.col("p"), 6).alias("epochs_alpha07"),
         )
         .orderBy("lang")
     )

@@ -124,9 +124,7 @@ def test_chunk_overlap_python_reference(spark):
     assert seen == len(got)
 
 
-def test_embed_norm_stats_numpy_recompute(spark):
-    import numpy as np
-
+def test_embed_norm_stats_python_recompute(spark):
     vecs = (
         spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
         .select("label", "embedding")
@@ -134,7 +132,6 @@ def test_embed_norm_stats_numpy_recompute(spark):
     )
     agg: dict[int, list] = {}
     for r in vecs:
-        v = np.array(r["embedding"], dtype=np.float64)
         # mirror the operator's sequential double fold + 1e6 half-up grid
         s = 0.0
         for x in r["embedding"]:
@@ -233,9 +230,6 @@ def test_mcnemar_counter_recompute(spark):
 def test_auc_matches_sklearn_free_recompute(spark):
     """AUC recomputed from scratch with the probability-of-correct-
     ranking definition (all pos/neg pairs, ties count half)."""
-    rows = _docs(spark)
-    import itertools
-
     docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet").select(
         "n_chars", "lang"
     ).collect()
