@@ -212,6 +212,13 @@ CARTESIAN_WHITELIST = {
     "e_win_pct_of_total",       # 1-row grand-total broadcast over the
                                 # |nations|-row aggregate (the window-
                                 # free percent-of-total form)
+    "l_ngram_coverage_curve",   # 1-row (total, n_vocab) broadcast onto
+                                # the 3-row TakeOrdered coverage heads
+    "l_dedup_rate_report",      # 1-row corpus-total broadcast onto the
+                                # bucket histogram rows
+    "l_mix_temperature",        # two 1-row broadcasts (corpus total,
+                                # quantized normalizers) onto the
+                                # |langs|-row weight table
     "l_ngram_assoc_llr",        # 1-row total-bigram-count broadcast onto
                                 # the support-filtered pair table (the
                                 # l_topic_cooccur class)
