@@ -1135,3 +1135,181 @@ def l_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "l_eval_fleiss_kappa",
+    oracle="""
+    WITH r AS (
+        SELECT (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END
+                + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                + CASE WHEN text LIKE '% and %' THEN 1 ELSE 0 END)
+                   AS n_pos
+        FROM documents
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(n_pos) AS BIGINT) AS s_pos,
+               CAST(SUM(n_pos * n_pos + (3 - n_pos) * (3 - n_pos))
+                    AS BIGINT) AS s_sq
+        FROM r
+    )
+    SELECT n_items,
+           ROUND(CAST(s_pos AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE))
+                 * 1e9) / 1e9 + 0 AS p_pos,
+           ROUND(CAST(s_sq - 3 * n_items AS DOUBLE)
+                 / (6.0 * CAST(n_items AS DOUBLE)) * 1e9) / 1e9 + 0
+               AS p_bar,
+           ROUND((CAST(s_sq - 3 * n_items AS DOUBLE)
+                      / (6.0 * CAST(n_items AS DOUBLE))
+                  - (pow(CAST(s_pos AS DOUBLE)
+                         / (3.0 * CAST(n_items AS DOUBLE)), 2)
+                     + pow(1.0 - CAST(s_pos AS DOUBLE)
+                           / (3.0 * CAST(n_items AS DOUBLE)), 2)))
+                 / (1.0 - (pow(CAST(s_pos AS DOUBLE)
+                               / (3.0 * CAST(n_items AS DOUBLE)), 2)
+                           + pow(1.0 - CAST(s_pos AS DOUBLE)
+                                 / (3.0 * CAST(n_items AS DOUBLE)), 2)))
+                 * 1e9) / 1e9 + 0 AS fleiss_kappa
+    FROM a
+    """,
+)
+def l_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA (1971; public method) for THREE judges over a
+    binary category — the multi-rater generalization of Cohen's κ
+    (d_agg_chi2 / l_eval_cohen territory covers two raters): three
+    cheap english-detector proxies (contains ' the ', n_chars ≥ 300,
+    contains ' and ') rate every document; κ = (P̄ − P_e)/(1 − P_e)
+    with per-item agreement P_i = (Σ n_c² − n)/(n(n−1)), n = 3. This
+    is the agreement audit an LLM-judge ensemble publishes before its
+    votes are trusted as labels.
+
+    Determinism: per-item rating counts are exact integers; the two
+    corpus moments (Σ n_pos, Σ Σn_c²) are exact BIGINT sums; P̄, P_e,
+    and κ are one fixed-shape double expression over them (pow(x,2)
+    the same libm both engines), each output quantized once at 1e-9
+    with '+ 0'.
+
+    Scale: one scan, one 1-row aggregate — scan speed at any corpus
+    size; generalizing to r raters/k categories keeps the same two-
+    moment shape (Σ n_c² folds per item map-side)."""
+    d = table(spark, sf_dir, "documents")
+    n_pos = (
+        F.when(F.col("text").like("% the %"), 1).otherwise(0)
+        + F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+        + F.when(F.col("text").like("% and %"), 1).otherwise(0)
+    )
+    a = d.select(n_pos.alias("n_pos")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_pos").alias("s_pos"),
+        F.sum(
+            F.col("n_pos") * F.col("n_pos")
+            + (3 - F.col("n_pos")) * (3 - F.col("n_pos"))
+        ).alias("s_sq"),
+    )
+    ni = F.col("n_items").cast("double")
+    p_pos = F.col("s_pos").cast("double") / (F.lit(3.0) * ni)
+    p_bar = (F.col("s_sq") - 3 * F.col("n_items")).cast("double") / (
+        F.lit(6.0) * ni
+    )
+    p_e = F.pow(p_pos, F.lit(2)) + F.pow(F.lit(1.0) - p_pos, F.lit(2))
+    return a.select(
+        "n_items",
+        dround(p_pos, 9).alias("p_pos"),
+        dround(p_bar, 9).alias("p_bar"),
+        dround((p_bar - p_e) / (F.lit(1.0) - p_e), 9).alias("fleiss_kappa"),
+    )
+
+
+@query(
+    "l_eval_ece",
+    oracle="""
+    WITH s AS (
+        SELECT CAST((n_chars - 40) AS DOUBLE) * (n_chars - 40)
+               / (CAST((n_chars - 40) AS DOUBLE) * (n_chars - 40) + 40000.0)
+                   AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), b AS (
+        SELECT CASE WHEN CAST(FLOOR(p * 10) AS BIGINT) >= 10 THEN 9
+                    ELSE CAST(FLOOR(p * 10) AS BIGINT) END AS bin,
+               CAST(FLOOR(p * 1e9 + 0.5) AS BIGINT) AS pq, y
+        FROM s
+    ), g AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(SUM(y) AS BIGINT) AS k_k,
+               CAST(SUM(pq) AS BIGINT) AS sp_k
+        FROM b GROUP BY bin
+    ), t AS (
+        SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               SUM(CAST(n_k AS DOUBLE)
+                   * abs(CAST(k_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                         - CAST(sp_k AS DOUBLE) / CAST(n_k AS DOUBLE) / 1e9))
+                   AS w_gap,
+               MAX(abs(CAST(k_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                       - CAST(sp_k AS DOUBLE) / CAST(n_k AS DOUBLE) / 1e9))
+                   AS max_gap
+        FROM g
+    )
+    SELECT n, n_bins,
+           ROUND(w_gap / CAST(n AS DOUBLE) * 1e9) / 1e9 + 0 AS ece,
+           ROUND(max_gap * 1e9) / 1e9 + 0 AS max_gap
+    FROM t
+    """,
+)
+def l_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR (Naeini et al. 2015; public method)
+    of the same frozen rational-squash scorer l_calibration_curve
+    audits (p = z²/(z²+c), z = n_chars−40 — rational so decile
+    membership is IEEE-exact in both engines, the calibration_curve
+    determinism note): ECE = Σ_k n_k/N · |acc_k − conf_k| over p's
+    deciles, plus the worst-bin gap — the single calibration number a
+    model card reports next to the reliability diagram.
+
+    Determinism: per-row p quantizes to a 1e9 fixed-point BIGINT
+    before the per-bin confidence sums (rule 11e — a raw double sum
+    would be order-sensitive); acc_k comes from exact counts; the
+    |gap| fold runs over ≤10 bin rows with fixed-shape arithmetic.
+    The weighted sum over ≤10 bins is n_k-weighted double arithmetic
+    on exact operands — both engines fold the identical 10-row table
+    (and the 1e-9 output grid sits ~7 orders above the worst-case
+    10-term reassociation error of O(1)-magnitude terms).
+
+    Scale: one scan, one 10-ary groupBy (partial+final), one 1-row
+    fold. Scan speed at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    z = (F.col("n_chars") - 40).cast("double") * (F.col("n_chars") - 40)
+    p = z / (z + F.lit(40000.0))
+    s = d.select(
+        p.alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    bin_ = F.when(F.floor(F.col("p") * 10).cast("bigint") >= 10, 9).otherwise(
+        F.floor(F.col("p") * 10).cast("bigint")
+    )
+    b = s.select(
+        bin_.alias("bin"),
+        F.floor(F.col("p") * 1e9 + 0.5).cast("bigint").alias("pq"),
+        "y",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("y").alias("k_k"),
+        F.sum("pq").alias("sp_k"),
+    )
+    gap = F.abs(
+        F.col("k_k").cast("double") / F.col("n_k").cast("double")
+        - F.col("sp_k").cast("double") / F.col("n_k").cast("double") / 1e9
+    )
+    t = g.agg(
+        F.sum("n_k").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.col("n_k").cast("double") * gap).alias("w_gap"),
+        F.max(gap).alias("max_gap"),
+    )
+    return t.select(
+        "n",
+        "n_bins",
+        dround(F.col("w_gap") / F.col("n").cast("double"), 9).alias("ece"),
+        dround(F.col("max_gap"), 9).alias("max_gap"),
+    )

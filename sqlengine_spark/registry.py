@@ -116,6 +116,8 @@ PRIORITY_ORDER = (
     "l_ngram_coverage_curve",
     "l_dedup_rate_report",
     "l_mix_temperature",
+    "l_eval_fleiss_kappa",
+    "l_eval_ece",
     # -- verified in r1-r10 (dead last; re-verify if window widens) --
     #    round-10 window keys first (newest rows first):
     "l_filter_attrition",

@@ -412,3 +412,54 @@ def test_mix_temperature_python_recompute(spark):
         # temperature flattens: minority langs upsampled, majority down
         if n / total < 1 / len(cnt):
             assert r["q_alpha07"] >= r["p_raw"]
+
+
+def test_fleiss_kappa_python_recompute(spark):
+    rows = _docs(spark)
+    n_pos_list = []
+    for r in rows:
+        n_pos_list.append(
+            (1 if " the " in r["text"] else 0)
+            + (1 if len(r["text"]) >= 300 else 0)
+            + (1 if " and " in r["text"] else 0)
+        )
+    n = len(n_pos_list)
+    p_pos = sum(n_pos_list) / (3 * n)
+    p_bar = sum(
+        (k * k + (3 - k) * (3 - k) - 3) / 6 for k in n_pos_list
+    ) / n
+    p_e = p_pos**2 + (1 - p_pos) ** 2
+    kappa = (p_bar - p_e) / (1 - p_e)
+    [got] = all_queries()["l_eval_fleiss_kappa"](spark, SF_DIR_SMALL).collect()
+    assert got["n_items"] == n
+    assert abs(got["p_pos"] - p_pos) < 2e-9
+    assert abs(got["p_bar"] - p_bar) < 2e-9
+    assert abs(got["fleiss_kappa"] - kappa) < 2e-9
+    assert -1.0 <= got["fleiss_kappa"] <= 1.0
+
+
+def test_ece_python_recompute(spark):
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet").select(
+        "n_chars", "lang"
+    ).collect()
+    bins: dict[int, list] = {}
+    for r in docs:
+        z = float(r["n_chars"] - 40) * (r["n_chars"] - 40)
+        p = z / (z + 40000.0)
+        b = min(int(p * 10), 9)
+        pq = math.floor(p * 1e9 + 0.5)
+        e = bins.setdefault(b, [0, 0, 0])
+        e[0] += 1
+        e[1] += 1 if r["lang"] == "en" else 0
+        e[2] += pq
+    n = sum(e[0] for e in bins.values())
+    gaps = {
+        b: abs(k / nk - sp / nk / 1e9) for b, (nk, k, sp) in bins.items()
+    }
+    ece = sum(bins[b][0] * gaps[b] for b in bins) / n
+    [got] = all_queries()["l_eval_ece"](spark, SF_DIR_SMALL).collect()
+    assert got["n"] == n
+    assert got["n_bins"] == len(bins)
+    assert abs(got["ece"] - ece) < 2e-9
+    assert abs(got["max_gap"] - max(gaps.values())) < 2e-9
+    assert 0.0 <= got["ece"] <= got["max_gap"] <= 1.0
