@@ -101,9 +101,14 @@ PRIORITY_ORDER = (
     #    ... rows-only tail (ran-clean row only: the declared media
     #    decode stub; must be the LAST window slot). --
     "l_multimodal_decode",
-    # -- ROUND-12 QUEUE: operators BUILT in round 11 (behind the
+    # -- ROUND-12 QUEUE: the 14 operators BUILT in round 11 (behind the
     #    convergence window per the r10 verdict; they earn driver rows
-    #    in r12) --
+    #    in r12). R12 ROTATION ARITHMETIC: once the r11 window lands,
+    #    every pre-r11 key holds a driver row, so the r12 window is
+    #    4 anchors + these 14 + 32 FREE slots — spend the free slots
+    #    re-verifying the OLDEST rows (the r2 cohort) oldest-first,
+    #    since their last driver check predates eight rounds of
+    #    shared-helper changes. --
     "l_ngram_assoc_llr",
     "l_eval_slice_accuracy",
     "l_rag_chunk_overlap",
