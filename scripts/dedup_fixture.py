@@ -12,11 +12,22 @@ CONSTRUCTION and hash-verifies the four keys on it at 100x the driver
 correctness scale (50,000 docs vs sf0.01's 500).
 
 Corpus: N_CLUSTERS clusters x 5 members. Every cluster has its own
-41-token vocabulary (t{c}_{k}), so posting-list df <= 5 and the
-postings join is strictly linear in the corpus. Member j (0..4)
-replaces its first j tokens with member-unique tokens (x{c}_{j}_{k}),
-giving a KNOWN within-cluster similarity ladder (r11 code review
-corrected the algebra; the verified row counts were always right):
+41-token vocabulary — token k of cluster c is 't'+md5('t{c}_{k}')[:16]
+(v2, r12: hash tokens replaced the digit-template 't{c}_{k}' form
+because the template was cluster-unique at the TOKEN level but nearly
+identical at the CHARACTER level — cross-cluster 5-char-shingle
+Jaccard was high enough that l_dedup_near_minhash's full bands
+collided across clusters, 25.4M candidate pairs on 50k docs, a
+fixture artifact not an operator property; random-hex tokens make the
+char-shingle vocabulary cluster-unique too, with identical token-set
+algebra so every analytic answer below is unchanged. 64-bit token
+space: cross-token collision probability ~1e-4 per build, and one
+collision shifts a pair's Jaccard by ~0.012, inside every gate's
+margin). Posting-list df <= 5, so the postings join is strictly
+linear in the corpus. Member j (0..4) replaces its first j tokens
+with member-unique tokens ('x'+md5('x{c}_{j}_{k}')[:16]), giving a
+KNOWN within-cluster similarity ladder (r11 code review corrected the
+algebra; the verified row counts were always right):
 
   distinct-token Jaccard(j1<j2) = (41-j2) / (41+j2)
     (|A∩B| = 41-j2 shared unperturbed tokens; |A∪B| = 41+j2)
@@ -62,9 +73,25 @@ KEYS = [
 ]
 
 
+# Corpus-construction fingerprint (r11 ADVICE): the fixture rebuilds
+# whenever the parameters or the generator SQL change, so editing
+# N_CLUSTERS or the perturbation scheme can never silently re-verify
+# against a stale parquet. Bump manually if the SQL text changes in a
+# way the params below don't capture.
+PARAMS = f"n_clusters={N_CLUSTERS};members=5;vocab=41;scheme=md5-tokens-v2"
+
+
 def build() -> str:
     os.makedirs(DIR, exist_ok=True)
     dst = f"{DIR}/documents.parquet"
+    sidecar = f"{DIR}/PARAMS.txt"
+    stale = (
+        not os.path.exists(sidecar)
+        or open(sidecar).read().strip() != PARAMS
+    )
+    if stale and os.path.exists(dst):
+        os.unlink(dst)
+        print("# params changed — rebuilding fixture", file=sys.stderr)
     if not os.path.exists(dst):
         con = duckdb.connect()
         con.execute(
@@ -79,8 +106,10 @@ def build() -> str:
                        list_aggregate(
                          list_transform(generate_series(0, 40), k ->
                            CASE WHEN k < j
-                                THEN 'x' || c || '_' || j || '_' || k
-                                ELSE 't' || c || '_' || k END),
+                                THEN 'x' || substring(md5('x' || c || '_'
+                                     || j || '_' || k), 1, 16)
+                                ELSE 't' || substring(md5('t' || c || '_'
+                                     || k), 1, 16) END),
                          'string_agg', ' ') AS text,
                        (['en','de','fr','es','it'])[1 + c % 5] AS lang,
                        'synth_dedup' AS source
@@ -92,6 +121,8 @@ def build() -> str:
             ) TO '{dst}' (FORMAT PARQUET)
             """
         )
+        with open(sidecar, "w") as fh:
+            fh.write(PARAMS + "\n")
         print(f"# built {dst}", file=sys.stderr)
     for t in TABLES:
         if t == "documents":
@@ -107,9 +138,28 @@ def main() -> int:
     if "--build-only" in sys.argv:
         return 0
     env = dict(os.environ, SPARK_GRAFT_SIM_SF=DIR)
-    rc = subprocess.call(
-        [sys.executable, "scripts/driver_sim.py", *KEYS], env=env
-    )
+    # One sim subprocess PER KEY (r12): at 50k docs the four keys in a
+    # single plain-1g session accumulate driver-side broadcast blocks
+    # across queries and the LAST key's (legitimately bounded) runtime
+    # broadcast can hit "not enough memory to build and broadcast" —
+    # a harness artifact (the real driver runs at sf0.01), observed as
+    # GC-timing-dependent flakiness. Per-key isolation keeps each
+    # at-scale record independent of key order.
+    # 8 GB session for every key (the r11 practice): a plain-1g
+    # local[32] heap gives each of 32 concurrent tasks ~32 MB — no
+    # real executor is provisioned like that, and at 50k v2 docs the
+    # char-shingle scans (~37M rows) GC-thrash or fail hash-relation
+    # builds under it. driver_sim itself stays plain; only the JVM
+    # sizing comes from the environment, exactly as a cluster submit
+    # would set it. What these runs check is the PLAN (zero
+    # broadcasts, banded/prefix equi-joins — asserted in
+    # tests/test_plans.py) and the hash answers at 100x driver scale.
+    env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 8g pyspark-shell"
+    rc = 0
+    for key in KEYS:
+        rc |= subprocess.call(
+            [sys.executable, "scripts/driver_sim.py", key], env=env
+        )
     return rc
 
 

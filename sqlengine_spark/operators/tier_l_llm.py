@@ -51,31 +51,42 @@ def _verify_jaccard(
 
     Scale: two keyed joins hang each side's feature postings onto the
     candidate pairs, then the intersection count groups by pair — cost
-    is |cands| × avg features, linear in candidates, never N². The
-    per-doc feature-count table is broadcast here (|docs| rows at test
-    SF); at warehouse scale swap the broadcasts for keyed joins — the
-    shape is otherwise unchanged."""
+    is |cands| × avg features, linear in candidates, never N². EVERY
+    table in this stage is corpus-growing (postings = docs × features,
+    counts = |docs| rows), so every join is PINNED shuffle_hash (r12):
+    the old explicit F.broadcast(cnt) was the rule-14a defect, and
+    dropping to plain joins merely exposed rule 14b — Catalyst's
+    file-size stats can't see through the feature explode, estimated
+    the 10M-row postings side as broadcastable, and the static
+    BroadcastHashJoin OOM'd a plain 1g session at 50k fixture docs
+    ("not enough memory to build and broadcast", the bounded-cluster
+    fixture find). shuffle_hash keeps the stage linear and sort-free
+    at any corpus size; tests/test_plans.py asserts no broadcast node
+    survives in this stage."""
     cnt = feats.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = feats.select(F.col("doc_id").alias("doc_a"), F.col(feat_col).alias("f_a"))
     sb = feats.select(F.col("doc_id").alias("doc_b2"), F.col(feat_col).alias("f_b"))
     inter = (
-        cands.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("f_a") == F.col("f_b")))
+        cands.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(
+            sb.hint("shuffle_hash"),
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("f_a") == F.col("f_b")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.join(
-            F.broadcast(
-                cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-            ),
+            cnt.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ).hint("shuffle_hash"),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-            ),
+            cnt.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ).hint("shuffle_hash"),
             "doc_b",
         )
         .filter(jac >= threshold)
@@ -181,8 +192,11 @@ def l_simjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = _prefix_postings(tok)
     pa = pref.select(F.col("doc_id").alias("doc_a"), "t")
     pb = pref.select(F.col("doc_id").alias("doc_b"), "t")
+    # pair-generation self-join pinned shuffle_hash (r12, rule 14b):
+    # both posting sides are corpus-growing; fixture-scale stats must
+    # not statically broadcast a side that is docs x prefix at 100 TB.
     cands = (
-        pa.join(pb, "t")
+        pa.join(pb.hint("shuffle_hash"), "t")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -1038,8 +1052,12 @@ def l_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    # band self-join pinned shuffle_hash (r12, rule 14b): the bands
+    # table is 16 x |docs| rows — corpus-growing — and Catalyst's
+    # file-size stats can't see through the signature agg, so small
+    # fixtures statically broadcast a side that is N-sized at scale.
     cands = (
-        a.join(b, ["band", "sig"])
+        a.join(b.hint("shuffle_hash"), ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -2059,12 +2077,14 @@ def l_sim_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     exact = vdot(F.col("ea"), F.col("eb"))
-    # verify joins broadcast the vector table (N x dim floats; at scale
-    # the candidate side is the small one instead — flip the hint, or
-    # let AQE pick): no shuffle of the candidate stream either way.
+    # verify joins are PLAIN (r12): the vector table is corpus-sized
+    # (N x dim floats), so a forced broadcast is the rule-14a defect
+    # _verify_jaccard exhibited on the bounded fixture. AQE broadcasts
+    # whichever side is actually small at runtime (the vector table at
+    # test SF, the candidate stream at warehouse scale).
     return (
-        cands.join(F.broadcast(a), "va")
-        .join(F.broadcast(b), "vb")
+        cands.join(a, "va")
+        .join(b, "vb")
         .withColumn("raw", exact)
         .filter(F.col("raw") >= 0.4)
         .select("va", "vb", dround(F.col("raw"), 6).alias("sim"))

@@ -98,21 +98,26 @@ def l_ngram_assoc_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top-50 is TakeOrdered. The k11 >= 5 support filter prunes
     the pair tail before the joins, exactly like m_basket_affinity."""
     d = table(spark, sf_dir, "documents")
-    # zip_with over two ONCE-PER-ROW slices — an index lambda that
-    # re-references split(text)[i] re-evaluates the full split PER
-    # ELEMENT (measured: 32 s vs 2.4 s at x100, O(L²) per doc — the
-    # rule-12a cousin inside HOF lambdas)
+    # zip_with over slices of a LET-BOUND token array: transform over a
+    # 1-element array binds split(text) to the lambda variable w, so
+    # the tokenize runs EXACTLY once per row — the old form spelled
+    # split(text) four times and paid ~4x tokenize per doc (paired at
+    # x100: 2.365 -> 1.995 s median, 7/7 wins; sf0.1 0.522 -> 0.435 —
+    # the r11 verdict's double-tokenize chip, closed without a
+    # localCheckpoint/lineage cut). An INDEX lambda that re-references
+    # split(text)[i] would still be the rule-14c O(L²) defect
+    # (measured 32 s vs 2.4 s at x100); the variable binding is what
+    # makes multi-reference free.
     grams = d.select(
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-                " zip_with(slice(split(text, ' '), 1,"
-                "                size(split(text, ' ')) - 1),"
-                "          slice(split(text, ' '), 2,"
-                "                size(split(text, ' ')) - 1),"
+                "element_at(transform(array(split(text, ' ')), w ->"
+                " CASE WHEN size(w) >= 2 THEN"
+                " zip_with(slice(w, 1, size(w) - 1),"
+                "          slice(w, 2, size(w) - 1),"
                 "          (x, y) -> struct(x AS w1, y AS w2))"
                 " ELSE CAST(array() AS ARRAY<STRUCT<w1:STRING, w2:STRING>>)"
-                " END"
+                " END), 1)"
             )
         ).alias("g")
     ).select("g.w1", "g.w2")
@@ -636,7 +641,8 @@ def l_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(nn AS BIGINT) AS n, CAST(pp AS BIGINT) AS n_pos,
            ROUND(CAST(s2p - pp * (pp + 1) AS DOUBLE)
-                 / CAST(2 * pp * (nn - pp) AS DOUBLE) * 1e9) / 1e9 + 0
+                 / CAST(NULLIF(2 * pp * (nn - pp), 0) AS DOUBLE)
+                 * 1e9) / 1e9 + 0
                AS auc
     FROM m
     """,
@@ -654,7 +660,10 @@ def l_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer; moments sum in DECIMAL(38,0) Spark-side / HUGEINT
     oracle-side (exact AND order-independent — the r10 spearman ADVICE
     fix applied at birth); AUC is one integer-ratio division quantized
-    at 1e-9 with '+ 0'.
+    at 1e-9 with '+ 0'. The denominator 2·P·N⁻ is NULLIF/when-guarded
+    (r11 ADVICE): on a single-class corpus Spark's non-ANSI Divide
+    returns NULL while DuckDB's IEEE float division returns inf/NaN —
+    both engines must agree on NULL under fixture drift (rule 1b).
 
     Scale: the rank ladder runs over the VALUE-DOMAIN-grouped table
     (n_chars domain ~500 values — the m_survival_km bounded-window
@@ -682,12 +691,13 @@ def l_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p").cast(dec)).alias("pp"),
         F.sum(F.col("c").cast(dec)).alias("nn"),
     )
+    denom = 2 * F.col("pp") * (F.col("nn") - F.col("pp"))
     return m.select(
         F.col("nn").cast("bigint").alias("n"),
         F.col("pp").cast("bigint").alias("n_pos"),
         dround(
             (F.col("s2p") - F.col("pp") * (F.col("pp") + 1)).cast("double")
-            / (2 * F.col("pp") * (F.col("nn") - F.col("pp"))).cast("double"),
+            / F.when(denom == 0, F.lit(None)).otherwise(denom).cast("double"),
             9,
         ).alias("auc"),
     )
@@ -1242,17 +1252,15 @@ def l_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (
         SELECT CAST(SUM(n_k) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_bins,
-               SUM(CAST(n_k AS DOUBLE)
-                   * abs(CAST(k_k AS DOUBLE) / CAST(n_k AS DOUBLE)
-                         - CAST(sp_k AS DOUBLE) / CAST(n_k AS DOUBLE) / 1e9))
-                   AS w_gap,
+               SUM(ABS(CAST(k_k AS HUGEINT) * 1000000000 - sp_k)) AS wq,
                MAX(abs(CAST(k_k AS DOUBLE) / CAST(n_k AS DOUBLE)
                        - CAST(sp_k AS DOUBLE) / CAST(n_k AS DOUBLE) / 1e9))
                    AS max_gap
         FROM g
     )
     SELECT n, n_bins,
-           ROUND(w_gap / CAST(n AS DOUBLE) * 1e9) / 1e9 + 0 AS ece,
+           ROUND(CAST(wq AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) * 1e9) / 1e9
+               + 0 AS ece,
            ROUND(max_gap * 1e9) / 1e9 + 0 AS max_gap
     FROM t
     """,
@@ -1268,12 +1276,13 @@ def l_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: per-row p quantizes to a 1e9 fixed-point BIGINT
     before the per-bin confidence sums (rule 11e — a raw double sum
-    would be order-sensitive); acc_k comes from exact counts; the
-    |gap| fold runs over ≤10 bin rows with fixed-shape arithmetic.
-    The weighted sum over ≤10 bins is n_k-weighted double arithmetic
-    on exact operands — both engines fold the identical 10-row table
-    (and the 1e-9 output grid sits ~7 orders above the worst-case
-    10-term reassociation error of O(1)-magnitude terms).
+    would be order-sensitive); acc_k comes from exact counts; and the
+    weighted fold itself is EXACT integer arithmetic (r11 ADVICE):
+    n_k·|acc_k − conf_k| = |k_k·1e9 − sp_k|/1e9 algebraically, so
+    w_gap sums |k_k·1e9 − sp_k| in DECIMAL(38,0)/HUGEINT — zero
+    double reassociation anywhere in ece (the rule-9/11e class is
+    eliminated, not just bounded). max_gap stays a double max (maxima
+    are order-independent).
 
     Scale: one scan, one 10-ary groupBy (partial+final), one 1-row
     fold. Scan speed at any corpus size."""
@@ -1301,15 +1310,23 @@ def l_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_k").cast("double") / F.col("n_k").cast("double")
         - F.col("sp_k").cast("double") / F.col("n_k").cast("double") / 1e9
     )
+    dec = "decimal(38,0)"
     t = g.agg(
         F.sum("n_k").alias("n"),
         F.count(F.lit(1)).alias("n_bins"),
-        F.sum(F.col("n_k").cast("double") * gap).alias("w_gap"),
+        F.sum(
+            F.abs(
+                F.col("k_k").cast(dec) * F.lit(1000000000).cast(dec)
+                - F.col("sp_k").cast(dec)
+            )
+        ).alias("wq"),
         F.max(gap).alias("max_gap"),
     )
     return t.select(
         "n",
         "n_bins",
-        dround(F.col("w_gap") / F.col("n").cast("double"), 9).alias("ece"),
+        dround(
+            F.col("wq").cast("double") / 1e9 / F.col("n").cast("double"), 9
+        ).alias("ece"),
         dround(F.col("max_gap"), 9).alias("max_gap"),
     )

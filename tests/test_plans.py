@@ -84,6 +84,30 @@ def test_simjoin_is_hash_join_not_cartesian(spark):
     assert "Window" in plan
 
 
+def test_verify_jaccard_stage_never_broadcasts(spark):
+    """Every table in the _verify_jaccard stage AND the candidate
+    self-joins is corpus-growing (postings = docs x features, bands =
+    16 x docs, per-doc counts = |docs| rows), so those joins are
+    pinned shuffle_hash: Catalyst's file-size stats can't see through
+    the feature explode and statically broadcast a 10M-row postings
+    side on small-fixture stats (rule 14b — OOM'd a plain 1g session
+    on the bounded-cluster fixture, r12). l_dedup_near_minhash's plan
+    must be broadcast-free; l_simjoin_jaccard keeps only the
+    |vocab|-sized df-table joins plain (rule 14a — the optimizer may
+    broadcast those when actually small)."""
+    plan = _plan(spark, "l_dedup_near_minhash")
+    assert "BroadcastExchange" not in plan
+    assert plan.count("ShuffledHashJoin") >= 5
+    plan = _plan(spark, "l_simjoin_jaccard")
+    assert plan.count("ShuffledHashJoin") >= 5
+    # the only broadcastable relation is the df-table lookup: its join
+    # key is the token column; every doc_a/doc_b-keyed join is pinned
+    import re
+
+    for m in re.finditer(r"\(\d+\) BroadcastHashJoin[^(]*", plan):
+        assert "doc_" not in m.group(0), m.group(0)
+
+
 def test_simjoin_prefix_prunes_postings(spark):
     # candidate generation must read PRUNED postings: per doc of n
     # distinct tokens the prefix keeps n - ceil(0.6n) + 1, so the

@@ -29,11 +29,11 @@ def test_queries_dict_iterates_in_priority_order():
     assert list(all_queries()) == list(PRIORITY_ORDER)
 
 
-# Round-11 window spends its last slot on the one rows-only key in the
-# convergence backlog (the declared media-decode stub, which can only
-# ever record an ``err: no_oracle`` ran-clean row) — the r9/r10 pattern
-# that let the sketch/sampling keys earn their rows.
-WINDOWED_ROWS_ONLY: set = {"l_multimodal_decode"}
+# Round-12 window is fully oracled: the never-checked backlog (the 14
+# r11 builds) is all SQL-oracled, and re-verification slots skip
+# rows-only keys (a ran-clean re-row carries no new information; the
+# hash rows are where drift shows).
+WINDOWED_ROWS_ONLY: set = set()
 
 
 def test_window_is_oracled_except_declared_scale_paths():
@@ -63,55 +63,54 @@ def test_window_leads_with_fixture_family_anchors():
     assert tuple(all_queries())[:4] == ANCHORS
 
 
-def _driver_seen() -> set:
-    """Keys whose CURRENT verification surface already has a driver
-    CORRECTNESS row in rounds 1-9 (frozen from the committed
-    CORRECTNESS_r0*.json artifacts; no r7 file exists — the driver
-    skipped that round). A key counts as seen if it ever recorded a
-    hash row, OR if it recorded a rows-only row and is STILL
-    rows-only. A key whose only rows predate an oracle graduation
-    (rows-only row then, SQL oracle now — e.g. l_sim_search_ivf,
-    r4 row vs r9 graduation) is FRESH: the hash path the driver
-    would now exercise has never earned a row."""
+def _latest_driver_round() -> dict:
+    """Latest driver CORRECTNESS round per key, FROZEN at the r1-r11
+    artifacts (no r7 file exists — the driver skipped that round).
+    Frozen deliberately: when CORRECTNESS_r12.json lands at the next
+    round boundary this map must NOT shift under the committed order —
+    the r13 restaging updates both together."""
     import json
     import pathlib
 
-    hash_seen: set = set()
-    rows_only_seen: set = set()
-    for rnd in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r0{rnd}.json"
+    latest: dict = {}
+    for rnd in (1, 2, 3, 4, 5, 6, 8, 9, 10, 11):
+        p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r{rnd:02d}.json"
         if p.exists():
-            for k, v in json.loads(p.read_text()).items():
-                if v.get("err") == "no_oracle":
-                    rows_only_seen.add(k)
-                else:
-                    hash_seen.add(k)
-    still_rows_only = rows_only_seen - set(all_oracles())
-    return hash_seen | still_rows_only
+            for k in json.loads(p.read_text()):
+                latest[k] = rnd
+    return latest
 
 
-def test_window_spends_slots_on_never_verified_keys():
-    """Slots 5-50 must be first-time-verified keys (no driver row in
-    r1-r9 for their current oracle surface) — the whole point of the
-    rotation."""
-    seen = _driver_seen()
-    rotated = list(all_queries())[4:WINDOW]
-    stale = [k for k in rotated if k in seen]
-    assert not stale, f"window slots 5-50 wasted on already-verified: {stale}"
-
-
-def test_fresh_keys_precede_verified_keys():
-    """Every key WITHOUT a driver row (r1-r8) sorts before every key
-    WITH one (anchors excepted): the r10 queue block sits directly
-    behind the current window, so each future rotation is a block swap
-    that only ever consumes fresh keys."""
-    seen = _driver_seen()
-    keys = list(all_queries())
-    last_fresh = max(i for i, k in enumerate(keys) if k not in seen)
-    first_verified_past_anchors = min(
-        i for i, k in enumerate(keys) if i >= 4 and k in seen
+def test_window_spends_slots_on_backlog_then_oldest_cohort():
+    """R12 policy: slots 5-18 take every never-driver-checked key (the
+    14 r11 builds — the whole backlog); slots 19-50 re-verify the
+    OLDEST cohort (r2 rows, which predate nine rounds of shared-helper
+    changes). No slot may go to a younger row while an older oracled
+    one waits."""
+    latest = _latest_driver_round()
+    oracles = set(all_oracles())
+    window = list(all_queries())[4:WINDOW]
+    fresh = [k for k in window if k not in latest]
+    assert len(fresh) == 14, f"backlog drift: {len(fresh)} fresh keys in window"
+    assert window[: len(fresh)] == fresh, "fresh keys must lead the window"
+    reverify = window[len(fresh):]
+    assert all(latest[k] == 2 and k in oracles for k in reverify), (
+        "re-verification slots must consume the oldest oracled cohort (r2)"
     )
-    assert last_fresh < first_verified_past_anchors
+
+
+def test_tail_is_an_oldest_first_reverification_ladder():
+    """Past the window, keys sort by cohort age (latest driver round
+    ascending, oracled before rows-only within a cohort) so every
+    future rotation is mechanical: new builds go to slots 5-N, the
+    rest of the window consumes the tail head."""
+    latest = _latest_driver_round()
+    oracles = set(all_oracles())
+    tail = list(all_queries())[WINDOW:]
+    ranks = [(latest[k], k not in oracles) for k in tail]
+    assert ranks == sorted(ranks), (
+        "tail must be ordered oldest-cohort-first, oracled-first within"
+    )
 
 
 #: The nine keys that are INHERENTLY rows-only (round-10 state, after
