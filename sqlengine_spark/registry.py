@@ -101,6 +101,12 @@ PRIORITY_ORDER = (
     "d_agg_mode",
     "d_agg_multi_distinct",
     "d_agg_percentile_exact",
+    # -- ROUND-13 QUEUE: operators BUILT in round 12 (behind this
+    #    round's window; they earn driver rows in r13). Fresh keys
+    #    always lead the tail. --
+    "l_sample_weighted_topk",
+    "l_eval_kendall_tau",
+    "l_eval_rbo",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

@@ -246,6 +246,11 @@ CARTESIAN_WHITELIST = {
     "l_ngram_assoc_llr",        # 1-row total-bigram-count broadcast onto
                                 # the support-filtered pair table (the
                                 # l_topic_cooccur class)
+    "l_eval_kendall_tau",       # <=100-row decile-cell contingency
+                                # self-join (<=4,950 cell pairs) plus
+                                # 1-row aggregate cross-joins — grid
+                                # cardinality is a pipeline constant,
+                                # never corpus-dependent
     "l_eval_mrr",               # 20-row md5-sampled query-vector batch
                                 # broadcast over one corpus scan (the
                                 # l_sim_search_batch class)
@@ -307,6 +312,10 @@ LINT_SKIP = {
 # Queries allowed an UNPARTITIONED (global, single-partition-sort)
 # WindowExec: input provably bounded before the window.
 GLOBAL_WINDOW_WHITELIST = {
+    "l_eval_rbo",           # rank windows over the two TakeOrdered(50)
+                            # head pools — LIMIT-bounded by
+                            # construction (the l_rag_rerank_rrf
+                            # class), never the corpus
     "i_monotonic_id_rank",  # filter-bounded input, docstring-scoped
     "m_ts_forecast_eval",   # LEAD over the CALENDAR-bounded day series
                             # (|days| rows after the daily cents

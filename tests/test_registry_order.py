@@ -100,16 +100,19 @@ def test_window_spends_slots_on_backlog_then_oldest_cohort():
 
 
 def test_tail_is_an_oldest_first_reverification_ladder():
-    """Past the window, keys sort by cohort age (latest driver round
-    ascending, oracled before rows-only within a cohort) so every
-    future rotation is mechanical: new builds go to slots 5-N, the
-    rest of the window consumes the tail head."""
+    """Past the window, FRESH keys (no driver row yet — the r13 queue
+    of this round's builds) lead the tail, then keys sort by cohort
+    age (latest driver round ascending, oracled before rows-only
+    within a cohort) so every future rotation is mechanical: new
+    builds go to slots 5-N, the rest of the window consumes the tail
+    head."""
     latest = _latest_driver_round()
     oracles = set(all_oracles())
     tail = list(all_queries())[WINDOW:]
-    ranks = [(latest[k], k not in oracles) for k in tail]
+    ranks = [(latest.get(k, -1), k not in oracles) for k in tail]
     assert ranks == sorted(ranks), (
-        "tail must be ordered oldest-cohort-first, oracled-first within"
+        "tail must be fresh-first then oldest-cohort-first, "
+        "oracled-first within"
     )
 
 

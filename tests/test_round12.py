@@ -1,0 +1,129 @@
+"""Round-12 operator invariants beyond the registry-wide oracle
+compare: independent Python recomputes (hashlib / math / sorted) that
+would catch a wrong formula even if both engines shared the same
+mistake."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from sqlengine_spark.registry import all_queries
+from tests.conftest import SF_DIR_SMALL
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text", "lang", "n_chars")
+        .collect()
+    )
+
+
+def _u01(doc_id: int) -> float:
+    bits = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    return (bits + 0.5) / 4294967296.0
+
+
+def test_weighted_topk_matches_python_aes_recompute(spark):
+    """A-ES keys recomputed with hashlib+math.log must reproduce the
+    exact per-lang top-40 (ids AND order) — the sample is a pure
+    function of (doc_id, n_chars)."""
+    rows = _docs(spark)
+    per_lang: dict = {}
+    for r in rows:
+        w = max(r["n_chars"], 1)
+        kq = math.floor(math.log(_u01(r["doc_id"])) / float(w) * 1e12)
+        per_lang.setdefault(r["lang"], []).append((-kq, r["doc_id"]))
+    expect = []
+    for lang in sorted(per_lang):
+        ranked = sorted(per_lang[lang])[:40]
+        for i, (negkq, doc_id) in enumerate(ranked, 1):
+            expect.append((lang, i, doc_id, -negkq))
+    got = [
+        (r["lang"], r["rk"], r["doc_id"], r["kq"])
+        for r in all_queries()["l_sample_weighted_topk"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    ]
+    assert got == expect
+
+
+def test_weighted_topk_is_weight_biased(spark):
+    """Sanity on the estimator itself: the weighted sample's mean
+    n_chars must exceed the corpus mean (heavier docs are
+    proportionally more likely) — catches an accidentally inverted
+    key ordering that the exact-recompute test alone would share."""
+    rows = _docs(spark)
+    corpus_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    got = all_queries()["l_sample_weighted_topk"](spark, SF_DIR_SMALL).collect()
+    sample_mean = sum(r["n_chars"] for r in got) / len(got)
+    assert sample_mean > corpus_mean
+
+
+def test_kendall_tau_matches_python_pair_recompute(spark):
+    """tau-b recomputed from the raw O(n^2) pair loop on the decile
+    grid must match the contingency-table formulation."""
+    rows = _docs(spark)
+    pts = [
+        (min(r["n_chars"] // 60, 9), min(len(r["text"].split(" ")) // 11, 9))
+        for r in rows
+    ]
+    n = len(pts)
+    nc = nd = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+    n0 = n * (n - 1) // 2
+    tau = (nc - nd) / math.sqrt((n0 - tx) * (n0 - ty))
+    [got] = all_queries()["l_eval_kendall_tau"](spark, SF_DIR_SMALL).collect()
+    assert got["n"] == n
+    assert got["nc"] == nc
+    assert got["nd"] == nd
+    assert abs(got["tau_b"] - tau) < 2e-9
+    assert -1.0 <= got["tau_b"] <= 1.0
+
+
+def test_rbo_matches_python_prefix_recompute(spark):
+    """RBO@50 recomputed from literal prefix overlaps (the textbook
+    X_d/d sum, NOT the suffix-weight rearrangement) must match."""
+    rows = _docs(spark)
+    a = [
+        r["doc_id"]
+        for r in sorted(rows, key=lambda r: (-r["n_chars"], r["doc_id"]))[:50]
+    ]
+    b = [
+        r["doc_id"]
+        for r in sorted(
+            rows, key=lambda r: (-len(r["text"].split(" ")), r["doc_id"])
+        )[:50]
+    ]
+    p = 0.9
+    # the engines sum an integer 1e15 weight grid — recompute on the
+    # SAME grid so the comparison is exact, then sanity-check the grid
+    # against the float formula
+    wq = [int((1 - p) * p ** (d - 1) / d * 1e15) for d in range(1, 51)]
+    rbo_grid = 0
+    for d in range(1, 51):
+        x_d = len(set(a[:d]) & set(b[:d]))
+        rbo_grid += x_d * wq[d - 1]
+    rbo = rbo_grid / 1e15
+    [got] = all_queries()["l_eval_rbo"](spark, SF_DIR_SMALL).collect()
+    assert got["k"] == 50
+    assert got["n_common"] == len(set(a) & set(b))
+    assert abs(got["rbo"] - rbo) < 2e-9
+    float_rbo = sum(
+        (1 - p) * p ** (d - 1) / d * len(set(a[:d]) & set(b[:d]))
+        for d in range(1, 51)
+    )
+    assert abs(rbo - float_rbo) < 1e-7
+    assert 0.0 <= got["rbo"] <= 1.0
