@@ -323,3 +323,335 @@ def l_eval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rbo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_prefix_cache_blocks — vLLM-style prefix-cache block reuse audit
+# ---------------------------------------------------------------------------
+
+_PCB_BLOCK = 16  # tokens per KV-cache block
+_PCB_MAXB = 8    # audit the first 8 full blocks (128 tokens)
+
+
+@query(
+    "l_prefix_cache_blocks",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(generate_series(1, LEAST(len(w) // {_PCB_BLOCK},
+                                               {_PCB_MAXB}))) AS i,
+               w
+        FROM w WHERE len(w) >= {_PCB_BLOCK}
+    ), k AS (
+        SELECT doc_id, i - 1 AS bi,
+               md5(array_to_string(w[1:{_PCB_BLOCK} * i], ' ')) AS key
+        FROM g
+    ), per_key AS (
+        SELECT key, CAST(MAX(bi) AS BIGINT) AS bi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM k GROUP BY key
+    )
+    SELECT bi AS block_idx,
+           CAST(SUM(n) AS BIGINT) AS n_blocks,
+           CAST(SUM(n - 1) AS BIGINT) AS n_reused,
+           ROUND(CAST(SUM(n - 1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                 * 1e6) / 1e6 + 0 AS reuse_rate
+    FROM per_key GROUP BY bi ORDER BY bi
+    """,
+)
+def l_prefix_cache_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-CACHE BLOCK REUSE audit — the vLLM/SGLang serving
+    economics question ("how much KV cache would prefix caching save
+    on this corpus?") asked of the training/eval prompt set: token
+    prefixes are cut into 16-token blocks, each block keyed by the
+    hash of the ENTIRE prefix up to it (the paged-attention block-hash
+    convention — a block only reuses when everything before it
+    matched), and a block instance is a cache HIT iff the same key
+    occurred in any earlier doc (first occurrence = the one that pays
+    the prefill). Output: per block position, total instances, reused
+    instances, reuse rate — the curve that says how deep shared
+    prefixes run (position 0 reuses most; the decay rate is the
+    caching ROI).
+
+    Determinism: keys are md5 over the literal prefix text — identical
+    in both engines; a key determines its position (same prefix ⟹
+    same token count), so reuse-per-position is an exact two-level
+    integer aggregation with no tie-breaking anywhere.
+
+    Scale: block keys are a map-side let-bound array expression (the
+    rule-14c-safe form; ≤8 prefix hashes per doc, O(first-128-tokens)
+    bytes each); ONE (key)-hash agg (partial+final — the exact-dedup
+    shape) then an 8-ary rollup. No joins at all: reused = n − 1 per
+    key, so the min-doc join-back the naive plan needs is algebraically
+    eliminated. Shuffle volume = |distinct prefixes| rows, linear."""
+    d = table(spark, sf_dir, "documents")
+    keys = F.expr(
+        f"element_at(transform(array(split(text, ' ')), w ->"
+        f" CASE WHEN size(w) >= {_PCB_BLOCK} THEN"
+        f"   transform(sequence(1, least(size(w) DIV {_PCB_BLOCK},"
+        f"                               {_PCB_MAXB})),"
+        f"     i -> struct(i - 1 AS bi,"
+        f"                 md5(array_join(slice(w, 1, {_PCB_BLOCK} * i),"
+        f"                                ' ')) AS key))"
+        f" ELSE CAST(array() AS ARRAY<STRUCT<bi:INT, key:STRING>>)"
+        f" END), 1)"
+    )
+    k = d.select(F.explode(keys).alias("b")).select("b.bi", "b.key")
+    per_key = k.groupBy("key").agg(
+        F.max("bi").cast("bigint").alias("bi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_key.groupBy("bi")
+        .agg(
+            F.sum("n").alias("n_blocks"),
+            F.sum(F.col("n") - 1).alias("n_reused"),
+        )
+        .select(
+            F.col("bi").alias("block_idx"),
+            "n_blocks",
+            "n_reused",
+            dround(
+                F.col("n_reused").cast("double")
+                / F.col("n_blocks").cast("double"),
+                6,
+            ).alias("reuse_rate"),
+        )
+        .orderBy("block_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_text_readability — Flesch reading ease over exact integer counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_text_readability",
+    oracle="""
+    WITH s AS (
+        SELECT lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+               CAST(GREATEST(length(regexp_replace(
+                     regexp_replace(text, '[.!?]+', '.', 'g'),
+                     '[^.]', '', 'g')), 1) AS BIGINT) AS st,
+               CAST(length(regexp_replace(
+                     regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'),
+                     '[^V]', '', 'g')) AS BIGINT) AS sy
+        FROM documents
+    ), q AS (
+        SELECT lang, source, w, st, sy,
+               CAST(FLOOR((CAST(206.835 AS DOUBLE)
+                           - CAST(1.015 AS DOUBLE)
+                             * (CAST(w AS DOUBLE) / CAST(st AS DOUBLE))
+                           - CAST(84.6 AS DOUBLE)
+                             * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)))
+                          * 1e6 + 0.5) AS BIGINT) AS fq
+        FROM s
+    )
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(w) AS DOUBLE) / CAST(SUM(st) AS DOUBLE)
+                 * 1e6) / 1e6 + 0 AS words_per_sentence,
+           ROUND(CAST(SUM(sy) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                 * 1e6) / 1e6 + 0 AS syllables_per_word,
+           ROUND(CAST(SUM(fq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+                 * 1e6) / 1e6 + 0 AS mean_flesch
+    FROM q GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def l_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING EASE per (lang, source) — the classic readability
+    score (Flesch 1948; public method) from three exact integer counts
+    per doc: words (whitespace tokens), sentences (maximal [.!?]+ runs,
+    floored at 1), syllables (maximal vowel-group runs, the standard
+    cheap approximation). A quality-gating pipeline reports this next
+    to l_text_quality's ratio gates: too-low means OCR noise / token
+    salad, too-high means boilerplate lists.
+
+    Determinism: all three counts are exact integers from global
+    regexp_replace (DuckDB side spells the 'g' flag — rule 6); the
+    per-doc score is a fixed-shape double expression over exact
+    integers, quantized half-up to a 1e6 BIGINT before the group mean
+    (rule 11e: group sums are exact integer sums in both engines);
+    the three output ratios are single divisions of exact integers,
+    dround 1e-6. Constants are CAST(... AS DOUBLE) in SQL so DuckDB
+    does not fold them as DECIMAL (the rule-12d literal class).
+
+    Scale: pure map-side codegen (three regexp passes per doc) into a
+    |lang x source|-ary hash agg — scan speed at any corpus size, no
+    joins, no windows."""
+    d = table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    st = F.greatest(
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[.!?]+", "."), "[^.]", ""
+            )
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    sy = F.length(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[aeiouy]+", "V"),
+            "[^V]",
+            "",
+        )
+    ).cast("bigint")
+    s = d.select("lang", "source", w.alias("w"), st.alias("st"), sy.alias("sy"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("st").cast("double"))
+        - F.lit(84.6) * (F.col("sy").cast("double") / F.col("w").cast("double"))
+    )
+    q = s.withColumn("fq", F.floor(flesch * 1e6 + F.lit(0.5)).cast("bigint"))
+    return (
+        q.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("st").alias("sst"),
+            F.sum("sy").alias("ssy"),
+            F.sum("fq").alias("sfq"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_words",
+            dround(
+                F.col("n_words").cast("double") / F.col("sst").cast("double"), 6
+            ).alias("words_per_sentence"),
+            dround(
+                F.col("ssy").cast("double") / F.col("n_words").cast("double"), 6
+            ).alias("syllables_per_word"),
+            dround(
+                F.col("sfq").cast("double") / F.col("n_docs").cast("double")
+                / 1e6,
+                6,
+            ).alias("mean_flesch"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_mine_bitext_margin — margin-based parallel-corpus candidate mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_mine_bitext_margin",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qe, label AS ql
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 20
+    ), s AS (
+        SELECT q.q_id, q.ql, e.vec_id, e.label,
+               CAST(FLOOR((SELECT SUM(e.embedding[i.i]::DOUBLE
+                                       * q.qe[i.i]::DOUBLE)
+                           FROM (SELECT unnest(generate_series(1, 64))
+                                 AS i) i) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings e, q
+        WHERE e.label <> q.ql
+    ), r AS (
+        SELECT q_id, ql, vec_id, label, sq,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sq DESC, vec_id) AS rk
+        FROM s
+    )
+    SELECT q_id, MAX(ql) AS ql,
+           CAST(MAX(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
+               AS best_vec_id,
+           MAX(CASE WHEN rk = 1 THEN label END) AS best_label,
+           CAST(MAX(CASE WHEN rk = 1 THEN sq END) AS BIGINT) AS sq_best,
+           ROUND(CAST(4 * MAX(CASE WHEN rk = 1 THEN sq END) AS DOUBLE)
+                 / CAST(NULLIF(SUM(sq), 0) AS DOUBLE) * 1e6) / 1e6 + 0
+               AS margin
+    FROM r WHERE rk <= 4
+    GROUP BY q_id ORDER BY q_id
+    """,
+)
+def l_mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, "Margin-based
+    parallel corpus mining with multilingual sentence embeddings" —
+    the LASER/ccMatrix method; public method): for each of 20
+    md5-sampled source vectors (the l_sim_search_ivf sampling
+    convention), score every CROSS-LABEL vector (label stands in for
+    language), and report the best candidate with its RATIO margin =
+    sim(best) / mean(top-4 sims). Raw cosine thresholds are
+    incomparable across hubness regimes; the margin normalizes by the
+    query's own neighborhood density — pairs with margin >> 1 are the
+    mineable translations. Forward-only margin (the one-direction
+    variant; production systems intersect both directions — one more
+    run of the same shape with roles swapped).
+
+    Determinism: sims quantize to the 1e6 half-up grid BEFORE ranking
+    (the l_eval_mrr pin); the top-4 order is total ((sq DESC, vec_id));
+    the margin is one integer-ratio division (4·best / Σtop4, NULLIF
+    degenerate guard), dround 1e-6.
+
+    Scale: the 20-query table broadcasts (LIMIT-bounded); sims are one
+    map-side pass over q×corpus; the per-query top-4 is a rank window
+    whose constant filter triggers InferWindowGroupLimit —
+    per-partition top-4 heaps per q_id before the shuffle, so the
+    exchange carries ~20×4×partitions rows, never q×corpus. At 100 TB:
+    20 broadcast dot-product scans fused into one, one thin shuffle."""
+    from pyspark.sql import Window as W
+
+    from sqlengine_spark.functions import vdot
+
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("ql"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "q_id")
+        .limit(20)
+        .drop("h")
+    )
+    s = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("ql"))
+        .select(
+            "q_id",
+            "ql",
+            "vec_id",
+            "label",
+            F.floor(vdot(F.col("embedding"), F.col("qe")) * 1e6 + 0.5)
+            .cast("bigint")
+            .alias("sq"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sq").desc(), "vec_id")
+    top = s.select(
+        "q_id", "ql", "vec_id", "label", "sq",
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= 4)
+    s4 = F.sum("sq")
+    best_sq = F.max(F.when(F.col("rk") == 1, F.col("sq")))
+    margin = (4 * best_sq).cast("double") / F.when(
+        s4 == 0, F.lit(None)
+    ).otherwise(s4).cast("double")
+    return (
+        top.groupBy("q_id")
+        .agg(
+            F.max("ql").alias("ql"),
+            F.max(F.when(F.col("rk") == 1, F.col("vec_id")))
+            .cast("bigint")
+            .alias("best_vec_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias(
+                "best_label"
+            ),
+            best_sq.cast("bigint").alias("sq_best"),
+            dround(margin, 6).alias("margin"),
+        )
+        .orderBy("q_id")
+    )

@@ -107,6 +107,9 @@ PRIORITY_ORDER = (
     "l_sample_weighted_topk",
     "l_eval_kendall_tau",
     "l_eval_rbo",
+    "l_prefix_cache_blocks",
+    "l_text_readability",
+    "l_mine_bitext_margin",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

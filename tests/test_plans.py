@@ -254,6 +254,8 @@ CARTESIAN_WHITELIST = {
     "l_eval_mrr",               # 20-row md5-sampled query-vector batch
                                 # broadcast over one corpus scan (the
                                 # l_sim_search_batch class)
+    "l_mine_bitext_margin",     # same 20-row md5-sampled query batch
+                                # broadcast (the l_eval_mrr class)
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
     "m_mix_shift_decomp",       # 1-row period-totals broadcast over the

@@ -127,3 +127,102 @@ def test_rbo_matches_python_prefix_recompute(spark):
     )
     assert abs(rbo - float_rbo) < 1e-7
     assert 0.0 <= got["rbo"] <= 1.0
+
+
+def test_prefix_cache_blocks_matches_python_recompute(spark):
+    """Block-reuse curve recomputed with hashlib over literal prefix
+    strings must match exactly — and the reuse rate must be
+    non-increasing in block position (longer prefixes can only reuse
+    less: a depth-d hit implies a depth-(d-1) hit)."""
+    rows = _docs(spark)
+    from collections import Counter, defaultdict
+
+    per_key: Counter = Counter()
+    key_bi: dict = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        for i in range(1, min(len(w) // 16, 8) + 1):
+            key = hashlib.md5(" ".join(w[: 16 * i]).encode()).hexdigest()
+            per_key[key] += 1
+            key_bi[key] = i - 1
+    agg: dict = defaultdict(lambda: [0, 0])
+    for key, n in per_key.items():
+        agg[key_bi[key]][0] += n
+        agg[key_bi[key]][1] += n - 1
+    got = all_queries()["l_prefix_cache_blocks"](spark, SF_DIR_SMALL).collect()
+    assert [(r["block_idx"], r["n_blocks"], r["n_reused"]) for r in got] == [
+        (bi, agg[bi][0], agg[bi][1]) for bi in sorted(agg)
+    ]
+    hits = {r["block_idx"]: r["n_reused"] for r in got}
+    for bi in sorted(hits)[1:]:
+        assert hits[bi] <= hits[bi - 1], "reuse must decay with depth"
+
+
+def test_readability_matches_python_recompute(spark):
+    """Flesch components recomputed with re must match every group
+    row on the small fixture."""
+    import re
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("text", "lang", "source")
+        .collect()
+    )
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, w, st, sy, fq
+    for r in rows:
+        w = len(r["text"].split(" "))
+        st = max(len(re.findall(r"[.!?]+", r["text"])), 1)
+        sy = len(re.findall(r"[aeiouy]+", r["text"].lower()))
+        f = 206.835 - 1.015 * (w / st) - 84.6 * (sy / w)
+        a = agg[(r["lang"], r["source"])]
+        a[0] += 1
+        a[1] += w
+        a[2] += st
+        a[3] += sy
+        a[4] += math.floor(f * 1e6 + 0.5)
+    got = all_queries()["l_text_readability"](spark, SF_DIR_SMALL).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n, w, st, sy, fq = agg[(r["lang"], r["source"])]
+        assert r["n_docs"] == n and r["n_words"] == w
+        assert abs(r["words_per_sentence"] - w / st) < 2e-6
+        assert abs(r["syllables_per_word"] - sy / w) < 2e-6
+        assert abs(r["mean_flesch"] - fq / n / 1e6) < 2e-6
+
+
+def test_bitext_margin_matches_python_recompute(spark):
+    """Margin recomputed from numpy dot products over the same
+    md5-sampled 20 queries must match (ids, best target, margin)."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    by_id = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in rows
+    }
+    qids = sorted(
+        by_id, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:20]
+    got = all_queries()["l_mine_bitext_margin"](spark, SF_DIR_SMALL).collect()
+    assert sorted(r["q_id"] for r in got) == sorted(qids)
+    for r in got:
+        qe, ql = by_id[r["q_id"]]
+        cands = []
+        for vid, (e, lbl) in by_id.items():
+            if lbl == ql:
+                continue
+            sq = math.floor(float(qe @ e) * 1e6 + 0.5)
+            cands.append((-sq, vid, lbl))
+        cands.sort()
+        top4 = cands[:4]
+        best = top4[0]
+        s4 = sum(-c[0] for c in top4)
+        assert r["best_vec_id"] == best[1]
+        assert r["best_label"] == best[2]
+        assert r["sq_best"] == -best[0]
+        assert abs(r["margin"] - 4 * -best[0] / s4) < 2e-6
