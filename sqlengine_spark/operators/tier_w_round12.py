@@ -387,6 +387,13 @@ def l_prefix_cache_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so the min-doc join-back the naive plan needs is algebraically
     eliminated. Shuffle volume = |distinct prefixes| rows, linear."""
     d = table(spark, sf_dir, "documents")
+    # small-input scatter (the l_bpe_encode lesson): a one-row-group
+    # test file gives the scan ONE split, serializing the prefix md5 map on
+    # one core — round-robin only when the scan has fewer partitions
+    # than the cluster parallelism (false at corpus scale).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     keys = F.expr(
         f"element_at(transform(array(split(text, ' ')), w ->"
         f" CASE WHEN size(w) >= {_PCB_BLOCK} THEN"
@@ -654,4 +661,508 @@ def l_mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(margin, 6).alias("margin"),
         )
         .orderBy("q_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_eval_bootstrap_ci / l_eval_paired_bootstrap — the Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 200
+# Poisson(1) inverse-CDF cutoffs on a 16-bit grid, spelled as 4-hex-
+# char string literals (computed once in Python, embedded in BOTH
+# engines): replicate weight w = k iff the first 4 md5 hex chars sort
+# below cutoff k — lowercase same-length hex compares lexicographically
+# = numerically, so the draw needs NO hex->int conversion at all
+# (CONV/'0x'-cast was 3.5 s of the 10M-row x100 scan; the md5 itself
+# is the irreducible shared-hash cost). Clamped at 6 (tail ~5.9e-4 —
+# standard truncation); the 2^-16 cutoff grid shifts each branch
+# probability by < 1.6e-5, far below the CI resolution, and is part of
+# the op's DEFINITION so both engines draw identical weights.
+_POIS_HEX = ("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9")
+
+
+def _pois_case_sql(h_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {h_expr} < '{c}' THEN {k}" for k, c in enumerate(_POIS_HEX)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+#: shared Spark-side draw: explode a PLAIN sequence (codegen Generate)
+#: and compute the weight as an ordinary projected column — HOF
+#: transform lambdas are INTERPRETED (no whole-stage codegen); the
+#: lambda form measured 51 s at x100, the let-bound lambda 28 s, this
+#: generator+codegen+hex-compare form 5.7 s (near-parity with the
+#: single-process engine). Whole-stage CSE evaluates the md5 ONCE
+#: across the 6 CASE branches.
+_BOOT_W_CASE = _pois_case_sql(
+    "substring(md5(CAST(doc_id AS STRING) || '_' ||"
+    " CAST(b AS STRING)), 1, 4)"
+)
+
+
+@query(
+    "l_eval_bootstrap_ci",
+    oracle=f"""
+    WITH x AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents
+    ), r AS (
+        SELECT b.b, x.x,
+               {_pois_case_sql("substring(md5(CAST(x.doc_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 4)")}
+                   AS w
+        FROM x CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1}))
+                           AS b) b
+    ), m AS (
+        SELECT b, CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(w * x) AS BIGINT) AS swx
+        FROM r GROUP BY b
+    ), o AS (
+        SELECT CAST(swx AS DOUBLE) / CAST(NULLIF(sw, 0) AS DOUBLE) AS mb,
+               b,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(swx AS DOUBLE)
+                            / CAST(NULLIF(sw, 0) AS DOUBLE), b) AS rk
+        FROM m
+    ), pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(x) AS BIGINT) AS sx
+        FROM x
+    )
+    SELECT pt.n_docs, CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           ROUND(CAST(pt.sx AS DOUBLE) / CAST(pt.n_docs AS DOUBLE)
+                 * 1e6) / 1e6 + 0 AS mean_tokens,
+           ROUND((SELECT mb FROM o WHERE rk = {_BOOT_B // 40}) * 1e6)
+               / 1e6 + 0 AS ci_lo,
+           ROUND((SELECT mb FROM o WHERE rk = {_BOOT_B - _BOOT_B // 40 + 1})
+                 * 1e6) / 1e6 + 0 AS ci_hi
+    FROM pt
+    """,
+)
+def l_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval (Hanley & MacGibbon 2006;
+    Chamandy et al., "Estimating uncertainty for massive data streams"
+    — the Google distributed-bootstrap method; public): a 95% CI for
+    mean tokens/doc from B=200 replicates where each doc enters
+    replicate b with weight ~ Poisson(1). Unlike the classic resample-
+    n-of-n bootstrap (a global shuffle per replicate), Poisson weights
+    are a PURE MAP: one deterministic md5 draw per (doc, replicate) —
+    THE bootstrap that works on a 1000-executor cluster, and the CI
+    every data-quality dashboard should put next to its point
+    estimate.
+
+    Determinism: weights are exact CASE cuts of the first 4 md5 hex
+    chars against embedded 16-bit Poisson(1) CDF cutoffs (hex-string
+    compare — no float, no hex->int cast; clamped at 6, tail 5.9e-4);
+    per-replicate sums are exact BIGINT; each replicate mean is ONE
+    division; the CI is a symmetric ORDER-STATISTIC pick (5th smallest
+    / 5th largest of 200 under the total order (mean, b)) — no
+    interpolation to diverge on.
+
+    Scale: the B-fold fan-out is a codegen Generate over a plain index
+    sequence with the draw as an ordinary projection (the
+    interpreted-HOF form measured 51 s at x100; this form 5.7 s, 1.05x
+    the single-process engine); one B-ary hash agg (partial+final);
+    the order-statistic window runs over exactly B rows
+    (pipeline-constant class). Shuffle volume: B rows per upstream
+    partition."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    # small-input scatter (the l_bpe_encode lesson): a one-row-group
+    # test file gives the scan ONE split, serializing the B-fold md5 draw on
+    # one core — round-robin only when the scan has fewer partitions
+    # than the cluster parallelism (false at corpus scale).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    x = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("x")
+    )
+    r = x.select(
+        "doc_id",
+        "x",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    ).select("x", "b", F.expr(_BOOT_W_CASE).alias("w"))
+    m = r.groupBy("b").agg(
+        F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("x")).alias("swx")
+    )
+    mb = F.col("swx").cast("double") / F.when(
+        F.col("sw") == 0, F.lit(None)
+    ).otherwise(F.col("sw")).cast("double")
+    o = m.select(mb.alias("mb"), "b").select(
+        "mb", F.row_number().over(W.orderBy("mb", "b")).alias("rk")
+    )
+    lo = _BOOT_B // 40
+    hi = _BOOT_B - _BOOT_B // 40 + 1
+    pt = x.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("x").alias("sx"))
+    ci = o.filter(F.col("rk").isin(lo, hi)).agg(
+        F.max(F.when(F.col("rk") == lo, F.col("mb"))).alias("lo"),
+        F.max(F.when(F.col("rk") == hi, F.col("mb"))).alias("hi"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_docs",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        dround(
+            F.col("sx").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_tokens"),
+        dround(F.col("lo"), 6).alias("ci_lo"),
+        dround(F.col("hi"), 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "l_eval_paired_bootstrap",
+    oracle=f"""
+    WITH x AS (
+        SELECT doc_id,
+               (CASE WHEN (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END)
+                          = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END)
+             - (CASE WHEN (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                          = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END) AS dx
+        FROM documents
+    ), r AS (
+        SELECT b.b, x.dx,
+               {_pois_case_sql("substring(md5(CAST(x.doc_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 4)")}
+                   AS w
+        FROM x CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1}))
+                           AS b) b
+    ), m AS (
+        SELECT b, CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(w * dx) AS BIGINT) AS swd
+        FROM r GROUP BY b
+    ), o AS (
+        SELECT CAST(swd AS DOUBLE) / CAST(NULLIF(sw, 0) AS DOUBLE) AS db,
+               b,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(swd AS DOUBLE)
+                            / CAST(NULLIF(sw, 0) AS DOUBLE), b) AS rk
+        FROM m
+    ), pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dx) AS BIGINT) AS sd
+        FROM x
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN db <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonpos
+        FROM o
+    )
+    SELECT pt.n_docs, CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           ROUND(CAST(pt.sd AS DOUBLE) / CAST(pt.n_docs AS DOUBLE)
+                 * 1e6) / 1e6 + 0 AS acc_diff,
+           ROUND((SELECT db FROM o WHERE rk = {_BOOT_B // 40}) * 1e6)
+               / 1e6 + 0 AS ci_lo,
+           ROUND((SELECT db FROM o WHERE rk = {_BOOT_B - _BOOT_B // 40 + 1})
+                 * 1e6) / 1e6 + 0 AS ci_hi,
+           ROUND(CAST(agg.n_nonpos AS DOUBLE) / {_BOOT_B}.0 * 1e6) / 1e6 + 0
+               AS p_boot
+    FROM pt, agg
+    """,
+)
+def l_eval_paired_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED POISSON BOOTSTRAP system comparison (Koehn 2004,
+    "Statistical significance tests for machine translation
+    evaluation", distributed via Poisson weights; public method): is
+    detector A ('contains \" the \"') actually better than detector B
+    (n_chars >= 300) at predicting lang = 'en'? Both systems score the
+    SAME docs, so each replicate reweights the per-doc accuracy
+    DIFFERENCE (the paired design that cancels shared variance —
+    l_eval_mcnemar's bootstrap sibling). Output: point accuracy
+    difference, the 95% replicate CI, and p_boot = share of replicates
+    where the difference is <= 0 — the number an eval report quotes as
+    "significant at p < 0.05" before swapping models.
+
+    Determinism: per-doc dx in {{-1, 0, 1}} exact; SAME md5 hex-compare
+    Poisson draws as l_eval_bootstrap_ci (the two ops' replicates are
+    coupled by design, so their CIs are comparable); exact BIGINT
+    replicate sums, one division per replicate, symmetric
+    order-statistic CI picks under the total order (diff, b),
+    count-ratio p_boot.
+
+    Scale: identical shape to l_eval_bootstrap_ci — codegen Generate
+    B-fold fan-out, one B-ary hash agg, B-row order-statistic
+    window."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    # small-input scatter (the l_bpe_encode lesson): a one-row-group
+    # test file gives the scan ONE split, serializing the B-fold md5 draw on
+    # one core — round-robin only when the scan has fewer partitions
+    # than the cluster parallelism (false at corpus scale).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    pa = F.when(F.col("text").like("% the %"), 1).otherwise(0)
+    pb = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    dx = (
+        F.when(pa == y, 1).otherwise(0) - F.when(pb == y, 1).otherwise(0)
+    ).cast("bigint")
+    x = d.select("doc_id", dx.alias("dx"))
+    r = x.select(
+        "doc_id",
+        "dx",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    ).select("dx", "b", F.expr(_BOOT_W_CASE).alias("w"))
+    m = r.groupBy("b").agg(
+        F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("dx")).alias("swd")
+    )
+    db = F.col("swd").cast("double") / F.when(
+        F.col("sw") == 0, F.lit(None)
+    ).otherwise(F.col("sw")).cast("double")
+    o = m.select(db.alias("db"), "b").select(
+        "db", F.row_number().over(W.orderBy("db", "b")).alias("rk")
+    ).localCheckpoint()  # rule 11a: feeds the CI picks AND the p_boot count
+    lo = _BOOT_B // 40
+    hi = _BOOT_B - _BOOT_B // 40 + 1
+    ci = o.agg(
+        F.max(F.when(F.col("rk") == lo, F.col("db"))).alias("lo"),
+        F.max(F.when(F.col("rk") == hi, F.col("db"))).alias("hi"),
+        F.sum(F.when(F.col("db") <= 0, 1).otherwise(0)).alias("n_nonpos"),
+    )
+    pt = x.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dx").alias("sd"))
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_docs",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        dround(
+            F.col("sd").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("acc_diff"),
+        dround(F.col("lo"), 6).alias("ci_lo"),
+        dround(F.col("hi"), 6).alias("ci_hi"),
+        dround(
+            F.col("n_nonpos").cast("double") / F.lit(float(_BOOT_B)), 6
+        ).alias("p_boot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_eval_chrf — character n-gram F-score (chrF, single-order variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_eval_chrf",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, doc_id % 2 AS side,
+               replace(text, ' ', '') AS s
+        FROM documents
+    ), g AS (
+        SELECT pair_id, side,
+               substring(s, i.i, 6) AS g
+        FROM d, (SELECT unnest(generate_series(1, 4096)) AS i) i
+        WHERE i.i <= length(s) - 5
+    ), pg AS (
+        SELECT pair_id, g,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM g GROUP BY pair_id, g
+    ), a AS (
+        SELECT pair_id,
+               CAST(SUM(c0) AS BIGINT) AS tc,
+               CAST(SUM(c1) AS BIGINT) AS tr,
+               CAST(SUM(LEAST(c0, c1)) AS BIGINT) AS ov
+        FROM pg GROUP BY pair_id
+    )
+    SELECT pair_id, tc, tr, ov,
+           CASE WHEN ov = 0 THEN 0.0
+                ELSE ROUND(CAST(5 * ov * ov AS DOUBLE)
+                           / CAST(4 * ov * tc + ov * tr AS DOUBLE)
+                           * 1e6) / 1e6 + 0
+           END AS chrf2
+    FROM a ORDER BY pair_id
+    """,
+)
+def l_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 — character 6-gram F-score between candidate/reference
+    pairs (Popović 2015, "chrF: character n-gram F-score for automatic
+    MT evaluation"; public method; single-order n=6, β=2 variant — the
+    full metric averages orders 1..6, one more run of the same shape
+    each): whitespace stripped (the sacrebleu convention), clipped
+    6-gram overlap, chrF2 = 5PR/(4P+R). THE robust MT/generation eval
+    for morphologically rich languages where word-level BLEU/ROUGE
+    under-credit near-matches. Algebra note: with P = ov/tc and
+    R = ov/tr, chrF2 = 5·ov²/(4·ov·tc + ov·tr) — evaluated in that
+    integer-product form so both engines divide the same exact BIGINTs
+    once (no P, R intermediates to reassociate).
+
+    Determinism: all counts exact BIGINT from the (pair, gram) hash
+    agg; one guarded integer-ratio division per pair, dround 1e-6.
+
+    Scale: gram generation is a CODEGEN GENERATE over a plain index
+    sequence with substring as an ordinary projection — the
+    interpreted-HOF transform form measured 25.1 s at x100, this form
+    0.68 s (37x; the r12 generator+codegen lesson). The cleaned
+    string projects BELOW the Generate so replace() runs once per doc
+    (verified: one replace() in the plan); the CASE guards
+    sequence(1, 0), which DESCENDS in Spark (pin 11d). ONE
+    (pair_id, gram)-keyed partial-agg shuffle linear in character
+    count, one pair rollup. Never pairwise in the corpus."""
+    d = table(spark, sf_dir, "documents")
+    # small-input scatter (the l_bpe_encode lesson): a one-row-group
+    # test file gives the scan ONE split, serializing the 12M-gram explode on
+    # one core — round-robin only when the scan has fewer partitions
+    # than the cluster parallelism (false at corpus scale).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    base = d.select(
+        F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.expr("replace(text, ' ', '')").alias("s"),
+    )
+    g = base.select(
+        "pair_id",
+        "side",
+        "s",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(s) >= 6 THEN sequence(1, length(s) - 5)"
+                " ELSE CAST(array() AS ARRAY<INT>) END"
+            )
+        ).alias("i"),
+    ).select("pair_id", "side", F.expr("substring(s, i, 6)").alias("g"))
+    pg = g.groupBy("pair_id", "g").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == 0, F.lit(1))), F.lit(0))
+        .alias("c0"),
+        F.coalesce(F.sum(F.when(F.col("side") == 1, F.lit(1))), F.lit(0))
+        .alias("c1"),
+    )
+    a = pg.groupBy("pair_id").agg(
+        F.sum("c0").alias("tc"),
+        F.sum("c1").alias("tr"),
+        F.sum(F.least("c0", "c1")).alias("ov"),
+    )
+    chrf2 = F.when(F.col("ov") == 0, F.lit(0.0)).otherwise(
+        dround(
+            (5 * F.col("ov") * F.col("ov")).cast("double")
+            / (4 * F.col("ov") * F.col("tc") + F.col("ov") * F.col("tr"))
+            .cast("double"),
+            6,
+        )
+    )
+    return a.select("pair_id", "tc", "tr", "ov", chrf2.alias("chrf2")).orderBy(
+        "pair_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_dedup_source_overlap — cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_dedup_source_overlap",
+    oracle="""
+    WITH w AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(w[i.i:i.i + 9], ' ')) AS h
+        FROM w, (SELECT unnest(generate_series(1, 4096)) AS i) i
+        WHERE i.i <= len(w) - 9
+    ), per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
+    ), pair AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(p.n_shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) * 1e6) / 1e6 + 0
+               AS jaccard
+    FROM pair p
+    JOIN per_src sa ON sa.source = p.source_a
+    JOIN per_src sb ON sb.source = p.source_b
+    ORDER BY p.n_shared DESC, p.source_a, p.source_b
+    LIMIT 50
+    """,
+)
+def l_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE CONTAMINATION MATRIX — for every source pair, the
+    number of distinct 10-token shingles they share and the shingle
+    Jaccard (top-50 pairs by shared mass): the curation question
+    "which of my crawl feeds are secretly the same feed?" that decides
+    source-level dedup ordering before any doc-level pass (the
+    source-pair view of l_dedup_substring's shingle space; same
+    16-byte shingle keys). Overlap >> both diagonals means one source
+    republishes the other.
+
+    Determinism: shingle sets are DISTINCT (source, md5(window)) keys;
+    all counts exact BIGINT; one jaccard division per pair, dround
+    1e-6; (n_shared DESC, source_a, source_b) is a total order under
+    LIMIT (rule 5).
+
+    Scale: shingles generate via the codegen Generate-over-index form
+    (the chrF lesson — the token array projects below the Generate, so
+    split() runs once per doc); the DISTINCT collapses to |sources|
+    rows per shingle BEFORE the self-join, so per-shingle pair fan-out
+    is bounded by C(|sources|, 2) — a DOMAIN-bounded constant, never
+    corpus-quadratic; the pair self-join is hash-keyed on the shingle
+    and pinned shuffle_hash (rule 14b: both sides are corpus-growing).
+    Source totals broadcast onto the <=C(|sources|, 2)-row pair table
+    (domain-bounded). Top-50 is TakeOrdered."""
+    d = table(spark, sf_dir, "documents")
+    # small-input scatter (the l_bpe_encode lesson): a one-row-group
+    # test file gives the scan ONE split, serializing the shingle md5 map on
+    # one core — round-robin only when the scan has fewer partitions
+    # than the cluster parallelism (false at corpus scale).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    base = d.select("source", F.split(F.col("text"), " ").alias("w"))
+    sh = (
+        base.select(
+            "source",
+            "w",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 10 THEN sequence(1, size(w) - 9)"
+                    " ELSE CAST(array() AS ARRAY<INT>) END"
+                )
+            ).alias("i"),
+        )
+        .select(
+            "source",
+            F.expr("md5(array_join(slice(w, i, 10), ' '))").alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()  # rule 11a: feeds totals AND both join sides
+    )
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.toDF("source_a", "h")
+    b = sh.toDF("source_b", "h")
+    pair = (
+        a.join(b.hint("shuffle_hash"), "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pair.join(F.broadcast(per_src.toDF("source_a", "n_a")), "source_a")
+        .join(F.broadcast(per_src.toDF("source_b", "n_b")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            dround(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("n_shared").desc(), "source_a", "source_b")
+        .limit(50)
     )

@@ -110,6 +110,10 @@ PRIORITY_ORDER = (
     "l_prefix_cache_blocks",
     "l_text_readability",
     "l_mine_bitext_margin",
+    "l_eval_bootstrap_ci",
+    "l_eval_paired_bootstrap",
+    "l_eval_chrf",
+    "l_dedup_source_overlap",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

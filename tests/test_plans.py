@@ -256,6 +256,9 @@ CARTESIAN_WHITELIST = {
                                 # l_sim_search_batch class)
     "l_mine_bitext_margin",     # same 20-row md5-sampled query batch
                                 # broadcast (the l_eval_mrr class)
+    "l_eval_bootstrap_ci",      # 1-row CI-picks broadcast onto the
+                                # 1-row point-estimate aggregate
+    "l_eval_paired_bootstrap",  # same 1-row broadcast shape
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
     "m_mix_shift_decomp",       # 1-row period-totals broadcast over the
@@ -318,6 +321,10 @@ GLOBAL_WINDOW_WHITELIST = {
                             # head pools — LIMIT-bounded by
                             # construction (the l_rag_rerank_rrf
                             # class), never the corpus
+    "l_eval_bootstrap_ci",  # order-statistic rank over exactly B=200
+                            # replicate-mean rows (a pipeline
+                            # constant), never the corpus
+    "l_eval_paired_bootstrap",  # same B=200-row order-statistic window
     "i_monotonic_id_rank",  # filter-bounded input, docstring-scoped
     "m_ts_forecast_eval",   # LEAD over the CALENDAR-bounded day series
                             # (|days| rows after the daily cents

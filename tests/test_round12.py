@@ -226,3 +226,143 @@ def test_bitext_margin_matches_python_recompute(spark):
         assert r["best_label"] == best[2]
         assert r["sq_best"] == -best[0]
         assert abs(r["margin"] - 4 * -best[0] / s4) < 2e-6
+
+
+_POIS_HEX = ["5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9"]
+
+
+def _pois_w(doc_id: int, b: int) -> int:
+    h = hashlib.md5(f"{doc_id}_{b}".encode()).hexdigest()[:4]
+    for k, c in enumerate(_POIS_HEX):
+        if h < c:
+            return k
+    return 6
+
+
+def test_bootstrap_ci_matches_python_recompute(spark):
+    """The full Poisson bootstrap replayed in Python (hashlib weights,
+    order-statistic picks) must reproduce the CI endpoints exactly —
+    and the CI must bracket the point estimate."""
+    rows = _docs(spark)
+    xs = [(r["doc_id"], len(r["text"].split(" "))) for r in rows]
+    means = []
+    for b in range(200):
+        sw = swx = 0
+        for doc_id, x in xs:
+            w = _pois_w(doc_id, b)
+            sw += w
+            swx += w * x
+        means.append((swx / sw, b))
+    means.sort()
+    # symmetric order-statistic picks: 5th smallest / 5th largest
+    lo, hi = means[4][0], means[195][0]
+    [got] = all_queries()["l_eval_bootstrap_ci"](spark, SF_DIR_SMALL).collect()
+    assert got["n_docs"] == len(xs)
+    assert abs(got["ci_lo"] - lo) < 2e-6
+    assert abs(got["ci_hi"] - hi) < 2e-6
+    assert got["ci_lo"] <= got["mean_tokens"] <= got["ci_hi"]
+
+
+def test_paired_bootstrap_matches_python_recompute(spark):
+    """Paired replicate diffs replayed in Python must reproduce the
+    CI and p_boot; the point diff must sit inside the CI."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text", "lang", "n_chars")
+        .collect()
+    )
+    dxs = []
+    for r in rows:
+        y = 1 if r["lang"] == "en" else 0
+        pa = 1 if " the " in r["text"] else 0
+        pb = 1 if r["n_chars"] >= 300 else 0
+        dxs.append((r["doc_id"], (1 if pa == y else 0) - (1 if pb == y else 0)))
+    diffs = []
+    for b in range(200):
+        sw = swd = 0
+        for doc_id, dx in dxs:
+            w = _pois_w(doc_id, b)
+            sw += w
+            swd += w * dx
+        diffs.append((swd / sw, b))
+    diffs.sort()
+    lo, hi = diffs[4][0], diffs[195][0]
+    p_boot = sum(1 for d, _ in diffs if d <= 0) / 200
+    [got] = all_queries()["l_eval_paired_bootstrap"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert abs(got["ci_lo"] - lo) < 2e-6
+    assert abs(got["ci_hi"] - hi) < 2e-6
+    assert abs(got["p_boot"] - p_boot) < 2e-6
+    assert got["ci_lo"] <= got["acc_diff"] <= got["ci_hi"]
+
+
+def test_chrf_matches_python_counter_recompute(spark):
+    """chrF2 recomputed from raw char-6-gram Counters must match every
+    pair row; chrf2 must sit in [0, 1]."""
+    from collections import Counter, defaultdict
+
+    rows = _docs(spark)
+    sides: dict = defaultdict(dict)
+    for r in rows:
+        s = r["text"].replace(" ", "")
+        grams = Counter(s[i : i + 6] for i in range(len(s) - 5))
+        sides[r["doc_id"] // 2][r["doc_id"] % 2] = grams
+    got = all_queries()["l_eval_chrf"](spark, SF_DIR_SMALL).collect()
+    assert len(got) == len(sides)
+    for r in got:
+        c = sides[r["pair_id"]].get(0, Counter())
+        f = sides[r["pair_id"]].get(1, Counter())
+        ov = sum(min(c[g], f[g]) for g in c.keys() & f.keys())
+        assert r["tc"] == sum(c.values())
+        assert r["tr"] == sum(f.values())
+        assert r["ov"] == ov
+        if ov:
+            expect = 5 * ov * ov / (4 * ov * r["tc"] + ov * r["tr"])
+            assert abs(r["chrf2"] - expect) < 2e-6
+        else:
+            assert r["chrf2"] == 0.0
+        assert 0.0 <= r["chrf2"] <= 1.0
+
+
+def test_source_overlap_matches_python_recompute(spark):
+    """Shared-shingle counts and jaccard recomputed from Python sets
+    must match the emitted top pairs."""
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("text", "source")
+        .collect()
+    )
+    per_src: dict = defaultdict(set)
+    for r in rows:
+        w = r["text"].split(" ")
+        for i in range(len(w) - 9):
+            per_src[r["source"]].add(
+                hashlib.md5(" ".join(w[i : i + 10]).encode()).hexdigest()
+            )
+    expect = []
+    srcs = sorted(per_src)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            shared = len(per_src[sa] & per_src[sb])
+            if shared:
+                expect.append(
+                    (
+                        shared,
+                        sa,
+                        sb,
+                        len(per_src[sa]),
+                        len(per_src[sb]),
+                    )
+                )
+    expect.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = all_queries()["l_dedup_source_overlap"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert len(got) == min(len(expect), 50)
+    for r, (shared, sa, sb, na, nb) in zip(got, expect):
+        assert (r["source_a"], r["source_b"]) == (sa, sb)
+        assert (r["n_shared"], r["n_a"], r["n_b"]) == (shared, na, nb)
+        assert abs(r["jaccard"] - shared / (na + nb - shared)) < 2e-6
