@@ -91,6 +91,14 @@ HEADLINE = [
                              # the zero-shuffle map-only transform
                              # class; Spark BEATS the single-process
                              # engine 0.60x at x100 (BASELINE.md)
+    "l_eval_chrf",           # round 12: char-6-gram F2 — tracks the
+                             # generator+codegen gram pipeline; Spark
+                             # BEATS the single-process engine 0.46x
+                             # at x100 (BASELINE.md round-12 notes)
+    "l_eval_bootstrap_ci",   # round 12: Poisson bootstrap CI — the
+                             # map-only distributed-bootstrap class;
+                             # 0.20x at x100 post hex-compare +
+                             # scatter (BASELINE.md round-12 notes)
     "l_graph_triangles",     # round 9: benched after the edge-iterator
                              # rewrite (adjacency-array intersects
                              # in-task instead of shuffling the 41M-row

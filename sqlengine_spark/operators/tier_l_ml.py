@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround, vdot
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import load_tables, table
+from sqlengine_spark.session import load_tables, scatter, table
 
 
 @query(
@@ -423,7 +423,9 @@ def l_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     side model state: NB trains in exactly one pass, which is why it
     remains the 100 TB baseline classifier.
     """
-    d = table(spark, sf_dir, "documents").select(
+    # r12 scatter: single-split fixture scans serialize the
+    # map stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("lt")
     )
     tr = d.filter(F.col("doc_id") % 2 == 0)
@@ -816,7 +818,9 @@ def l_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected integers and broadcast into the eval join. At 100 TB the
     shape is unchanged — CV is two linear passes, never k re-scans.
     """
-    d = table(spark, sf_dir, "documents")
+    # r12 scatter: single-split fixture scans serialize the
+    # map stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     # single-tokenize: the (fold, x, y) frame feeds BOTH the moment agg
     # and the eval join; localCheckpoint (per-invocation, rule 11a)
     # materializes the 3-int-column frame once so split(text) never

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import scatter, table
 
 # ---------------------------------------------------------------------------
 # shared: 60-bit engine-portable hash (md5 hex prefix → BIGINT).  15 hex
@@ -149,7 +149,9 @@ def l_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exchange of 4 band rows per doc instead of four full-signature
     self-join exchanges.
     """
-    d = table(spark, sf_dir, "documents")
+    # r12 scatter: single-split fixture scans serialize the
+    # map stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     sh = (
         d.select(
@@ -904,7 +906,9 @@ def l_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (doc, token)-keyed partial-agg groupBy then one
     doc-keyed rollup — the l_text_tokenize_tf shuffle shape, linear in
     token count; no window, no join."""
-    d = table(spark, sf_dir, "documents")
+    # r12 scatter: single-split fixture scans serialize the
+    # map stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     c = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
         .groupBy("doc_id", "t")
@@ -1019,7 +1023,9 @@ def l_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join drops the doc from n_in; the map-side plan must filter
     # explicitly or it would count the row (r11 code review — latent
     # divergence under rule-1b fixture drift)
-    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # r12 scatter: single-split fixture scans serialize the
+    # map stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     s = F.sort_array(toks)
     zero = F.lit(0).cast("long")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import scatter, table
 
 _BT_ITERS = 5
 
@@ -560,7 +560,10 @@ def l_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired interleaved at x100 the checkpoint form won all 3 reps
     (medians 112.0 -> 68.9 s, identical 250k rows; r9 verdict item 8).
     """
-    d = table(spark, sf_dir, "documents")
+    # scatter BEFORE the checkpoint (r12): the checkpoint inherits the
+    # scan's partitioning, so a single-split fixture file serialized
+    # both gram pipelines on one core (see session.scatter).
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     base = d.select(
         F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
@@ -704,7 +707,10 @@ def l_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-array frame is localCheckpointed (rule 11a) so split(text)
     runs once for both gram pipelines. Bigrams guard size>=2 (rule
     11d)."""
-    d = table(spark, sf_dir, "documents")
+    # scatter BEFORE the checkpoint (r12): the checkpoint inherits the
+    # scan's partitioning, so a single-split fixture file serialized
+    # both gram pipelines on one core (see session.scatter).
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     base = d.select(
         F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),

@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import scatter, table
 
 
 @query(
@@ -224,7 +224,9 @@ def l_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule-10 pushFilters precedent).
     """
     spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "2048")
-    d = table(spark, sf_dir, "documents")
+    # r12 scatter: single-split fixture scans serialize the
+    # map stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     nchars = F.when(F.col("n_chars") >= 1, F.col("n_chars")).otherwise(
         F.raise_error(F.lit("l_budget_select: n_chars < 1 breaks rank bound"))
     )

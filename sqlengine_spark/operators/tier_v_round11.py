@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import scatter, table
 
 
 @query(
@@ -97,7 +97,9 @@ def l_ngram_assoc_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually small — the r11 df-table rule), the 1-row N broadcasts,
     and the top-50 is TakeOrdered. The k11 >= 5 support filter prunes
     the pair tail before the joins, exactly like m_basket_affinity."""
-    d = table(spark, sf_dir, "documents")
+    # r12 scatter: single-split fixture scans serialize the
+    # map stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     # zip_with over slices of a LET-BOUND token array: transform over a
     # 1-element array binds split(text) to the lambda variable w, so
     # the tokenize runs EXACTLY once per row — the old form spelled

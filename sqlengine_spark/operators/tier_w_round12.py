@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import scatter, table
 
 # ---------------------------------------------------------------------------
 # l_sample_weighted_topk — Efraimidis-Spirakis A-ES weighted reservoir
@@ -386,14 +386,9 @@ def l_prefix_cache_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape) then an 8-ary rollup. No joins at all: reused = n − 1 per
     key, so the min-doc join-back the naive plan needs is algebraically
     eliminated. Shuffle volume = |distinct prefixes| rows, linear."""
-    d = table(spark, sf_dir, "documents")
-    # small-input scatter (the l_bpe_encode lesson): a one-row-group
-    # test file gives the scan ONE split, serializing the prefix md5 map on
-    # one core — round-robin only when the scan has fewer partitions
-    # than the cluster parallelism (false at corpus scale).
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # r12 scatter: single-split fixture scans serialize the map
+    # stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     keys = F.expr(
         f"element_at(transform(array(split(text, ' ')), w ->"
         f" CASE WHEN size(w) >= {_PCB_BLOCK} THEN"
@@ -769,14 +764,9 @@ def l_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
-    # small-input scatter (the l_bpe_encode lesson): a one-row-group
-    # test file gives the scan ONE split, serializing the B-fold md5 draw on
-    # one core — round-robin only when the scan has fewer partitions
-    # than the cluster parallelism (false at corpus scale).
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # r12 scatter: single-split fixture scans serialize the map
+    # stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     x = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("x")
     )
@@ -887,14 +877,9 @@ def l_eval_paired_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
-    # small-input scatter (the l_bpe_encode lesson): a one-row-group
-    # test file gives the scan ONE split, serializing the B-fold md5 draw on
-    # one core — round-robin only when the scan has fewer partitions
-    # than the cluster parallelism (false at corpus scale).
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # r12 scatter: single-split fixture scans serialize the map
+    # stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     y = F.when(F.col("lang") == "en", 1).otherwise(0)
     pa = F.when(F.col("text").like("% the %"), 1).otherwise(0)
     pb = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
@@ -1003,14 +988,9 @@ def l_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence(1, 0), which DESCENDS in Spark (pin 11d). ONE
     (pair_id, gram)-keyed partial-agg shuffle linear in character
     count, one pair rollup. Never pairwise in the corpus."""
-    d = table(spark, sf_dir, "documents")
-    # small-input scatter (the l_bpe_encode lesson): a one-row-group
-    # test file gives the scan ONE split, serializing the 12M-gram explode on
-    # one core — round-robin only when the scan has fewer partitions
-    # than the cluster parallelism (false at corpus scale).
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # r12 scatter: single-split fixture scans serialize the map
+    # stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     base = d.select(
         F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
@@ -1110,14 +1090,9 @@ def l_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pinned shuffle_hash (rule 14b: both sides are corpus-growing).
     Source totals broadcast onto the <=C(|sources|, 2)-row pair table
     (domain-bounded). Top-50 is TakeOrdered."""
-    d = table(spark, sf_dir, "documents")
-    # small-input scatter (the l_bpe_encode lesson): a one-row-group
-    # test file gives the scan ONE split, serializing the shingle md5 map on
-    # one core — round-robin only when the scan has fewer partitions
-    # than the cluster parallelism (false at corpus scale).
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # r12 scatter: single-split fixture scans serialize the map
+    # stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
     base = d.select("source", F.split(F.col("text"), " ").alias("w"))
     sh = (
         base.select(

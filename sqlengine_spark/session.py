@@ -185,3 +185,21 @@ def load_tables(
         cache[name] = (sf_dir, df)
         out[name] = df
     return out
+
+
+def scatter(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small-input scatter guard (the round-7 l_bpe_encode lesson,
+    promoted to a shared helper in round 12 after it turned five new
+    text ops into crossovers): a single-row-group fixture file gives
+    the scan ONE split, serializing every map-side fan-out (gram
+    explode, md5 draw, shingle hash) on one core while a single-process
+    engine uses all of them. Round-robin repartition ONLY when the scan
+    has fewer partitions than the cluster's default parallelism — at
+    corpus scale (thousands of splits) the guard is false and the plan
+    is untouched, so this is a fixture-scale fairness fix, not a
+    100 TB plan change. Measured r12: chrf 21 -> 1.9 s, bootstrap
+    5.7 -> 1.1 s at x100."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
