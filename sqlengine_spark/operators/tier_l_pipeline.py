@@ -969,15 +969,22 @@ def l_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flag agg and the per-doc profile — localCheckpoint (never persist,
     # CLAUDE.md rule 11a) materializes the split+md5 map once per
     # invocation instead of twice
-    s = w.filter(F.size("ws") >= n).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(ws) - {n - 1}),"
-                f" i -> md5(array_join(slice(ws, i, {n}), ' ')))"
-            )
-        ).alias("h"),
-    ).localCheckpoint()
+    # generator + codegen projection (pin 15a): the interpreted
+    # transform-lambda form is neutral at fixture doc lengths but the
+    # Generate form keeps the md5 map in whole-stage codegen
+    s = (
+        w.filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.expr(f"sequence(1, size(ws) - {n - 1})")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"md5(array_join(slice(ws, i, {n}), ' '))").alias("h"),
+        )
+        .localCheckpoint()
+    )
     # "recurs in >1 distinct doc" == min(doc_id) != max(doc_id) per h:
     # min/max partial-aggregate in one pass where count_distinct plans
     # a two-phase expand (paired at sf0.1: 1.95 -> 1.6 s)

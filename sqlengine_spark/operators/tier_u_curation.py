@@ -152,18 +152,25 @@ def l_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 scatter: single-split fixture scans serialize the
     # map stage on one core (see session.scatter; no-op at scale)
     d = scatter(spark, table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
+    # generator + codegen projection (pin 15a): the old transform
+    # lambda was interpreted AND its slice(toks, i, 5) body indexed
+    # the outer split() expr — re-evaluated per element (rule 14c).
+    # The token array projects below the Generate (once per doc).
     sh = (
-        d.select(
+        d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select(
             "doc_id",
+            "w",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 4),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+                F.expr(
+                    "CASE WHEN size(w) >= 5 THEN sequence(1, size(w) - 4)"
+                    " ELSE CAST(array() AS ARRAY<INT>) END"
                 )
-            ).alias("sh"),
+            ).alias("i"),
         )
-        .filter(F.size(toks) >= 5)
+        .select(
+            "doc_id", F.expr("concat_ws(' ', slice(w, i, 5))").alias("sh")
+        )
         .distinct()
         .localCheckpoint()
     )
