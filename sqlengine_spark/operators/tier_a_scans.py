@@ -980,3 +980,61 @@ def a_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows, schema = run_stream_to_table(spark, agg, "complete")
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "a_sink_parquet_bloom",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (370, 3701, 7402, 11103, 14804)
+    ORDER BY o_orderkey
+    """,
+)
+def a_sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET BLOOM FILTER sink + point-lookup scan: rewrite orders
+    with a column-level bloom filter on o_custkey
+    (``parquet.bloom.filter.enabled#o_custkey`` — the standard
+    parquet-mr writer option Spark passes through), then answer a
+    small IN-list probe from the rewritten copy. Min/max footer stats
+    are useless for a HIGH-CARDINALITY UNSORTED key (every row group
+    spans nearly the full custkey domain); the bloom filter gives the
+    reader a per-row-group membership test that skips row groups for
+    selective point/IN predicates — the layout lever for needle
+    lookups that z-ordering (a_sink_zorder) can't help when the probe
+    key isn't the sort key.
+
+    Determinism: the answer is the IN-list rows themselves (bloom
+    filters are lossless for the reader — false positives only cost
+    extra reads); the oracle states the same rows from the ORIGINAL
+    table, proving the rewrite is answer-preserving. Total order on
+    o_orderkey (unique key, rule 5).
+
+    Scale: one rewrite pass (map-only, no shuffle — bloom build is
+    per-row-group writer state, sized by parquet.bloom.filter.
+    expected.ndv) + a pushed-IN scan (the explain shows PushedFilters:
+    [In(o_custkey, ...)]); at 100 TB the probe reads the bloom pages
+    + matching row groups only. tests/test_plans.py asserts the
+    pushdown reaches the rewritten scan."""
+    o = table(spark, sf_dir, "orders")
+    path = _scratch("orders_bloom")
+    # measured in this build: the per-column "...enabled#o_custkey"
+    # writer-option form does NOT reach the parquet writer (file size
+    # identical to a plain write), while the all-column form writes
+    # real bloom pages (176 KB -> 2.3 MB at sf0.01 with ndv=20000) —
+    # pinned by tests/test_round12.py::test_parquet_bloom_pages_written.
+    # At scale, size the NDV to the per-row-group key cardinality.
+    (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.expected.ndv", "20000")
+        .parquet(path)
+    )
+    keys = [370, 3701, 7402, 11103, 14804]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_custkey").isin(keys))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -1141,3 +1141,113 @@ def l_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared").desc(), "source_a", "source_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# l_ngram_entropy_rate — conditional bigram entropy of the corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_ngram_entropy_rate",
+    oracle="""
+    WITH w AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT w[i.i] AS w1, w[i.i + 1] AS w2
+        FROM w, (SELECT unnest(generate_series(1, 4096)) AS i) i
+        WHERE i.i <= len(w) - 1
+    ), bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM g GROUP BY w1, w2
+    ), lm AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+    ), t AS (
+        SELECT CAST(SUM(CAST(FLOOR(CAST(bc.c12 AS DOUBLE)
+                                   * ln(CAST(lm.c1 AS DOUBLE)
+                                        / CAST(bc.c12 AS DOUBLE))
+                                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+               CAST(SUM(bc.c12) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM bc JOIN lm ON lm.w1 = bc.w1
+    ), ctx AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_contexts FROM lm
+    )
+    SELECT t.n AS n_bigrams, t.n_pairs, ctx.n_contexts,
+           ROUND(CAST(t.sq AS DOUBLE) / 1e9 / CAST(t.n AS DOUBLE)
+                 / 0.6931471805599453 * 1e9) / 1e9 + 0 AS h_bits
+    FROM t, ctx
+    """,
+)
+def l_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL BIGRAM ENTROPY RATE H(W₂|W₁) in bits — the classic
+    corpus predictability / diversity number (Shannon 1951, "Prediction
+    and entropy of printed English"; public method): the plug-in MLE
+    H = Σ c₁₂·ln(c₁/c₁₂) / N / ln 2 over adjacent word pairs. Low
+    entropy flags template/boilerplate-heavy corpora BEFORE training
+    (complements l_text_entropy's per-doc unigram view and
+    l_tokens_zipf_fit's frequency-shape view with a sequential-
+    structure number).
+
+    Determinism: counts are exact BIGINTs; each pair's c₁₂·ln(c₁/c₁₂)
+    term (≥ 0) quantizes to a 1e9 fixed-point BIGINT BEFORE the sum
+    (rule 11e — order-independent in both engines; ln is the same libm
+    call, the l_dsir_weight precedent); ln 2 is an embedded literal so
+    neither engine computes a transcendental of its own; one division
+    chain spelled identically in both engines.
+
+    Scale: ONE corpus-scale shuffle — the (w1, w2) pair count (grams
+    generate via the codegen Generate-over-index form, scatter-guarded
+    scan); the w1 marginals derive from the vocab²-bounded pair table
+    (the l_ngram_assoc_llr single-shuffle lesson), and the final fold
+    is one 1-row aggregate. The marginals join is vocab-keyed and
+    PLAIN (rule 14a: vocab is Heaps-law unbounded)."""
+    # r12 scatter: single-split fixture scans serialize the map
+    # stage on one core (see session.scatter; no-op at scale)
+    d = scatter(spark, table(spark, sf_dir, "documents"))
+    g = (
+        d.select(F.split(F.col("text"), " ").alias("w"))
+        .select(
+            "w",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1)"
+                    " ELSE CAST(array() AS ARRAY<INT>) END"
+                )
+            ).alias("i"),
+        )
+        .select(
+            F.expr("element_at(w, i)").alias("w1"),
+            F.expr("element_at(w, i + 1)").alias("w2"),
+        )
+    )
+    bc = (
+        g.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()  # rule 11a: feeds marginals AND the term fold
+    )
+    lm = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    term = F.floor(
+        F.col("c12").cast("double")
+        * F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
+        * 1e9
+        + 0.5
+    ).cast("bigint")
+    t = bc.join(lm, "w1").agg(
+        F.sum(term).alias("sq"),
+        F.sum("c12").alias("n"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    ctx = lm.agg(F.count(F.lit(1)).alias("n_contexts"))
+    return t.crossJoin(F.broadcast(ctx)).select(
+        F.col("n").alias("n_bigrams"),
+        "n_pairs",
+        "n_contexts",
+        dround(
+            F.col("sq").cast("double")
+            / 1e9
+            / F.col("n").cast("double")
+            / F.lit(0.6931471805599453),
+            9,
+        ).alias("h_bits"),
+    )

@@ -114,6 +114,8 @@ PRIORITY_ORDER = (
     "l_eval_paired_bootstrap",
     "l_eval_chrf",
     "l_dedup_source_overlap",
+    "a_sink_parquet_bloom",
+    "l_ngram_entropy_rate",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

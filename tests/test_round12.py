@@ -366,3 +366,78 @@ def test_source_overlap_matches_python_recompute(spark):
         assert (r["source_a"], r["source_b"]) == (sa, sb)
         assert (r["n_shared"], r["n_a"], r["n_b"]) == (shared, na, nb)
         assert abs(r["jaccard"] - shared / (na + nb - shared)) < 2e-6
+
+
+def test_parquet_bloom_pages_written(spark):
+    """a_sink_parquet_bloom depends on the all-column writer option
+    actually producing bloom pages (the per-column '#col' form
+    silently no-ops in this build). Pin the behavior: the bloom write
+    must be materially larger than a plain write of the same data."""
+    import glob
+    import os
+
+    from sqlengine_spark.session import table
+
+    o = table(spark, SF_DIR_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    o.write.mode("overwrite").parquet("/tmp/sqlengine_bloom_off")
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.expected.ndv", "20000")
+        .parquet("/tmp/sqlengine_bloom_on")
+    )
+
+    def sz(d):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+        )
+
+    off, on = sz("/tmp/sqlengine_bloom_off"), sz("/tmp/sqlengine_bloom_on")
+    assert on > off * 1.5, (off, on)
+
+
+def test_bloom_probe_scan_pushes_in_filter(spark):
+    """The probe scan over the rewritten copy must push the IN filter
+    into the parquet reader (bloom filters only help when the
+    predicate reaches the scan)."""
+    from sqlengine_spark.registry import all_queries
+
+    df = all_queries()["a_sink_parquet_bloom"](spark, SF_DIR_SMALL)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan and "In(o_custkey" in plan
+
+
+def test_entropy_rate_matches_python_recompute(spark):
+    """H(W2|W1) recomputed from raw Counters with math.log must match
+    the emitted entropy; sanity bounds: 0 <= H <= log2(vocab)."""
+    from collections import Counter
+
+    rows = _docs(spark)
+    bi: Counter = Counter()
+    left: Counter = Counter()
+    n = 0
+    for r in rows:
+        w = r["text"].split(" ")
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] += 1
+            left[a] += 1
+            n += 1
+    h = (
+        sum(c * math.log(left[w1] / c) for (w1, _), c in bi.items())
+        / n
+        / math.log(2)
+    )
+    [got] = all_queries()["l_ngram_entropy_rate"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert got["n_bigrams"] == n
+    assert got["n_pairs"] == len(bi)
+    assert got["n_contexts"] == len(left)
+    assert abs(got["h_bits"] - h) < 1e-6
+    assert 0.0 <= got["h_bits"] <= math.log2(len(left) + 1) + 1
