@@ -1141,3 +1141,67 @@ def j_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _restore_partitions(spark, _prev)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "j_stream_quality_gate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN value BETWEEN 0 AND 400
+                          AND event_type <> 'error'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           ROUND(CAST(SUM(CASE WHEN value BETWEEN 0 AND 400
+                                AND event_type <> 'error'
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 + 0 AS pass_rate
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def j_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DATA-QUALITY GATE — the ingestion-time admission
+    dashboard every streaming training-data pipeline runs in front of
+    its sink: a declarative gate predicate (value in [0, 400] and not
+    an error event — the stand-in for schema/range/blocklist checks)
+    evaluated INSIDE the Structured Streaming engine, with running
+    per-type totals, admitted counts, and pass rate in complete-mode
+    state. Executed as a REAL incremental stream (file source over the
+    staged events, one file per micro-batch, memory sink) and
+    hash-verified against the identical batch SQL — the j_tumbling_1h_
+    stream convention, so the driver checks the streaming engine's
+    final state, not a batch stand-in.
+
+    Determinism: the gate is a pure row predicate; counts are exact;
+    one division per type, dround 1e-6 (the conditional-agg form
+    keeps pass AND fail in ONE pass — no second stream, no join).
+
+    Scale: state = two counters per event_type (domain-bounded);
+    shuffle keyed event_type like the batch plan; the gate predicate
+    evaluates map-side before the shuffle so rejected rows still
+    count but never carry payload. Partition pin per the rule-11b
+    state-store lesson (inside run_stream_to_table)."""
+    src = stage_events(spark, sf_dir)
+    passed = (
+        F.col("value").between(0, 400) & (F.col("event_type") != "error")
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(passed, 1).otherwise(0)).alias("n_pass"),
+        )
+    )
+    rows, schema = run_stream_to_table(spark, stream, "complete")
+    out = spark.createDataFrame(rows, schema=schema)
+    return out.select(
+        "event_type",
+        "n_total",
+        "n_pass",
+        dround(
+            F.col("n_pass").cast("double") / F.col("n_total").cast("double"),
+            6,
+        ).alias("pass_rate"),
+    ).orderBy("event_type")

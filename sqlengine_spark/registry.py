@@ -116,6 +116,7 @@ PRIORITY_ORDER = (
     "l_dedup_source_overlap",
     "a_sink_parquet_bloom",
     "l_ngram_entropy_rate",
+    "j_stream_quality_gate",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future
