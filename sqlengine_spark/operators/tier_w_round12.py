@@ -900,7 +900,7 @@ def l_eval_paired_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("sw")).cast("double")
     o = m.select(db.alias("db"), "b").select(
         "db", F.row_number().over(W.orderBy("db", "b")).alias("rk")
-    ).localCheckpoint()  # rule 11a: feeds the CI picks AND the p_boot count
+    )  # single consumer (the one .agg below) — no checkpoint needed
     lo = _BOOT_B // 40
     hi = _BOOT_B - _BOOT_B // 40 + 1
     ci = o.agg(
@@ -938,8 +938,8 @@ def l_eval_paired_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
         SELECT pair_id, side,
                substring(s, i.i, 6) AS g
-        FROM d, (SELECT unnest(generate_series(1, 4096)) AS i) i
-        WHERE i.i <= length(s) - 5
+        FROM d, LATERAL (SELECT unnest(generate_series(1, length(s) - 5))
+                         AS i) i
     ), pg AS (
         SELECT pair_id, g,
                CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1044,8 +1044,8 @@ def l_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
         SELECT DISTINCT source,
                md5(array_to_string(w[i.i:i.i + 9], ' ')) AS h
-        FROM w, (SELECT unnest(generate_series(1, 4096)) AS i) i
-        WHERE i.i <= len(w) - 9
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 9))
+                         AS i) i
     ), per_src AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
     ), pair AS (
@@ -1155,8 +1155,8 @@ def l_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT string_split(text, ' ') AS w FROM documents
     ), g AS (
         SELECT w[i.i] AS w1, w[i.i + 1] AS w2
-        FROM w, (SELECT unnest(generate_series(1, 4096)) AS i) i
-        WHERE i.i <= len(w) - 1
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                         AS i) i
     ), bc AS (
         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
         FROM g GROUP BY w1, w2

@@ -25,17 +25,19 @@ _ORACLES: dict[str, str] = {}
 #: The driver's CORRECTNESS pass checks the FIRST 50 keys of
 #: ``queries()`` in dict order (round-2 finding), so this list spends
 #: that window deliberately — and ROTATES it each round so that over
-#: rounds every key earns a real driver row. ROUND-12 rotation
-#: (r11 verdict item 1 — the staged arithmetic): the r11 convergence
-#: window landed 50/50 green, so every key registered before r11 holds
-#: a real driver row and the never-checked backlog is exactly the 14
-#: operators BUILT in r11 (judge-sim verified ALL MATCH in the r11
-#: judging session). Window = 4 anchors + those 14 + 32 free slots
-#: spent as a RE-VERIFICATION LADDER, oldest cohort first: the r2
-#: cohort's rows predate nine rounds of shared-helper changes, the
-#: concrete drift risk. From here the steady state is mechanical:
-#: new builds take slots 5-N, the rest of the window consumes the
-#: tail head (oldest rows first), and every row's age is bounded.
+#: rounds every key earns a real driver row. ROUND-13 rotation
+#: (r12 verdict item 1 — the staged arithmetic): the r12 window landed
+#: 50/50 green, so the never-checked backlog is exactly the 13
+#: operators BUILT in r12 (judge-sim verified ALL MATCH in the r12
+#: judging session AND re-verified by driver_sim this round). Window =
+#: 4 anchors + those 13 + 33 free slots spent as the RE-VERIFICATION
+#: LADDER, oldest ORACLED cohort first: the 9 r2 keys that missed the
+#: r12 window, then the head of the r3 cohort (those rows are ten
+#: rounds old — the concrete shared-helper drift risk). Re-verify
+#: slots skip rows-only keys (a ran-clean re-row carries no new
+#: information; hash rows are where drift shows). Steady state stays
+#: mechanical: new builds take slots 5-N, the rest of the window
+#: consumes the tail head (oldest oracled rows first).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
 #: new registration without an explicit slot fails CI.
 PRIORITY_ORDER = (
@@ -45,65 +47,10 @@ PRIORITY_ORDER = (
     "d_agg_q1_pricing",
     "j_tumbling_1h",
     "l_dedup_exact",
-    # -- slots 5-18: the 14 operators BUILT in round 11 (queued behind
-    #    the r11 convergence window per the r10 verdict; judge-sim
-    #    verified ALL MATCH in the r11 judging session; they earn real
-    #    driver rows here). --
-    "l_ngram_assoc_llr",
-    "l_eval_slice_accuracy",
-    "l_rag_chunk_overlap",
-    "l_embed_norm_stats",
-    "m_ab_sequential_sprt",
-    "l_eval_mcnemar",
-    "l_eval_auc",
-    "l_eval_mrr",
-    "l_rl_best_of_n",
-    "l_ngram_coverage_curve",
-    "l_dedup_rate_report",
-    "l_mix_temperature",
-    "l_eval_fleiss_kappa",
-    "l_eval_ece",
-    # -- slots 19-50: RE-VERIFICATION LADDER, oldest cohort first (r12
-    #    verdict item 1): with the backlog at 0 after r11, free window
-    #    slots re-verify the OLDEST driver rows — the r2 cohort's rows
-    #    predate nine rounds of shared-helper changes. 32 of the 41
-    #    oracled r2 keys fit this window; the remaining 9 lead the tail
-    #    and rotate in next round. --
-    "a_scan_count",
-    "a_scan_csv_roundtrip",
-    "a_scan_json_roundtrip",
-    "a_scan_orc_roundtrip",
-    "a_scan_pruned",
-    "a_sink_parquet_partitioned",
-    "b_distinct_rows",
-    "b_filter_bool_logic",
-    "b_filter_in_like",
-    "b_filter_null_semantics",
-    "b_project_arith",
-    "c_join_anti",
-    "c_join_broadcast",
-    "c_join_cross",
-    "c_join_full",
-    "c_join_inner",
-    "c_join_left",
-    "c_join_right",
-    "c_join_semi",
-    "c_join_theta_range",
-    "c_subquery_in",
-    "c_subquery_scalar",
-    "d_agg_bool",
-    "d_agg_collect_sorted",
-    "d_agg_count_distinct",
-    "d_agg_cube",
-    "d_agg_grouping_sets",
-    "d_agg_having",
-    "d_agg_minmax_by",
-    "d_agg_mode",
-    "d_agg_multi_distinct",
-    "d_agg_percentile_exact",
-    # -- ROUND-13 QUEUE: operators BUILT in round 12 (behind this
-    #    round's window; they earn driver rows in r13). Fresh keys
-    #    always lead the tail. --
+    # -- slots 5-17: the 13 operators BUILT in round 12 (queued behind
+    #    the r12 window; judge-sim verified ALL MATCH twice — in the
+    #    r12 judging session and by driver_sim at round-13 open; they
+    #    earn real driver rows here). --
     "l_sample_weighted_topk",
     "l_eval_kendall_tau",
     "l_eval_rbo",
@@ -117,12 +64,10 @@ PRIORITY_ORDER = (
     "a_sink_parquet_bloom",
     "l_ngram_entropy_rate",
     "j_stream_quality_gate",
-    # -- tail: the re-verification ladder continues oldest-first
-    #    (cohort = latest driver CORRECTNESS row; oracled keys before
-    #    rows-only within a cohort, alphabetical within). Each future
-    #    rotation is mechanical: any NEW operators take slots 5-N, the
-    #    remaining window re-verifies from the head of this tail. --
-    #    r2 cohort (oracled):
+    # -- slots 18-50: RE-VERIFICATION LADDER, oldest oracled cohort
+    #    first (r12 verdict item 1): 9 r2 keys that missed the r12
+    #    window, then the head of the r3 cohort (rows ten rounds old).
+    #    Rows-only keys are skipped (no hash row to refresh). --
     "d_agg_rollup",
     "d_agg_stats",
     "d_agg_string_agg",
@@ -132,10 +77,6 @@ PRIORITY_ORDER = (
     "e_win_ranking",
     "e_win_running_sum",
     "e_win_sliding_avg",
-    #    r2 cohort (rows-only):
-    "d_agg_approx_distinct",
-    "d_agg_approx_quantile",
-    #    r3 cohort (oracled):
     "c_join_asof",
     "e_win_lead_lag",
     "f_offset_page",
@@ -160,6 +101,17 @@ PRIORITY_ORDER = (
     "j_stateful_running",
     "j_stream_dedup",
     "j_stream_dedup_stream",
+    # -- ROUND-14 QUEUE: operators BUILT in round 13 land HERE (fresh
+    #    keys always lead the tail; they earn driver rows in r14). --
+    # -- tail: the re-verification ladder continues oldest-first
+    #    (cohort = latest driver CORRECTNESS row; oracled keys before
+    #    rows-only within a cohort, alphabetical within). Each future
+    #    rotation is mechanical: any NEW operators take slots 5-N, the
+    #    remaining window re-verifies from the head of this tail. --
+    #    r2 cohort (rows-only):
+    "d_agg_approx_distinct",
+    "d_agg_approx_quantile",
+    #    r3 cohort (oracled):
     "j_stream_join_static",
     "j_tumbling_1h_stream",
     "k_apply_in_pandas",
@@ -482,6 +434,53 @@ PRIORITY_ORDER = (
     "l_winsorize",
     #    r11 cohort (rows-only):
     "l_multimodal_decode",
+    #    r12 cohort (oracled):
+    "a_scan_count",
+    "a_scan_csv_roundtrip",
+    "a_scan_json_roundtrip",
+    "a_scan_orc_roundtrip",
+    "a_scan_pruned",
+    "a_sink_parquet_partitioned",
+    "b_distinct_rows",
+    "b_filter_bool_logic",
+    "b_filter_in_like",
+    "b_filter_null_semantics",
+    "b_project_arith",
+    "c_join_anti",
+    "c_join_broadcast",
+    "c_join_cross",
+    "c_join_full",
+    "c_join_inner",
+    "c_join_left",
+    "c_join_right",
+    "c_join_semi",
+    "c_join_theta_range",
+    "c_subquery_in",
+    "c_subquery_scalar",
+    "d_agg_bool",
+    "d_agg_collect_sorted",
+    "d_agg_count_distinct",
+    "d_agg_cube",
+    "d_agg_grouping_sets",
+    "d_agg_having",
+    "d_agg_minmax_by",
+    "d_agg_mode",
+    "d_agg_multi_distinct",
+    "d_agg_percentile_exact",
+    "l_dedup_rate_report",
+    "l_embed_norm_stats",
+    "l_eval_auc",
+    "l_eval_ece",
+    "l_eval_fleiss_kappa",
+    "l_eval_mcnemar",
+    "l_eval_mrr",
+    "l_eval_slice_accuracy",
+    "l_mix_temperature",
+    "l_ngram_assoc_llr",
+    "l_ngram_coverage_curve",
+    "l_rag_chunk_overlap",
+    "l_rl_best_of_n",
+    "m_ab_sequential_sprt",
 )
 
 

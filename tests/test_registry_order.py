@@ -64,16 +64,16 @@ def test_window_leads_with_fixture_family_anchors():
 
 
 def _latest_driver_round() -> dict:
-    """Latest driver CORRECTNESS round per key, FROZEN at the r1-r11
+    """Latest driver CORRECTNESS round per key, FROZEN at the r1-r12
     artifacts (no r7 file exists — the driver skipped that round).
-    Frozen deliberately: when CORRECTNESS_r12.json lands at the next
+    Frozen deliberately: when CORRECTNESS_r13.json lands at the next
     round boundary this map must NOT shift under the committed order —
-    the r13 restaging updates both together."""
+    the r14 restaging updates both together."""
     import json
     import pathlib
 
     latest: dict = {}
-    for rnd in (1, 2, 3, 4, 5, 6, 8, 9, 10, 11):
+    for rnd in (1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12):
         p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r{rnd:02d}.json"
         if p.exists():
             for k in json.loads(p.read_text()):
@@ -82,21 +82,31 @@ def _latest_driver_round() -> dict:
 
 
 def test_window_spends_slots_on_backlog_then_oldest_cohort():
-    """R12 policy: slots 5-18 take every never-driver-checked key (the
-    14 r11 builds — the whole backlog); slots 19-50 re-verify the
-    OLDEST cohort (r2 rows, which predate nine rounds of shared-helper
-    changes). No slot may go to a younger row while an older oracled
-    one waits."""
+    """R13 policy: slots 5-17 take every never-driver-checked key (the
+    13 r12 builds — the whole backlog); slots 18-50 re-verify the
+    OLDEST ORACLED cohorts (the 9 r2 keys that missed the r12 window,
+    then the r3 head — rows ten rounds old). No slot may go to a
+    younger row while an older oracled one waits."""
     latest = _latest_driver_round()
     oracles = set(all_oracles())
     window = list(all_queries())[4:WINDOW]
     fresh = [k for k in window if k not in latest]
-    assert len(fresh) == 14, f"backlog drift: {len(fresh)} fresh keys in window"
+    assert len(fresh) == 13, f"backlog drift: {len(fresh)} fresh keys in window"
     assert window[: len(fresh)] == fresh, "fresh keys must lead the window"
     reverify = window[len(fresh):]
-    assert all(latest[k] == 2 and k in oracles for k in reverify), (
-        "re-verification slots must consume the oldest oracled cohort (r2)"
+    assert all(k in oracles for k in reverify), (
+        "re-verification slots must be oracled (hash rows show drift)"
     )
+    # the ladder itself: every reverify slot is at least as old as any
+    # oracled key still waiting in the tail
+    tail_oracled_rounds = [
+        latest[k] for k in list(all_queries())[WINDOW:]
+        if k in oracles and k in latest
+    ]
+    if tail_oracled_rounds:
+        assert max(latest[k] for k in reverify) <= min(tail_oracled_rounds), (
+            "a younger row took a window slot while an older oracled one waits"
+        )
 
 
 def test_tail_is_an_oldest_first_reverification_ladder():
