@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sqlengine_spark.registry import all_queries
-from sqlengine_spark.session import get_spark
+from sqlengine_spark.session import get_spark, require_heap
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -185,6 +185,9 @@ def main() -> int:
     probe = host_probe()
     print(f"# host probe: {probe}", file=sys.stderr)
     spark = get_spark("sqlengine_bench")
+    # Fail fast in an inherited under-sized JVM instead of dying
+    # mid-suite at the first GC-heavy query (r12 closing incident).
+    require_heap(spark, 7.0, "bench.py")
     qs = all_queries()
     timings: dict[str, float] = {}
     # Materialize via toPandas(): the Arrow batch transfer is the

@@ -88,12 +88,29 @@ def canon_df(pdf: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     only = sys.argv[1:] or None
     # Plain session: exactly what the grading driver hands to queries().
-    spark = (
+    stress = SF01 != "/root/testdata/sf0.01"
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if stress:
+        # Stress mode (sf0.1+ sweeps) needs a real heap: a plain-1g
+        # session dies at the GC-heavy keys and poisons the JVM for
+        # everything after (r12 closing incident). The driver-faithful
+        # sf0.01 path stays a PLAIN session — the real driver runs there.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+    spark = builder.getOrCreate()
+    if stress:
+        # driver.memory only applies at JVM launch; getOrCreate() may
+        # have silently reused an existing under-sized session — refuse
+        # EARLY instead of dying mid-sweep.
+        from sqlengine_spark.session import require_heap
+
+        require_heap(spark, 7.0, f"driver_sim stress sweep at {SF01}")
 
     t0 = time.time()
     n = len(mod.entry(spark).collect())

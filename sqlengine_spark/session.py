@@ -84,6 +84,30 @@ def get_spark(app_name: str = "sqlengine_spark") -> SparkSession:
     return spark
 
 
+def require_heap(spark: SparkSession, min_gib: float, context: str) -> None:
+    """Refuse to run a corpus-scale harness in an under-sized JVM.
+
+    ``spark.driver.memory`` only takes effect at JVM launch — if a
+    session already exists, ``getOrCreate()`` silently reuses it with
+    whatever heap it was born with. A round-12 closing sf0.1 sweep
+    inherited a plain-1g session that way, died at l_graph_triangles'
+    known GC cliff (CLAUDE.md pin 13d), and poisoned the JVM for every
+    query after it (r12 verdict "what's wrong" item 3). bench.py and
+    driver_sim's stress mode (SPARK_GRAFT_SIM_SF beyond the driver's
+    sf0.01) call this and die EARLY with an actionable message instead
+    of mid-sweep."""
+    max_bytes = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    got_gib = max_bytes / (1 << 30)
+    if got_gib < min_gib:
+        raise SystemExit(
+            f"{context}: JVM max heap is {got_gib:.1f} GiB < required "
+            f"{min_gib:.1f} GiB — an inherited under-sized SparkSession "
+            "(heap is fixed at JVM launch; getOrCreate() reuses whatever "
+            "exists). Stop the existing session / run in a fresh process "
+            "(optionally SPARK_GRAFT_DRIVER_MEM=8g) and retry."
+        )
+
+
 #: Per-session DataFrame cache: (sf_dir, name) -> DataFrame. Keyed
 #: weakly on the SparkSession so a stopped/garbage-collected session
 #: never serves stale plans. DataFrames are immutable logical plans, so

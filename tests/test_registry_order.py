@@ -157,17 +157,34 @@ def test_readme_counts_match_registry():
     """r8 verdict item 5: the README's headline tallies drifted twice
     (328-vs-331). Generate-don't-state: this test greps the README's
     '**N registered queries total, M with ... SQL oracles**' claim and
-    pins it to the live registry so the count can never drift again."""
+    pins it to the live registry so the count can never drift again.
+
+    A mismatch retries once after a pause (r12 verdict item 4: the
+    closing full-suite run read the README MID-EDIT while a batch of
+    registrations landed and flaked; a transient read heals on retry,
+    a real drift persists and still fails)."""
     import pathlib
     import re
+    import time
 
-    readme = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
-    m = re.search(
-        r"\*\*(\d+) registered queries total, (\d+) with\s*\n?DuckDB SQL oracles\*\*,\s*(\d+) rows-only",
-        readme,
+    def counts():
+        readme = (
+            pathlib.Path(__file__).parent.parent / "README.md"
+        ).read_text()
+        m = re.search(
+            r"\*\*(\d+) registered queries total, (\d+) with\s*\n?DuckDB SQL oracles\*\*,\s*(\d+) rows-only",
+            readme,
+        )
+        return tuple(int(g) for g in m.groups()) if m else None
+
+    expect = (
+        len(all_queries()),
+        len(all_oracles()),
+        len(all_queries()) - len(all_oracles()),
     )
-    assert m, "README headline tally sentence not found"
-    total, oracled, rows_only = (int(g) for g in m.groups())
-    assert total == len(all_queries())
-    assert oracled == len(all_oracles())
-    assert rows_only == len(all_queries()) - len(all_oracles())
+    got = counts()
+    if got != expect:
+        time.sleep(2.0)
+        got = counts()
+    assert got is not None, "README headline tally sentence not found"
+    assert got == expect
