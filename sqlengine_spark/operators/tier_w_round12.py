@@ -1197,14 +1197,25 @@ def l_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain spelled identically in both engines.
 
     Scale: ONE corpus-scale shuffle — the (w1, w2) pair count (grams
-    generate via the codegen Generate-over-index form, scatter-guarded
-    scan); the w1 marginals derive from the vocab²-bounded pair table
-    (the l_ngram_assoc_llr single-shuffle lesson), and the final fold
-    is one 1-row aggregate. The marginals join is vocab-keyed and
-    PLAIN (rule 14a: vocab is Heaps-law unbounded)."""
-    # r12 scatter: single-split fixture scans serialize the map
-    # stage on one core (see session.scatter; no-op at scale)
-    d = scatter(spark, table(spark, sf_dir, "documents"))
+    generate via the codegen Generate-over-index form; no scatter —
+    the fan-out partial-aggregates map-side into a vocab²-bounded hash
+    table, pin 15b); the w1 marginals come from a full-partition WINDOW over the
+    vocab²-bounded pair table (one w1-keyed shuffle + in-partition sort
+    of pair rows, consumed once — r13 rewrite: the previous
+    checkpoint + marginals-join + separate context-count made THREE
+    passes over the pair table and an eager checkpoint job; paired x100
+    A/B 0.85 → 0.76 s with bit-identical output, and strictly fewer
+    pair-table passes at any scale). n_contexts rides the same final
+    fold as count(distinct w1) — the Expand is over vocab²-bounded
+    rows, partial-aggregated before the 1-row reduce."""
+    from pyspark.sql import Window as W
+
+    # No scatter guard here (r13 paired toggle, x100 medians
+    # 0.715 no-scatter vs 0.795 scatter): the bigram fan-out
+    # partial-aggregates map-side into a vocab²-bounded hash table, so
+    # the first real op is already a shuffle of thin rows (pin 15b) —
+    # round-robining the corpus costs more than the one-core map saves.
+    d = table(spark, sf_dir, "documents")
     g = (
         d.select(F.split(F.col("text"), " ").alias("w"))
         .select(
@@ -1221,25 +1232,23 @@ def l_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(w, i + 1)").alias("w2"),
         )
     )
-    bc = (
-        g.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint()  # rule 11a: feeds marginals AND the term fold
+    bc = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    b2 = bc.select(
+        "w1", "c12", F.sum("c12").over(W.partitionBy("w1")).alias("c1")
     )
-    lm = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     term = F.floor(
         F.col("c12").cast("double")
         * F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
         * 1e9
         + 0.5
     ).cast("bigint")
-    t = bc.join(lm, "w1").agg(
+    t = b2.agg(
         F.sum(term).alias("sq"),
         F.sum("c12").alias("n"),
         F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("w1").alias("n_contexts"),
     )
-    ctx = lm.agg(F.count(F.lit(1)).alias("n_contexts"))
-    return t.crossJoin(F.broadcast(ctx)).select(
+    return t.select(
         F.col("n").alias("n_bigrams"),
         "n_pairs",
         "n_contexts",

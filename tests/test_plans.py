@@ -259,8 +259,6 @@ CARTESIAN_WHITELIST = {
     "l_eval_bootstrap_ci",      # 1-row CI-picks broadcast onto the
                                 # 1-row point-estimate aggregate
     "l_eval_paired_bootstrap",  # same 1-row broadcast shape
-    "l_ngram_entropy_rate",     # 1-row context-count broadcast onto
-                                # the 1-row entropy fold
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
     "m_mix_shift_decomp",       # 1-row period-totals broadcast over the
