@@ -1205,3 +1205,219 @@ def j_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_rate"),
     ).orderBy("event_type")
+
+
+#: Time-sliced wave staging for session-timeout streaming (one dir of
+#: wave files per (process, sf_dir), removed at process exit like
+#: _EVENTS_STAGE).
+_EVENTS_WAVES: dict[str, list] = {}
+
+
+def stage_event_timeslices(
+    spark: SparkSession, sf_dir: str, waves: int = 4
+) -> list:
+    """Stage events as ``waves`` TIME-SLICED parquet files plus two
+    far-future sentinel files, returned as an ordered list of wave
+    dirs the harness copies into the source one ``processAllAvailable``
+    at a time.
+
+    Time-slicing (ntile over ts) makes micro-batch order = event-time
+    order, so per-user state transitions are deterministic regardless
+    of how the file source packs batches — the property the
+    session-TIMEOUT pattern needs (a timeout is only meaningful if
+    "no later event arrived" is true in stream order). The two
+    sentinel rows (user_id -1, +30/+60 days) advance the event-time
+    watermark past every real session's timeout so ALL trailing
+    sessions flush deterministically: the first sentinel's batch
+    commits a watermark beyond every last_ts + gap, the second
+    sentinel's batch is the one that *processes* those expirations
+    (timeouts fire in the batch AFTER the watermark advances).
+    The ntile global sort is HARNESS staging, not plan — a production
+    deployment reads an already-time-ordered Kafka/landing source and
+    this helper disappears."""
+    hit = _EVENTS_WAVES.get(sf_dir)
+    if hit is not None and all(os.path.isdir(d) for d in hit):
+        return hit
+    from pyspark.sql import Window
+
+    base = tempfile.mkdtemp(prefix="sqlengine_events_waves_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    sliced = ev.select(
+        "*", F.ntile(waves).over(Window.orderBy("ts")).alias("w")
+    )
+    dirs = []
+    for i in range(1, waves + 1):
+        d = os.path.join(base, f"wave{i}")
+        sliced.filter(F.col("w") == i).drop("w").coalesce(1).write.parquet(d)
+        dirs.append(d)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    for j, off_days in ((waves + 1, 30), (waves + 2, 60)):
+        d = os.path.join(base, f"wave{j}")
+        spark.createDataFrame(
+            [(-1, mx + _dt.timedelta(days=off_days), -1, "sentinel", 0.0, "")],
+            schema=EVENTS_STREAM_SCHEMA,
+        ).coalesce(1).write.parquet(d)
+        dirs.append(d)
+    _EVENTS_WAVES[sf_dir] = dirs
+    return dirs
+
+
+@query(
+    "j_stream_session_timeout",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def j_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-TIMEOUT VIA STATE TIMERS — the canonical custom-stateful
+    streaming pattern (r12 verdict item 7's named surface): per-user
+    session state that EMITS when the user goes quiet, executed by the
+    real streaming engine. Sessions closed by a later in-band event
+    emit from ``handleInputRows``-equivalent logic; the TRAILING
+    session of every user emits from the engine's TIMEOUT callback
+    (``GroupState.hasTimedOut``) when the event-time watermark passes
+    ``last_event + 30min`` — the "no later event arrived" signal no
+    batch rewrite can express incrementally. The driver hash-checks
+    the full emitted session set against batch islands sessionization,
+    so the streaming engine's state machine — including every
+    timer-fired flush — must reproduce the batch answer exactly.
+
+    API note: implemented with ``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout`` — event-time state timeouts
+    ARE the timer mechanism of that API. Spark 4's successor
+    (``transformWithStateInPandas`` with explicit ``registerTimer``)
+    was probed and is unrunnable in this container: its Python↔JVM
+    state protocol imports ``google.protobuf``
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py), which is not
+    installed, and installs are not permitted. Same state machine,
+    same timer semantics, one extra state-var indirection.
+
+    Determinism: waves are time-sliced (see stage_event_timeslices) so
+    state transitions don't depend on file-source batch packing;
+    timestamps carried as exact epoch micros through state (the ms
+    truncation was measured to hash-mismatch on this corpus's µs
+    data); if a timeout and a same-user later event race into one
+    batch the in-band gap check closes the session first and the
+    timeout re-arms — the two paths provably agree because watermark
+    ≤ all later-wave timestamps.
+
+    Scale: state is ONE (start, last, n) tuple per ACTIVE user in the
+    executor-local store (RocksDB in the engine profile), evicted on
+    timeout — O(active users), not O(stream); this is exactly the
+    watermark-bounded-state argument of SURVEY §3.3. Arrow moves each
+    key group to Python once per micro-batch. Shuffle pin per rule
+    11b. Output is append-mode (each session exactly once)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def session_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start, last, n)],
+                columns=["user_id", "s_start", "s_end", "n_events"],
+            )
+            return
+        pdf = pd.concat(list(pdf_iter)).sort_values("ts")
+        # Arrow hands ts as datetime64[ns]; keep exact micros
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        start = last = n = None
+        if state.exists:
+            start, last, n = state.get
+        out = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last >= gap_us:
+                out.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = max(last, t)
+                n += 1
+        state.update((start, last, n))
+        # timeout API takes epoch millis and must exceed the watermark:
+        # +1 ms guards the truncation edge
+        state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "s_start", "s_end", "n_events"]
+            )
+
+    wave_dirs = stage_event_timeslices(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sqlengine_sess_timeout_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_fn,
+            outputStructType=(
+                "user_id long, s_start long, s_end long, n_events long"
+            ),
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    sink = f"sess_timeout_{os.getpid()}_{int(time.time() * 1e6)}"
+    try:
+        with pinned_stream_partitions(spark):
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(base, "ckpt"))
+                .start()
+            )
+            try:
+                for i, d in enumerate(wave_dirs):
+                    for f in os.listdir(d):
+                        if f.endswith(".parquet"):
+                            shutil.copy(
+                                os.path.join(d, f),
+                                os.path.join(src, f"wave{i}_{f}"),
+                            )
+                    q.processAllAvailable()
+                rows = spark.table(sink).filter(F.col("user_id") >= 0).collect()
+            finally:
+                q.stop()
+                spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows, schema="user_id long, s_start long, s_end long, n_events long"
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("s_start")).alias("s_start"),
+        F.timestamp_micros(F.col("s_end")).alias("s_end"),
+        "n_events",
+    )

@@ -103,6 +103,8 @@ PRIORITY_ORDER = (
     "j_stream_dedup_stream",
     # -- ROUND-14 QUEUE: operators BUILT in round 13 land HERE (fresh
     #    keys always lead the tail; they earn driver rows in r14). --
+    "j_stream_session_timeout",
+    "l_eval_report",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

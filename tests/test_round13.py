@@ -1,0 +1,140 @@
+"""Round-13 operator invariants beyond the registry-wide oracle
+compare: independent Python recomputes that would catch a wrong
+formula or a wrong state machine even if both engines shared the same
+mistake."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from sqlengine_spark.registry import all_queries
+from tests.conftest import SF_DIR_SMALL
+
+
+def test_session_timeout_matches_python_sessionization(spark):
+    """The streaming session set (in-band closes + timer-fired trailing
+    flushes) must equal a driver-side Python sessionization of the raw
+    events — start/end/count per session, exact microsecond
+    timestamps. This checks the STATE MACHINE (timer arming, stale
+    guards, wave ordering), independently of the SQL oracle."""
+    ev = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(r["ts"])
+    gap_us = 30 * 60 * 1_000_000
+    expect = set()
+    for uid, tss in per_user.items():
+        tss.sort()
+        start = last = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if (t - last).total_seconds() * 1e6 >= gap_us:
+                expect.add((uid, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        expect.add((uid, start, last, n))
+    got = {
+        (r["user_id"], r["s_start"], r["s_end"], r["n_events"])
+        for r in all_queries()["j_stream_session_timeout"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_session_timeout_sessions_are_maximal(spark):
+    """No two emitted sessions of one user may be mergeable: for every
+    consecutive session pair, next.start - prev.end >= 30 min (i.e. the
+    timeout actually separated them)."""
+    rows = all_queries()["j_stream_session_timeout"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["s_start"], r["s_end"])
+        )
+    for uid, sess in per_user.items():
+        sess.sort()
+        for (_, e1), (s2, _) in zip(sess, sess[1:]):
+            assert (s2 - e1).total_seconds() >= 30 * 60, uid
+
+
+def _pois_w(pair_id: int, b: int) -> int:
+    import hashlib
+
+    cuts = ("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9")
+    h = hashlib.md5(f"{pair_id}_{b}".encode()).hexdigest()[:4]
+    for k, c in enumerate(cuts):
+        if h < c:
+            return k
+    return 6
+
+
+def test_eval_report_matches_python_recompute(spark):
+    """Full independent recompute of the one-row report: per-pair
+    chrF2 / token-F1 / length-ratio from raw text, fixed-point
+    quantization, Poisson replicate means from hashlib md5 draws, and
+    the order-statistic CI picks."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    pairs: dict = {}
+    for r in docs:
+        pairs.setdefault(r["doc_id"] // 2, {})[r["doc_id"] % 2] = r["text"]
+    pp = {}
+    for pid, sides in pairs.items():
+        c = sides.get(0, "")
+        ref = sides.get(1, "")
+        sc, sr = c.replace(" ", ""), ref.replace(" ", "")
+        gc = Counter(sc[i : i + 6] for i in range(len(sc) - 5))
+        gr = Counter(sr[i : i + 6] for i in range(len(sr) - 5))
+        ov = sum(min(gc[g], gr[g]) for g in gc)
+        tc, tr = sum(gc.values()), sum(gr.values())
+        chrf = 0.0 if ov == 0 else (5 * ov * ov) / (4 * ov * tc + ov * tr)
+        wc = Counter(c.split(" ")) if c else Counter()
+        wr = Counter(ref.split(" ")) if ref else Counter()
+        ov_t = sum(min(wc[w], wr[w]) for w in wc)
+        tc_t, tr_t = sum(wc.values()), sum(wr.values())
+        f1 = 0.0 if ov_t == 0 else (2 * ov_t) / (tc_t + tr_t)
+        lr = tr_t / tc_t
+        pp[pid] = (
+            round(chrf * 1e6),
+            round(f1 * 1e6),
+            round(lr * 1e6),
+        )
+    n = len(pp)
+    B = 200
+    reps = []
+    for b in range(B):
+        sw = swc = 0
+        for pid, (cf, _, _) in pp.items():
+            w = _pois_w(pid, b)
+            sw += w
+            swc += w * cf
+        reps.append((swc / sw / 1e6 if sw else None, b))
+    reps.sort(key=lambda t: (t[0], t[1]))
+    lo, hi = reps[B // 40 - 1][0], reps[B - B // 40][0]
+    [row] = all_queries()["l_eval_report"](spark, SF_DIR_SMALL).collect()
+    assert row["n_pairs"] == n
+    assert row["n_replicates"] == B
+    assert row["mean_chrf2"] == round(
+        sum(v[0] for v in pp.values()) / 1e6 / n, 6
+    )
+    assert row["chrf2_ci_lo"] == round(lo, 6)
+    assert row["chrf2_ci_hi"] == round(hi, 6)
+    assert row["mean_tok_f1"] == round(
+        sum(v[1] for v in pp.values()) / 1e6 / n, 6
+    )
+    assert row["mean_len_ratio"] == round(
+        sum(v[2] for v in pp.values()) / 1e6 / n, 6
+    )
