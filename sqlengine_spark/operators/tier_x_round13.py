@@ -274,3 +274,400 @@ def l_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_len_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_tokens_oov_rate — held-out OOV audit against the train-fold vocab
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_tokens_oov_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id % 2 AS fold, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), train_vocab AS (
+        SELECT DISTINCT w FROM toks WHERE fold = 0
+    ), valid AS (
+        SELECT lang, t.w,
+               CASE WHEN tv.w IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN train_vocab tv ON t.w = tv.w
+        WHERE t.fold = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1e6) / 1e6 + 0 AS oov_rate,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT CASE WHEN oov = 1 THEN w END) AS BIGINT)
+               AS n_oov_types
+    FROM valid GROUP BY lang ORDER BY lang
+    """,
+)
+def l_tokens_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY AUDIT — token and type OOV rates of a held-out
+    fold against the training fold's vocabulary, per language (folds by
+    doc_id parity, the repo's deterministic split convention): the
+    first number a tokenizer/LM owner checks before trusting any
+    downstream perplexity, and the standard drift alarm when a new
+    crawl snapshot lands (OOV spike = domain shift or encoding rot).
+    Complements l_lm_kn_perplexity (which SKIPS oov bigrams and needs
+    this rate alongside to be interpretable).
+
+    Determinism: pure exact counting (vocab membership is an anti-join
+    flag); one division per lang, dround 1e-6.
+
+    Scale: token fan-out is a posexplode (codegen); the vocab is
+    DISTINCT-collapsed before the membership join, which is
+    token-keyed and PLAIN (rule 14a — vocab is Heaps-law unbounded;
+    AQE broadcasts at runtime only if actually small); per-lang rollup
+    is domain-bounded. The distinct-type counts ride the same lang
+    shuffle (Expand, partial-aggregated)."""
+    toks = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("fold"),
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    train_vocab = toks.filter(F.col("fold") == 0).select("w").distinct()
+    valid = (
+        toks.filter(F.col("fold") == 1)
+        .join(
+            train_vocab.withColumn("in_vocab", F.lit(1)),
+            "w",
+            "left",
+        )
+        .select(
+            "lang",
+            "w",
+            F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return (
+        valid.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.countDistinct("w").alias("n_types"),
+            F.countDistinct(
+                F.when(F.col("oov") == 1, F.col("w"))
+            ).alias("n_oov_types"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            dround(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+            "n_types",
+            "n_oov_types",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_lm_kn_perplexity — held-out perplexity under an interpolated
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_lm_kn_perplexity",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id % 2 AS fold, string_split(text, ' ') AS w
+        FROM documents
+    ), g AS (
+        SELECT fold, w[i.i] AS w1, w[i.i + 1] AS w2
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                         AS i) i
+    ), bc AS MATERIALIZED (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM g WHERE fold = 0 GROUP BY w1, w2
+    ), lm1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM bc GROUP BY w1
+    ), lm2 AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bc GROUP BY w2
+    ), tt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bc
+    ), vb AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g WHERE fold = 1 GROUP BY w1, w2
+    ), scored AS (
+        SELECT vb.cnt,
+               CASE WHEN lm1.w1 IS NULL OR lm2.w2 IS NULL THEN NULL
+                    ELSE CAST(FLOOR(ln(
+                        (GREATEST(CAST(COALESCE(bc.c12, 0) AS DOUBLE) - 0.75,
+                                  0.0)
+                         + 0.75 * CAST(lm1.n1f AS DOUBLE)
+                           * CAST(lm2.n1b AS DOUBLE) / CAST(tt.t AS DOUBLE))
+                        / CAST(lm1.c1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               END AS q
+        FROM vb
+        LEFT JOIN bc ON bc.w1 = vb.w1 AND bc.w2 = vb.w2
+        LEFT JOIN lm1 ON lm1.w1 = vb.w1
+        LEFT JOIN lm2 ON lm2.w2 = vb.w2
+        CROSS JOIN tt
+    ), agg AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN q IS NOT NULL THEN cnt ELSE 0 END)
+                    AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN q IS NOT NULL THEN cnt * q ELSE 0 END)
+                    AS BIGINT) AS sq
+        FROM scored
+    )
+    SELECT n_bigrams, n_scored,
+           ROUND(CAST(n_bigrams - n_scored AS DOUBLE)
+                 / CAST(n_bigrams AS DOUBLE) * 1e6) / 1e6 + 0 AS skip_rate,
+           ROUND((0.0 - CAST(sq AS DOUBLE)) / 1e9 / CAST(n_scored AS DOUBLE)
+                 / 0.6931471805599453 * 1e6) / 1e6 + 0 AS ce_bits,
+           ROUND(POWER(2.0, (0.0 - CAST(sq AS DOUBLE)) / 1e9
+                            / CAST(n_scored AS DOUBLE)
+                            / 0.6931471805599453) * 1e6) / 1e6 + 0 AS ppl
+    FROM agg
+    """,
+)
+def l_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT PERPLEXITY under an interpolated KNESER-NEY bigram LM
+    (Kneser & Ney 1995; Chen & Goodman 1998's interpolated variant with
+    fixed discount D=0.75; public method) — the statistical-LM quality
+    number that CCNet-style corpus filters threshold on: train the LM
+    on the even-doc fold, score the odd-doc fold,
+    P(w2|w1) = max(c12-D,0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/T.
+    Continuation counts (how many distinct contexts a word follows)
+    are what make KN the right smoother for skewed corpus
+    distributions — a word seen often in ONE collocation gets a small
+    continuation probability. Bigrams whose context or continuation is
+    unseen in training are SKIPPED and reported as skip_rate (read it
+    next to l_tokens_oov_rate; a full system adds unigram backoff with
+    an unknown-word class — one more join of the same shape).
+
+    Determinism: every model statistic (c12, c1, N1+ fwd/back, T) is
+    an exact BIGINT; P is ONE double expression spelled identically in
+    both engines over those BIGINTs (identical operand order, embedded
+    0.75/ln-2 literals), so ln(P) quantizes to the same 1e9
+    fixed-point BIGINT per distinct valid bigram (rule 11e — the
+    corpus fold is then an exact integer sum, immune to sum order);
+    perplexity = pow(2, ce) on identical doubles.
+
+    Scale: TWO corpus-scale shuffles (train and valid (w1,w2) pair
+    counts — grams via the codegen Generate-over-index form); model
+    marginals derive from the vocab²-bounded pair table (the
+    entropy-rate lesson); bc is localCheckpointed (rule 11a: THREE
+    consumers — the bigram join and both marginal tables). All model
+    joins are vocab-keyed and PLAIN (rule 14a: vocab tables are
+    Heaps-law unbounded; AQE broadcasts at runtime only when small);
+    T is a 1-row broadcast. Valid-side scoring touches DISTINCT valid
+    bigrams (vocab²-bounded), weighted by their counts."""
+    w = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("fold"),
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    g = w.select(
+        "fold",
+        "w",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1)"
+                " ELSE CAST(array() AS ARRAY<INT>) END"
+            )
+        ).alias("i"),
+    ).select(
+        "fold",
+        F.expr("element_at(w, i)").alias("w1"),
+        F.expr("element_at(w, i + 1)").alias("w2"),
+    )
+    bc = (
+        g.filter(F.col("fold") == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()  # rule 11a: three consumers (join + 2 marginals)
+    )
+    lm1 = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    lm2 = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t"))
+    vb = (
+        g.filter(F.col("fold") == 1)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.lit(0.75),
+            F.lit(0.0),
+        )
+        + F.lit(0.75)
+        * F.col("n1f").cast("double")
+        * F.col("n1b").cast("double")
+        / F.col("t").cast("double")
+    ) / F.col("c1").cast("double")
+    q = F.when(
+        F.col("c1").isNull() | F.col("n1b").isNull(), F.lit(None)
+    ).otherwise(F.floor(F.log(p) * 1e9 + 0.5).cast("bigint"))
+    scored = (
+        vb.join(bc, ["w1", "w2"], "left")
+        .join(lm1, "w1", "left")
+        .join(lm2, "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .select("cnt", q.alias("q"))
+    )
+    agg = scored.agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(F.when(F.col("q").isNotNull(), F.col("cnt")).otherwise(0)).alias(
+            "n_scored"
+        ),
+        F.sum(
+            F.when(F.col("q").isNotNull(), F.col("cnt") * F.col("q")).otherwise(
+                0
+            )
+        ).alias("sq"),
+    )
+    ce = (
+        (F.lit(0.0) - F.col("sq").cast("double"))
+        / 1e9
+        / F.col("n_scored").cast("double")
+        / F.lit(0.6931471805599453)
+    )
+    return agg.select(
+        "n_bigrams",
+        "n_scored",
+        dround(
+            (F.col("n_bigrams") - F.col("n_scored")).cast("double")
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("skip_rate"),
+        dround(ce, 6).alias("ce_bits"),
+        dround(F.pow(F.lit(2.0), ce), 6).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_embed_centroid_outliers — label-purity audit by own-centroid cosine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_embed_centroid_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT e.label, e.vec_id, s.i,
+               CAST(ROUND(e.embedding[s.i]::DOUBLE * 1e6) AS BIGINT) AS vq
+        FROM embeddings e,
+             LATERAL (SELECT unnest(generate_series(1, 64)) AS i) s
+    ), cent AS (
+        SELECT label, i, CAST(SUM(vq) AS BIGINT) AS cs
+        FROM m GROUP BY label, i
+    ), cn AS (
+        SELECT label, CAST(SUM(cs * cs) AS BIGINT) AS c2
+        FROM cent GROUP BY label
+    ), mem AS (
+        SELECT m.label, m.vec_id,
+               CAST(SUM(m.vq * c.cs) AS BIGINT) AS dot,
+               CAST(SUM(m.vq * m.vq) AS BIGINT) AS v2
+        FROM m JOIN cent c ON c.label = m.label AND c.i = m.i
+        GROUP BY m.label, m.vec_id
+    ), scored AS (
+        SELECT mem.label, mem.vec_id,
+               CAST(mem.dot AS DOUBLE)
+               / NULLIF(sqrt(CAST(mem.v2 AS DOUBLE)
+                             * CAST(cn.c2 AS DOUBLE)), 0.0) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY mem.label
+                   ORDER BY CAST(mem.dot AS DOUBLE)
+                            / NULLIF(sqrt(CAST(mem.v2 AS DOUBLE)
+                                          * CAST(cn.c2 AS DOUBLE)), 0.0),
+                            mem.vec_id) AS rk
+        FROM mem JOIN cn ON cn.label = mem.label
+    )
+    SELECT label, rk, vec_id,
+           ROUND(cos * 1e6) / 1e6 + 0 AS cos_centroid
+    FROM scored WHERE rk <= 5 ORDER BY label, rk
+    """,
+)
+def l_embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PURITY AUDIT — for every label, the 5 member embeddings
+    LEAST cosine-similar to their own label's centroid: the standard
+    mislabel / contamination detector run before training a classifier
+    head or using labels as retrieval ground truth (SemDeDup's cluster
+    view asks "who is too close"; this asks the complementary "who
+    does not belong"). Members surfacing here are relabel/review
+    candidates.
+
+    Determinism (the all-integer centroid trick): each float32
+    element quantizes to a 1e6 fixed-point BIGINT; the "centroid" is
+    the per-(label, dim) SUM of those integers — cosine is
+    scale-invariant, so cos(v, sum) == cos(v, mean) with NO division
+    by the member count — and every dot/norm is then an EXACT BIGINT
+    sum (immune to sum order in both engines, rule 11e). The only
+    floats are one final division by sqrt(v2*c2) on identical doubles,
+    so the per-member cosine — and therefore the RANKING — is
+    bit-identical across engines (a float centroid's last-ulp
+    reassociation drift could flip adjacent ranks; a rounded one
+    can land on a ROUND-half boundary, rule 9). (vec_id,) breaks
+    exact-cos ties. Overflow headroom: |vq| <= ~2^20, so v2 <= 2^46
+    and per-term dot <= 2^20 * |members| * 2^20 — fine to ~4e5 members
+    per label; past that drop the grid to 1e4 (same trick, 2^13
+    elements). The norm PRODUCT casts to double before multiplying
+    (c2 * v2 would overflow first).
+
+    Scale: one posexplode of the embedding column (64 rows/vector);
+    centroid sums are a (label, dim) partial agg to a DOMAIN-bounded
+    table (|labels| x 64) — broadcast by construction (rule 14a
+    exception: label domain is bounded); the member re-join never
+    shuffles the exploded stream; per-member dots are one
+    (label, vec_id)-keyed agg; bottom-5 per label is a rank-filtered
+    window (InferWindowGroupLimit prunes per-partition)."""
+    e = table(spark, sf_dir, "embeddings")
+    m = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("i0", "valf")
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("valf").cast("double") * 1e6, 0)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    cent = m.groupBy("label", "i").agg(F.sum("vq").alias("cs"))
+    cn = cent.groupBy("label").agg(
+        F.sum(F.col("cs") * F.col("cs")).alias("c2")
+    )
+    mem = (
+        m.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("vq") * F.col("cs")).alias("dot"),
+            F.sum(F.col("vq") * F.col("vq")).alias("v2"),
+        )
+    )
+    denom = F.sqrt(F.col("v2").cast("double") * F.col("c2").cast("double"))
+    cos = F.col("dot").cast("double") / F.when(
+        denom == 0.0, F.lit(None)
+    ).otherwise(denom)
+    scored = mem.join(F.broadcast(cn), "label").select(
+        "label", "vec_id", cos.alias("cos")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = scored.select(
+        "label",
+        "vec_id",
+        "cos",
+        F.row_number()
+        .over(W.partitionBy("label").orderBy("cos", "vec_id"))
+        .alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .select("label", "rk", "vec_id", dround(F.col("cos"), 6).alias("cos_centroid"))
+        .orderBy("label", "rk")
+    )

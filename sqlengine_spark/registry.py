@@ -105,6 +105,9 @@ PRIORITY_ORDER = (
     #    keys always lead the tail; they earn driver rows in r14). --
     "j_stream_session_timeout",
     "l_eval_report",
+    "l_tokens_oov_rate",
+    "l_lm_kn_perplexity",
+    "l_embed_centroid_outliers",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

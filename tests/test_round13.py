@@ -138,3 +138,134 @@ def test_eval_report_matches_python_recompute(spark):
     assert row["mean_len_ratio"] == round(
         sum(v[2] for v in pp.values()) / 1e6 / n, 6
     )
+
+
+def test_oov_rate_matches_python_recompute(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    train_vocab = set()
+    for r in docs:
+        if r["doc_id"] % 2 == 0:
+            train_vocab.update(r["text"].split(" "))
+    per_lang: dict = {}
+    for r in docs:
+        if r["doc_id"] % 2 == 1:
+            st = per_lang.setdefault(
+                r["lang"], {"n": 0, "oov": 0, "types": set(), "oov_types": set()}
+            )
+            for w in r["text"].split(" "):
+                st["n"] += 1
+                st["types"].add(w)
+                if w not in train_vocab:
+                    st["oov"] += 1
+                    st["oov_types"].add(w)
+    got = {
+        r["lang"]: (
+            r["n_tokens"],
+            r["n_oov"],
+            r["oov_rate"],
+            r["n_types"],
+            r["n_oov_types"],
+        )
+        for r in all_queries()["l_tokens_oov_rate"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(got) == set(per_lang)
+    for lang, st in per_lang.items():
+        assert got[lang] == (
+            st["n"],
+            st["oov"],
+            round(st["oov"] / st["n"], 6),
+            len(st["types"]),
+            len(st["oov_types"]),
+        )
+
+
+def test_kn_perplexity_matches_python_recompute(spark):
+    import math
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    bc: Counter = Counter()
+    vb: Counter = Counter()
+    for r in docs:
+        ws = r["text"].split(" ")
+        tgt = bc if r["doc_id"] % 2 == 0 else vb
+        for a, b in zip(ws, ws[1:]):
+            tgt[(a, b)] += 1
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1b: Counter = Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    T = len(bc)
+    n_total = sum(vb.values())
+    n_scored = sq = 0
+    for (a, b), cnt in vb.items():
+        if a not in c1 or b not in n1b:
+            continue
+        p = (max(bc.get((a, b), 0) - 0.75, 0.0) + 0.75 * n1f[a] * n1b[b] / T) / c1[a]
+        sq += cnt * math.floor(math.log(p) * 1e9 + 0.5)
+        n_scored += cnt
+    ce = -sq / 1e9 / n_scored / math.log(2)
+    [row] = all_queries()["l_lm_kn_perplexity"](spark, SF_DIR_SMALL).collect()
+    assert row["n_bigrams"] == n_total
+    assert row["n_scored"] == n_scored
+    assert row["skip_rate"] == round((n_total - n_scored) / n_total, 6)
+    assert row["ce_bits"] == round(ce, 6)
+    assert row["ppl"] == round(2.0**ce, 6)
+    # a held-out KN bigram perplexity must beat the unigram ceiling and
+    # exceed 1 (sanity bounds, not exact values)
+    assert 1.0 < row["ppl"]
+
+
+def test_centroid_outliers_matches_numpy_recompute(spark):
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    per_label: dict = {}
+    for r in emb:
+        vq = np.round(np.array(r["embedding"], dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        per_label.setdefault(r["label"], []).append((r["vec_id"], vq))
+    expect = []
+    for label in sorted(per_label):
+        members = per_label[label]
+        cs = np.sum([v for _, v in members], axis=0)
+        c2 = float(np.dot(cs, cs))
+        scored = []
+        for vid, vq in members:
+            v2 = float(np.dot(vq, vq))
+            denom = math_sqrt(v2 * c2)
+            cos = float(np.dot(vq, cs)) / denom if denom else None
+            scored.append((cos, vid))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        for rk, (cos, vid) in enumerate(scored[:5], 1):
+            expect.append((label, rk, vid, round(cos, 6)))
+    got = [
+        (r["label"], r["rk"], r["vec_id"], r["cos_centroid"])
+        for r in all_queries()["l_embed_centroid_outliers"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    ]
+    assert got == expect
+
+
+def math_sqrt(x: float) -> float:
+    import math
+
+    return math.sqrt(x)
