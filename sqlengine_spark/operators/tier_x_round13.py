@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from sqlengine_spark.functions import dround
 from sqlengine_spark.registry import query
-from sqlengine_spark.session import table
+from sqlengine_spark.session import scatter, table
 from sqlengine_spark.operators.tier_w_round12 import _BOOT_B, _pois_case_sql
 
 # Poisson(1) draw keyed on (pair_id, replicate) — same embedded
@@ -151,7 +151,11 @@ def l_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen-projected draws per PAIR (not per token). The pair join is
     pair-keyed (corpus-growing, plain — rule 14a). Nothing pairwise in
     the corpus, state bounded by |pairs| x B."""
-    base = table(spark, sf_dir, "documents").select(
+    # scatter: the char-gram fan-out is map-HEAVY with near-unique
+    # (pair, gram) keys (no map-side compression), exactly the pin-15b
+    # adoption class — omitting it measured 21.6 s at x100 on the
+    # single-split fixture (no-op at corpus scale).
+    base = scatter(spark, table(spark, sf_dir, "documents")).select(
         F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
         F.col("text"),
@@ -625,8 +629,23 @@ def l_embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exception: label domain is bounded); the member re-join never
     shuffles the exploded stream; per-member dots are one
     (label, vec_id)-keyed agg; bottom-5 per label is a rank-filtered
-    window (InferWindowGroupLimit prunes per-partition)."""
-    e = table(spark, sf_dir, "embeddings")
+    window (InferWindowGroupLimit prunes per-partition).
+
+    x100 floor attribution (r13, paired fresh-plan reps): the full op
+    medians 1.35-1.83 s while a bare posexplode+count of the SAME
+    6.4M-row stream costs 1.59 s — the cost IS Spark's generate
+    machinery, not the plan; a vectorized mapInPandas/numpy rewrite
+    (partial centroid sums per Arrow batch + broadcast int64 GEMM
+    scoring, the l_sim_join_gemm pattern) measured 1.28 vs 1.35
+    median — within noise, because Arrow transfer of the embedding
+    arrays replaces the explode almost 1:1. Ratio vs the 0.26 s
+    single-process denominator stays >2; marginal cost per 9x more
+    data is +0.68 s vs +0.22 s. Kept declarative (JVM-only, simpler,
+    same scale shape)."""
+    # scatter: the 64-wide posexplode fan-out is map-heavy and the
+    # single-split fixture file serializes it (pin 15b; paired x100
+    # medians 1.35 scattered vs 1.89 not; no-op at corpus scale)
+    e = scatter(spark, table(spark, sf_dir, "embeddings"))
     m = e.select(
         "label", "vec_id", F.posexplode("embedding").alias("i0", "valf")
     ).select(
