@@ -259,6 +259,12 @@ CARTESIAN_WHITELIST = {
     "l_eval_bootstrap_ci",      # 1-row CI-picks broadcast onto the
                                 # 1-row point-estimate aggregate
     "l_eval_paired_bootstrap",  # same 1-row broadcast shape
+    "l_eval_report",            # 1-row CI-picks broadcast onto the
+                                # 1-row report aggregate (the
+                                # l_eval_bootstrap_ci class)
+    "l_lm_kn_perplexity",       # 1-row bigram-type-total broadcast onto
+                                # the vocab²-bounded distinct valid
+                                # bigram table
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
     "m_mix_shift_decomp",       # 1-row period-totals broadcast over the
@@ -325,6 +331,8 @@ GLOBAL_WINDOW_WHITELIST = {
                             # replicate-mean rows (a pipeline
                             # constant), never the corpus
     "l_eval_paired_bootstrap",  # same B=200-row order-statistic window
+    "l_eval_report",        # same B=200-row order-statistic window
+                            # (the composed-report CI picks)
     "i_monotonic_id_rank",  # filter-bounded input, docstring-scoped
     "m_ts_forecast_eval",   # LEAD over the CALENDAR-bounded day series
                             # (|days| rows after the daily cents
