@@ -99,6 +99,12 @@ HEADLINE = [
                              # map-only distributed-bootstrap class;
                              # 0.20x at x100 post hex-compare +
                              # scatter (BASELINE.md round-12 notes)
+    "l_eval_report",         # round 13: the composed eval artifact
+                             # (chrF2 + token-F1 + length ratio + CI
+                             # in one job) — tracks the multi-metric
+                             # report class; x100 0.65x CROSSOVER
+                             # after the scatter fix (BASELINE.md
+                             # round-13 notes)
     "l_graph_triangles",     # round 9: benched after the edge-iterator
                              # rewrite (adjacency-array intersects
                              # in-task instead of shuffling the 41M-row
