@@ -690,3 +690,194 @@ def l_embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "rk", "vec_id", dround(F.col("cos"), 6).alias("cos_centroid"))
         .orderBy("label", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_langid_confusion — classifier eval: per-class P/R/F1 + macro-F1
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_langid_confusion",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   generate_series(1, greatest(length(text) - 2, 1)),
+                   i -> substring(text, i, 3))) AS tri
+        FROM documents
+    ), doc_tf AS (
+        SELECT doc_id, tri, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tri GROUP BY doc_id, tri
+    ), lt AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot FROM tri GROUP BY lang
+    ), prof AS (
+        SELECT t.lang, t.tri,
+               CAST(FLOOR(COUNT(*) / CAST(lt.tot AS DOUBLE) * 1e12 + 0.5)
+                    AS BIGINT) AS pq
+        FROM tri t JOIN lt ON lt.lang = t.lang
+        GROUP BY t.lang, t.tri, lt.tot
+    ), scores AS (
+        SELECT d.doc_id, p.lang, CAST(SUM(d.tf * p.pq) AS BIGINT) AS si
+        FROM doc_tf d JOIN prof p ON p.tri = d.tri
+        GROUP BY d.doc_id, p.lang
+    ), pred AS (
+        SELECT doc_id, lang AS pred_lang
+        FROM (SELECT doc_id, lang, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY si DESC, lang) AS rn
+              FROM scores)
+        WHERE rn = 1
+    ), joined AS (
+        SELECT d.lang AS true_lang, p.pred_lang
+        FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    ), cls AS (
+        SELECT l.lang,
+               CAST(COALESCE(tc.n_true, 0) AS BIGINT) AS n_true,
+               CAST(COALESCE(pc.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(COALESCE(cc.n_correct, 0) AS BIGINT) AS n_correct
+        FROM (SELECT DISTINCT lang FROM documents) l
+        LEFT JOIN (SELECT true_lang, COUNT(*) AS n_true FROM joined
+                   GROUP BY true_lang) tc ON tc.true_lang = l.lang
+        LEFT JOIN (SELECT pred_lang, COUNT(*) AS n_pred FROM joined
+                   GROUP BY pred_lang) pc ON pc.pred_lang = l.lang
+        LEFT JOIN (SELECT true_lang, COUNT(*) AS n_correct FROM joined
+                   WHERE true_lang = pred_lang
+                   GROUP BY true_lang) cc ON cc.true_lang = l.lang
+    ), f AS (
+        SELECT lang, n_true, n_pred, n_correct,
+               CASE WHEN n_pred = 0 THEN 0.0
+                    ELSE CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE)
+               END AS p_raw,
+               CASE WHEN n_true = 0 THEN 0.0
+                    ELSE CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE)
+               END AS r_raw,
+               CASE WHEN n_correct = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(
+                        CAST(2 * n_correct AS DOUBLE)
+                        / CAST(n_pred + n_true AS DOUBLE) * 1e6) AS BIGINT)
+               END AS f1_fp
+        FROM cls
+    )
+    SELECT lang, n_true, n_pred, n_correct,
+           ROUND(p_raw * 1e6) / 1e6 + 0 AS precision_,
+           ROUND(r_raw * 1e6) / 1e6 + 0 AS recall_,
+           CAST(f1_fp AS DOUBLE) / 1e6 + 0 AS f1
+    FROM f
+    UNION ALL
+    SELECT '~macro', CAST(SUM(n_true) AS BIGINT),
+           CAST(SUM(n_pred) AS BIGINT), CAST(SUM(n_correct) AS BIGINT),
+           ROUND(CAST(SUM(n_correct) AS DOUBLE)
+                 / CAST(SUM(n_true) AS DOUBLE) * 1e6) / 1e6 + 0,
+           ROUND(CAST(SUM(n_correct) AS DOUBLE)
+                 / CAST(SUM(n_true) AS DOUBLE) * 1e6) / 1e6 + 0,
+           ROUND(CAST(SUM(f1_fp) AS DOUBLE) / COUNT(*)) / 1e6 + 0
+    FROM f
+    ORDER BY lang
+    """,
+)
+def l_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVAL REPORT for the in-engine language-ID: per-class
+    precision / recall / F1 of l_text_langid's trigram-profile argmax
+    against the labeled lang column, plus a '~macro' summary row
+    (micro-P = micro-R = accuracy since every doc gets exactly one
+    prediction; macro-F1 = mean of per-class F1) — the multi-class
+    eval surface (confusion rollup, not just accuracy) that the binary
+    eval family (AUC/ECE/McNemar) doesn't cover. On this synthetic
+    same-vocabulary corpus labels carry no signal, so the macro-F1
+    hovers at chance — the op's check is determinism and algebra
+    (pytest recompute), exactly like l_text_langid itself.
+
+    Determinism: predictions reuse l_text_langid's exact-integer
+    scoring (1e-12 fixed-point profile quantization, (si DESC, lang)
+    total-order argmax — the oracle inlines that op's oracle CTE chain
+    verbatim); per-class F1 quantizes 2·correct/(pred+true) to a 1e6
+    fixed-point BIGINT so the macro mean is an exact integer sum /
+    |classes| (rule 11e).
+
+    Scale: everything downstream of the langid scoring join is
+    domain-bounded (|langs| rows); the scoring pipeline itself is
+    l_text_langid's (linear trigram explode, broadcast profiles,
+    WindowGroupLimit argmax). The macro row rides a second pass over
+    the |langs|-row class table — free."""
+    from sqlengine_spark.operators.tier_l_llm import l_text_langid
+
+    pred = l_text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    joined = d.join(pred, "doc_id")
+    langs = d.select(F.col("true_lang").alias("lang")).distinct()
+    tc = joined.groupBy("true_lang").agg(F.count(F.lit(1)).alias("n_true"))
+    pc = joined.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_pred"))
+    cc = (
+        joined.filter(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy("true_lang")
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    cls = (
+        langs.join(tc, langs.lang == tc.true_lang, "left")
+        .join(pc, langs.lang == pc.pred_lang, "left")
+        .join(cc, langs.lang == cc.true_lang, "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("n_correct"), F.lit(0)).alias("n_correct"),
+        )
+    )
+    f1_fp = F.when(F.col("n_correct") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.round(
+            (2 * F.col("n_correct")).cast("double")
+            / (F.col("n_pred") + F.col("n_true")).cast("double")
+            * 1e6,
+            0,
+        ).cast("bigint")
+    )
+    f = cls.select("lang", "n_true", "n_pred", "n_correct", f1_fp.alias("f1_fp"))
+    per_class = f.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        dround(
+            F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+                F.col("n_correct").cast("double")
+                / F.col("n_pred").cast("double")
+            ),
+            6,
+        ).alias("precision_"),
+        dround(
+            F.when(F.col("n_true") == 0, F.lit(0.0)).otherwise(
+                F.col("n_correct").cast("double")
+                / F.col("n_true").cast("double")
+            ),
+            6,
+        ).alias("recall_"),
+        (F.col("f1_fp").cast("double") / 1e6 + F.lit(0.0)).alias("f1"),
+    )
+    macro = f.agg(
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_correct").alias("n_correct"),
+        F.sum("f1_fp").alias("sf1"),
+        F.count(F.lit(1)).alias("k"),
+    ).select(
+        F.lit("~macro").alias("lang"),
+        "n_true",
+        "n_pred",
+        "n_correct",
+        dround(
+            F.col("n_correct").cast("double") / F.col("n_true").cast("double"),
+            6,
+        ).alias("precision_"),
+        dround(
+            F.col("n_correct").cast("double") / F.col("n_true").cast("double"),
+            6,
+        ).alias("recall_"),
+        (
+            F.round(F.col("sf1").cast("double") / F.col("k").cast("double"), 0)
+            / 1e6
+            + F.lit(0.0)
+        ).alias("f1"),
+    )
+    return per_class.unionByName(macro).orderBy("lang")

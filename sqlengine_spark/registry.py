@@ -108,6 +108,7 @@ PRIORITY_ORDER = (
     "l_tokens_oov_rate",
     "l_lm_kn_perplexity",
     "l_embed_centroid_outliers",
+    "l_langid_confusion",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

@@ -269,3 +269,58 @@ def math_sqrt(x: float) -> float:
     import math
 
     return math.sqrt(x)
+
+
+def test_langid_confusion_matches_python_recompute(spark):
+    """Recompute the per-class table from l_text_langid's own output
+    (which has its own oracle + recompute lineage) and the labels;
+    check P/R/F1 algebra, the fixed-point macro mean, and that micro
+    accuracy equals sum(correct)/sum(true)."""
+    preds = {
+        r["doc_id"]: r["pred_lang"]
+        for r in all_queries()["l_text_langid"](spark, SF_DIR_SMALL).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    langs = sorted({r["lang"] for r in docs})
+    n_true = Counter()
+    n_pred = Counter()
+    n_corr = Counter()
+    for r in docs:
+        t, p = r["lang"], preds[r["doc_id"]]
+        n_true[t] += 1
+        n_pred[p] += 1
+        if t == p:
+            n_corr[t] += 1
+    rows = all_queries()["l_langid_confusion"](spark, SF_DIR_SMALL).collect()
+    by_lang = {r["lang"]: r for r in rows}
+    assert set(by_lang) == set(langs) | {"~macro"}
+    f1s = []
+    for lang in langs:
+        r = by_lang[lang]
+        assert (r["n_true"], r["n_pred"], r["n_correct"]) == (
+            n_true[lang],
+            n_pred[lang],
+            n_corr[lang],
+        )
+        p = n_corr[lang] / n_pred[lang] if n_pred[lang] else 0.0
+        rc = n_corr[lang] / n_true[lang] if n_true[lang] else 0.0
+        f1_fp = (
+            round(2 * n_corr[lang] / (n_pred[lang] + n_true[lang]) * 1e6)
+            if n_corr[lang]
+            else 0
+        )
+        assert r["precision_"] == round(p, 6)
+        assert r["recall_"] == round(rc, 6)
+        assert r["f1"] == f1_fp / 1e6
+        f1s.append(f1_fp)
+    m = by_lang["~macro"]
+    total_true = sum(n_true.values())
+    total_corr = sum(n_corr.values())
+    assert m["n_true"] == total_true == len(docs)
+    assert m["n_pred"] == total_true  # every doc predicted exactly once
+    assert m["precision_"] == m["recall_"] == round(total_corr / total_true, 6)
+    assert m["f1"] == round(sum(f1s) / len(f1s)) / 1e6
