@@ -881,3 +881,162 @@ def l_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f1"),
     )
     return per_class.unionByName(macro).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# l_heaps_law_fit — vocabulary-growth exponent (Heaps' law)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_heaps_law_fit",
+    oracle="""
+    WITH nn AS (
+        SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents
+    ), th AS (
+        SELECT f.k,
+               CAST(CEIL(CAST((nn.mx + 1) AS DOUBLE)
+                         / POWER(2.0, 4 - f.k)) - 1 AS BIGINT) AS t
+        FROM nn, (SELECT unnest(generate_series(0, 4)) AS k) f
+    ), tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), first_seen AS (
+        SELECT w, CAST(MIN(doc_id) AS BIGINT) AS fd FROM tok GROUP BY w
+    ), doc_counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY doc_id
+    ), cp AS (
+        SELECT th.k, th.t,
+               (SELECT CAST(SUM(n_tok) AS BIGINT) FROM doc_counts
+                WHERE doc_id <= th.t) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen
+                WHERE fd <= th.t) AS vocab
+        FROM th
+    ), q AS (
+        SELECT k,
+               CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT) AS xq,
+               CAST(FLOOR(ln(CAST(vocab AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT) AS yq,
+               n_tokens, vocab
+        FROM cp
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(xq) AS BIGINT) AS sx,
+               CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+               CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(MAX(vocab) AS BIGINT) AS vocab
+        FROM q
+    )
+    SELECT m AS n_checkpoints, n_tokens, vocab,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE) * 1e6) / 1e6 + 0
+               AS beta,
+           ROUND(exp((CAST(sy AS DOUBLE)
+                      - CAST(m * sxy - sx * sy AS DOUBLE)
+                        / CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(m AS DOUBLE) / 1e6) * 1e4) / 1e4 + 0 AS k_coef
+    FROM s
+    """,
+)
+def l_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW FIT — the vocabulary-growth exponent V(n) ≈ K·n^β
+    (Heaps 1978; public method), estimated by least squares on
+    (ln n, ln V) at five geometric corpus-prefix checkpoints (doc_id
+    prefixes at 1/16, 1/8, 1/4, 1/2, 1 of the corpus). β is the number
+    this repo's own broadcast rule (14a) leans on — "vocabulary is
+    Heaps-law unbounded" — made measurable: β near 1 flags an
+    open-vocabulary / junk-token corpus (unbounded embedding tables,
+    exploding dedup shingle spaces), β ≪ 1 a saturating one; corpus
+    curators track it across crawl snapshots.
+
+    Determinism: prefix vocab sizes come from per-token FIRST-SEEN
+    doc ids (min over exact BIGINTs) compared to integer thresholds —
+    no ordering dependence; ln of exact integers quantizes to 1e6
+    fixed-point BIGINTs and the regression normal equations are EXACT
+    integer sums/products (products ≤ (1.7e7)² ≈ 3e14, well inside
+    BIGINT even ×5), so slope and intercept are ratios of identical
+    BIGINTs in both engines; one exp at the end on identical doubles.
+
+    Scale: one token fan-out → per-token MIN(doc_id) (vocab-bounded
+    partial agg — the same shuffle class as every *count* op here) and
+    per-doc token counts (doc-keyed); checkpoints are 5 conditional
+    sums over those two bounded tables (flags computed per row, no
+    Expand, no per-checkpoint rescan). The prefix definition is
+    doc_id order — the corpus's stable ingest order — so the whole fit
+    is one pass over the token stream."""
+    d = table(spark, sf_dir, "documents")
+    nn = d.agg(F.max("doc_id").alias("mx"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    doc_counts = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ks = spark.range(5).select(F.col("id").cast("int").alias("k"))
+    th = ks.crossJoin(F.broadcast(nn)).select(
+        "k",
+        (
+            F.ceil(
+                (F.col("mx") + 1).cast("double")
+                / F.pow(F.lit(2.0), 4 - F.col("k"))
+            )
+            - 1
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    # conditional sums against the two bounded tables: each checkpoint
+    # is a flag, evaluated in ONE pass per table (broadcast the 5-row
+    # threshold table)
+    cp_tok = (
+        doc_counts.crossJoin(F.broadcast(th))
+        .filter(F.col("doc_id") <= F.col("t"))
+        .groupBy("k", "t")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    cp_voc = (
+        first_seen.crossJoin(F.broadcast(th))
+        .filter(F.col("fd") <= F.col("t"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    q = cp_tok.join(cp_voc, "k").select(
+        "k",
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("xq"),
+        F.floor(F.log(F.col("vocab").cast("double")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("yq"),
+        "n_tokens",
+        "vocab",
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("vocab").alias("vocab"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("m").alias("n_checkpoints"),
+        "n_tokens",
+        "vocab",
+        dround(slope, 6).alias("beta"),
+        dround(
+            F.exp(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("m").cast("double")
+                / F.lit(1e6)
+            ),
+            4,
+        ).alias("k_coef"),
+    )

@@ -109,6 +109,7 @@ PRIORITY_ORDER = (
     "l_lm_kn_perplexity",
     "l_embed_centroid_outliers",
     "l_langid_confusion",
+    "l_heaps_law_fit",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

@@ -265,6 +265,10 @@ CARTESIAN_WHITELIST = {
     "l_lm_kn_perplexity",       # 1-row bigram-type-total broadcast onto
                                 # the vocab²-bounded distinct valid
                                 # bigram table
+    "l_heaps_law_fit",          # 5-row checkpoint-threshold broadcast
+                                # (a pipeline constant) over the two
+                                # bounded count tables + a 1-row
+                                # max-doc-id broadcast
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
     "m_mix_shift_decomp",       # 1-row period-totals broadcast over the
