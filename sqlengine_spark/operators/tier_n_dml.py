@@ -473,3 +473,115 @@ def n_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(*dirs)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
+
+
+@query(
+    "n_delete_cascade",
+    oracle="""
+    WITH del_cust AS (
+        SELECT c_custkey FROM customer
+        WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'
+    ), del_ord AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ), del_li AS (
+        SELECT COUNT(*) AS n FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_ord)
+    ), c AS (SELECT COUNT(*) AS n FROM customer),
+    o AS (SELECT COUNT(*) AS n FROM orders),
+    l AS (SELECT COUNT(*) AS n FROM lineitem),
+    dc AS (SELECT COUNT(*) AS n FROM del_cust),
+    do_ AS (SELECT COUNT(*) AS n FROM del_ord)
+    SELECT 'customer' AS entity,
+           CAST(c.n AS BIGINT) AS n_before,
+           CAST(dc.n AS BIGINT) AS n_deleted,
+           CAST(c.n - dc.n AS BIGINT) AS n_after,
+           CAST(0 AS BIGINT) AS n_orphans
+    FROM c, dc
+    UNION ALL
+    SELECT 'lineitem', CAST(l.n AS BIGINT), CAST(del_li.n AS BIGINT),
+           CAST(l.n - del_li.n AS BIGINT), CAST(0 AS BIGINT)
+    FROM l, del_li
+    UNION ALL
+    SELECT 'orders', CAST(o.n AS BIGINT), CAST(do_.n AS BIGINT),
+           CAST(o.n - do_.n AS BIGINT), CAST(0 AS BIGINT)
+    FROM o, do_
+    ORDER BY entity
+    """,
+)
+def n_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN CASCADE — delete a deterministic batch of
+    customers (first md5 hex nibble of the key = '0', ~1/16 — the
+    stand-in for a GDPR/CCPA deletion-request batch) and CASCADE
+    through the foreign-key chain: their orders, then those orders'
+    lineitems. All three new snapshots are WRITTEN copy-on-write and
+    READ BACK (the tier-N commit contract), and the result is the
+    audit table every deletion pipeline must produce: per entity,
+    rows before / deleted / after, plus an ORPHAN count recomputed
+    from the read-back snapshots (orders' without a surviving
+    customer, lineitems' without a surviving order) — the referential-
+    integrity proof, asserted zero in the oracle and COMPUTED, not
+    assumed, on the Spark side.
+
+    Determinism: the deletion batch is a pure md5 function of the key;
+    everything else is exact counting.
+
+    Scale: the cascade is two key-partitioned LEFT SEMI/ANTI joins
+    (custkey, then orderkey) — the deleted-key sets are small
+    fractions so AQE broadcasts them at runtime, but nothing is pinned
+    broadcast (a mass-deletion batch can be corpus-sized; rule 14a);
+    rewrites are full copy-on-write here — a lakehouse table would
+    prune untouched files and rewrite only matching ones, same
+    dataflow; the orphan audit is two more anti-joins over the new
+    snapshots. Orphans are read back from DISK, so the audit would
+    catch a lost file, not just a wrong plan."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    del_cust = c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "0"
+    ).select("c_custkey")
+    del_ord = o.join(
+        del_cust, o.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    c2 = c.join(del_cust, "c_custkey", "left_anti")
+    o2 = o.join(del_cust, o.o_custkey == del_cust.c_custkey, "left_anti")
+    li2 = li.join(del_ord, li.l_orderkey == del_ord.o_orderkey, "left_anti")
+    paths = {}
+    for name, df in (("customer", c2), ("orders", o2), ("lineitem", li2)):
+        p = _scratch(f"cascade_{name}")
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = (p, df.schema)
+    c2r = spark.read.schema(paths["customer"][1]).parquet(paths["customer"][0])
+    o2r = spark.read.schema(paths["orders"][1]).parquet(paths["orders"][0])
+    li2r = spark.read.schema(paths["lineitem"][1]).parquet(paths["lineitem"][0])
+
+    def counts(name, before_df, after_df, orphan_df):
+        return (
+            before_df.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(after_df.agg(F.count(F.lit(1)).alias("n_after")))
+            .crossJoin(orphan_df.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("entity"),
+                "n_before",
+                (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+                "n_after",
+                "n_orphans",
+            )
+        )
+
+    orphan_orders = o2r.join(
+        c2r.select("c_custkey"), o2r.o_custkey == F.col("c_custkey"), "left_anti"
+    )
+    orphan_li = li2r.join(
+        o2r.select("o_orderkey"),
+        li2r.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    empty_orphans = c2r.limit(0)
+    return (
+        counts("customer", c, c2r, empty_orphans)
+        .unionByName(counts("orders", o, o2r, orphan_orders))
+        .unionByName(counts("lineitem", li, li2r, orphan_li))
+        .orderBy("entity")
+    )

@@ -269,6 +269,11 @@ CARTESIAN_WHITELIST = {
                                 # (a pipeline constant) over the two
                                 # bounded count tables + a 1-row
                                 # max-doc-id broadcast
+    "n_delete_cascade",         # audit-row assembly: 1-row count
+                                # aggregates cross-joined into the
+                                # 3-row report (the ztest scalar-
+                                # readout class); cascade joins are
+                                # key-partitioned semi/anti
     "l_token_gini_select",      # 1-row (N, P) label-total broadcast over
                                 # the vocab-bounded per-token count table
     "m_mix_shift_decomp",       # 1-row period-totals broadcast over the

@@ -373,3 +373,37 @@ def test_heaps_fit_matches_python_recompute(spark):
     # so beta is exactly 0.0 here — a fixture artifact (the same reason
     # langid accuracy sits at chance), not an operator property
     assert 0.0 <= row["beta"] <= 1.0
+
+
+def test_delete_cascade_matches_python_recompute(spark):
+    import hashlib
+
+    cust = spark.read.parquet(f"{SF_DIR_SMALL}/customer.parquet").select(
+        "c_custkey"
+    ).collect()
+    orders = spark.read.parquet(f"{SF_DIR_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = spark.read.parquet(f"{SF_DIR_SMALL}/lineitem.parquet").select(
+        "l_orderkey"
+    ).collect()
+    del_cust = {
+        r["c_custkey"]
+        for r in cust
+        if hashlib.md5(str(r["c_custkey"]).encode()).hexdigest()[0] == "0"
+    }
+    del_ord = {r["o_orderkey"] for r in orders if r["o_custkey"] in del_cust}
+    n_del_li = sum(1 for r in li if r["l_orderkey"] in del_ord)
+    rows = {
+        r["entity"]: r
+        for r in all_queries()["n_delete_cascade"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert rows["customer"]["n_deleted"] == len(del_cust)
+    assert rows["orders"]["n_deleted"] == len(del_ord)
+    assert rows["lineitem"]["n_deleted"] == n_del_li
+    for e in ("customer", "orders", "lineitem"):
+        r = rows[e]
+        assert r["n_before"] == r["n_deleted"] + r["n_after"]
+        assert r["n_orphans"] == 0
