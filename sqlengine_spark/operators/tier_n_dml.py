@@ -534,7 +534,14 @@ def n_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune untouched files and rewrite only matching ones, same
     dataflow; the orphan audit is two more anti-joins over the new
     snapshots. Orphans are read back from DISK, so the audit would
-    catch a lost file, not just a wrong plan."""
+    catch a lost file, not just a wrong plan.
+
+    Perf note: stress ratios for this op are not plan signals — the
+    Spark side physically writes and re-reads three snapshots (~7M
+    rows at x100, 3.3 s) while the count-only oracle never writes; the
+    honest number is the absolute write+audit wall time, which scales
+    with rewritten bytes (lakehouse file pruning is the production
+    lever, as for every tier-N op)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
