@@ -326,6 +326,10 @@ LINT_SKIP = {
     "a_scan_csv_malformed",  # stages the landing csv at build time
     "a_sink_zorder",  # stats scalars + clustered rewrite at build time
     "a_maintenance_compaction",  # stages + compacts files at build time
+    "j_stream_quality_gate",  # runs the full gate stream at build
+    # (r12 oversight, caught r13 — it executed inside the plan sweep)
+    "j_stream_session_timeout",  # runs the wave-fed timer stream at build
+    "n_delete_cascade",  # writes + reads back 3 snapshots at build
 }
 
 
