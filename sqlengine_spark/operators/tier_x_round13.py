@@ -1040,3 +1040,100 @@ def l_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("k_coef"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_distinct_ngram_diversity — distinct-1/2/3 per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_distinct_ngram_diversity",
+    oracle="""
+    WITH w AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT source, 1 AS n, w[i.i] AS g
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)))
+                         AS i) i
+        UNION ALL
+        SELECT source, 2 AS n, array_to_string(w[i.i:i.i + 1], ' ') AS g
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                         AS i) i
+        UNION ALL
+        SELECT source, 3 AS n, array_to_string(w[i.i:i.i + 2], ' ') AS g
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
+                         AS i) i
+    ), c AS (
+        SELECT source, n,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+        FROM g GROUP BY source, n
+    )
+    SELECT source, n,
+           n_grams, n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                 * 1e6) / 1e6 + 0 AS distinct_ratio
+    FROM c ORDER BY source, n
+    """,
+)
+def l_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-N DIVERSITY — distinct-1/2/3 ratios per source (Li et
+    al. 2016, "A Diversity-Promoting Objective Function for Neural
+    Conversation Models"; public method): the standard degenerate-
+    generation alarm — a source whose distinct-2 collapses is emitting
+    templated/looping text (model output recycled into a crawl, spam
+    farms, boilerplate mirrors). Read next to l_dup_ngram_rate (which
+    is per-DOC duplicate mass; this is per-SOURCE type/token ratio)
+    and l_ngram_entropy_rate (sequential predictability).
+
+    Determinism: pure exact counting — gram strings are exact
+    substring joins; one ratio per (source, n), dround 1e-6.
+
+    Scale: ONE fan-out of 3 gram orders per token position (codegen
+    Generate over a plain index sequence; the n<=3 inner fan-out is a
+    constant factor, and slice() runs on the once-per-row array below
+    the Generate); the (source, n, gram)-keyed distinct collapse
+    partial-aggregates map-side, then a domain-bounded
+    (|sources| x 3)-row rollup. No scatter (the distinct collapse is
+    the compressing-fan-out class, pin 16a). Never pairwise."""
+    w = table(spark, sf_dir, "documents").select(
+        "source", F.split(F.col("text"), " ").alias("w")
+    )
+    g = (
+        w.select(
+            "source",
+            "w",
+            F.explode(F.expr("sequence(1, 3)")).alias("n"),
+        )
+        .select(
+            "source",
+            "w",
+            "n",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= n THEN sequence(1, size(w) - n + 1)"
+                    " ELSE CAST(array() AS ARRAY<INT>) END"
+                )
+            ).alias("i"),
+        )
+        .select(
+            "source",
+            "n",
+            F.expr("array_join(slice(w, i, n), ' ')").alias("g"),
+        )
+    )
+    c = g.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+    )
+    return c.select(
+        "source",
+        "n",
+        "n_grams",
+        "n_distinct",
+        dround(
+            F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+    ).orderBy("source", "n")

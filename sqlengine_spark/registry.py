@@ -111,6 +111,7 @@ PRIORITY_ORDER = (
     "l_langid_confusion",
     "l_heaps_law_fit",
     "n_delete_cascade",
+    "l_distinct_ngram_diversity",
     # -- tail: the re-verification ladder continues oldest-first
     #    (cohort = latest driver CORRECTNESS row; oracled keys before
     #    rows-only within a cohort, alphabetical within). Each future

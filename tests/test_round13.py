@@ -407,3 +407,33 @@ def test_delete_cascade_matches_python_recompute(spark):
         r = rows[e]
         assert r["n_before"] == r["n_deleted"] + r["n_after"]
         assert r["n_orphans"] == 0
+
+
+def test_distinct_ngram_diversity_matches_python_recompute(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    stats: dict = {}
+    for r in docs:
+        ws = r["text"].split(" ")
+        for n in (1, 2, 3):
+            key = (r["source"], n)
+            tot, seen = stats.setdefault(key, [0, set()])
+            for i in range(len(ws) - n + 1):
+                stats[key][0] += 1
+                seen.add(" ".join(ws[i : i + n]))
+    got = {
+        (r["source"], r["n"]): (
+            r["n_grams"],
+            r["n_distinct"],
+            r["distinct_ratio"],
+        )
+        for r in all_queries()["l_distinct_ngram_diversity"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(got) == set(stats)
+    for key, (tot, seen) in stats.items():
+        assert got[key] == (tot, len(seen), round(len(seen) / tot, 6))
