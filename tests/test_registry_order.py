@@ -64,16 +64,16 @@ def test_window_leads_with_fixture_family_anchors():
 
 
 def _latest_driver_round() -> dict:
-    """Latest driver CORRECTNESS round per key, FROZEN at the r1-r12
+    """Latest driver CORRECTNESS round per key, FROZEN at the r1-r13
     artifacts (no r7 file exists — the driver skipped that round).
-    Frozen deliberately: when CORRECTNESS_r13.json lands at the next
+    Frozen deliberately: when CORRECTNESS_r14.json lands at the next
     round boundary this map must NOT shift under the committed order —
-    the r14 restaging updates both together."""
+    the r15 restaging updates both together."""
     import json
     import pathlib
 
     latest: dict = {}
-    for rnd in (1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12):
+    for rnd in (1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13):
         p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r{rnd:02d}.json"
         if p.exists():
             for k in json.loads(p.read_text()):
@@ -82,16 +82,17 @@ def _latest_driver_round() -> dict:
 
 
 def test_window_spends_slots_on_backlog_then_oldest_cohort():
-    """R13 policy: slots 5-17 take every never-driver-checked key (the
-    13 r12 builds — the whole backlog); slots 18-50 re-verify the
-    OLDEST ORACLED cohorts (the 9 r2 keys that missed the r12 window,
-    then the r3 head — rows ten rounds old). No slot may go to a
-    younger row while an older oracled one waits."""
+    """R14 policy: slots 5-13 take every never-driver-checked key (the
+    9 r13 builds — the whole backlog); slots 14-50 re-verify the
+    OLDEST ORACLED cohorts (the full r3 head — tier-K UDFs, streaming
+    joins, the tier-L core, rows eleven rounds old — then the r4
+    head). No slot may go to a younger row while an older oracled one
+    waits."""
     latest = _latest_driver_round()
     oracles = set(all_oracles())
     window = list(all_queries())[4:WINDOW]
     fresh = [k for k in window if k not in latest]
-    assert len(fresh) == 13, f"backlog drift: {len(fresh)} fresh keys in window"
+    assert len(fresh) == 9, f"backlog drift: {len(fresh)} fresh keys in window"
     assert window[: len(fresh)] == fresh, "fresh keys must lead the window"
     reverify = window[len(fresh):]
     assert all(k in oracles for k in reverify), (
