@@ -957,7 +957,7 @@ def l_eval_paired_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pair_id, tc, tr, ov,
            CASE WHEN ov = 0 THEN 0.0
                 ELSE ROUND(CAST(5 * ov * ov AS DOUBLE)
-                           / CAST(4 * ov * tc + ov * tr AS DOUBLE)
+                           / CAST(4 * ov * tr + ov * tc AS DOUBLE)
                            * 1e6) / 1e6 + 0
            END AS chrf2
     FROM a ORDER BY pair_id
@@ -971,10 +971,13 @@ def l_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     each): whitespace stripped (the sacrebleu convention), clipped
     6-gram overlap, chrF2 = 5PR/(4P+R). THE robust MT/generation eval
     for morphologically rich languages where word-level BLEU/ROUGE
-    under-credit near-matches. Algebra note: with P = ov/tc and
-    R = ov/tr, chrF2 = 5·ov²/(4·ov·tc + ov·tr) — evaluated in that
-    integer-product form so both engines divide the same exact BIGINTs
-    once (no P, R intermediates to reassociate).
+    under-credit near-matches. Algebra note: with P = ov/tc (side 0 =
+    candidate) and R = ov/tr, chrF2 = 5PR/(4P+R) = 5·ov²/(4·ov·tr +
+    ov·tc) — RECALL-weighted, so the REFERENCE total tr carries the
+    4x weight (the r13 advice fix: the original denominator had tc/tr
+    swapped, computing the precision-weighted beta=1/2 variant) —
+    evaluated in that integer-product form so both engines divide the
+    same exact BIGINTs once (no P, R intermediates to reassociate).
 
     Determinism: all counts exact BIGINT from the (pair, gram) hash
     agg; one guarded integer-ratio division per pair, dround 1e-6.
@@ -1021,7 +1024,7 @@ def l_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     chrf2 = F.when(F.col("ov") == 0, F.lit(0.0)).otherwise(
         dround(
             (5 * F.col("ov") * F.col("ov")).cast("double")
-            / (4 * F.col("ov") * F.col("tc") + F.col("ov") * F.col("tr"))
+            / (4 * F.col("ov") * F.col("tr") + F.col("ov") * F.col("tc"))
             .cast("double"),
             6,
         )

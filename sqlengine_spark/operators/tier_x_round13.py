@@ -75,7 +75,7 @@ _REP_W_CASE_DUCK = _pois_case_sql(
         SELECT ta.pair_id,
                CAST(ROUND(CASE WHEN COALESCE(a.ov, 0) = 0 THEN 0.0
                     ELSE CAST(5 * a.ov * a.ov AS DOUBLE)
-                         / CAST(4 * a.ov * a.tc + a.ov * a.tr AS DOUBLE)
+                         / CAST(4 * a.ov * a.tr + a.ov * a.tc AS DOUBLE)
                     END * 1e6) AS BIGINT) AS chrf_fp,
                CAST(ROUND(CASE WHEN ta.ov_t = 0 THEN 0.0
                     ELSE CAST(2 * ta.ov_t AS DOUBLE)
@@ -207,7 +207,7 @@ def l_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chrf_raw = F.when(F.coalesce(F.col("ov"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
         (5 * F.col("ov") * F.col("ov")).cast("double")
-        / (4 * F.col("ov") * F.col("tc") + F.col("ov") * F.col("tr")).cast(
+        / (4 * F.col("ov") * F.col("tr") + F.col("ov") * F.col("tc")).cast(
             "double"
         )
     )
@@ -568,7 +568,9 @@ def l_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e,
              LATERAL (SELECT unnest(generate_series(1, 64)) AS i) s
     ), cent AS (
-        SELECT label, i, CAST(SUM(vq) AS BIGINT) AS cs
+        SELECT label, i,
+               CAST(FLOOR(CAST(SUM(vq) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS cs
         FROM m GROUP BY label, i
     ), cn AS (
         SELECT label, CAST(SUM(cs * cs) AS BIGINT) AS c2
@@ -608,20 +610,31 @@ def l_embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism (the all-integer centroid trick): each float32
     element quantizes to a 1e6 fixed-point BIGINT; the "centroid" is
-    the per-(label, dim) SUM of those integers — cosine is
-    scale-invariant, so cos(v, sum) == cos(v, mean) with NO division
-    by the member count — and every dot/norm is then an EXACT BIGINT
-    sum (immune to sum order in both engines, rule 11e). The only
-    floats are one final division by sqrt(v2*c2) on identical doubles,
-    so the per-member cosine — and therefore the RANKING — is
-    bit-identical across engines (a float centroid's last-ulp
-    reassociation drift could flip adjacent ranks; a rounded one
-    can land on a ROUND-half boundary, rule 9). (vec_id,) breaks
-    exact-cos ties. Overflow headroom: |vq| <= ~2^20, so v2 <= 2^46
-    and per-term dot <= 2^20 * |members| * 2^20 — fine to ~4e5 members
-    per label; past that drop the grid to 1e4 (same trick, 2^13
-    elements). The norm PRODUCT casts to double before multiplying
-    (c2 * v2 would overflow first).
+    the per-(label, dim) MEAN of those integers re-quantized onto the
+    SAME 1e6 grid — FLOOR(sum/count + 0.5), one IEEE division of
+    identical exact inputs (sum is exact in double to ~9e9
+    members/label), identical in both engines — and every dot/norm is
+    then an EXACT BIGINT sum (immune to sum order, rule 11e). The
+    only remaining floats are that one quantization and the final
+    division by sqrt(v2*c2) on identical doubles, so the per-member
+    cosine — and therefore the RANKING — is bit-identical across
+    engines (a float centroid's last-ulp reassociation drift could
+    flip adjacent ranks; a rounded one can land on a ROUND-half
+    boundary, rule 9). (vec_id,) breaks exact-cos ties.
+
+    Overflow headroom (r13 advice fix — the earlier SUM-vector form
+    documented "fine to ~4e5 members" but its binding term was c2 =
+    sum(cs^2) with cs up to members*1e6: int64 overflow at ~3e3
+    worst-case-aligned members per label, with Spark wrapping
+    SILENTLY while DuckDB's HUGEINT cast errors loudly — the engines
+    would diverge rather than both fail). The mean-quantized centroid
+    removes the member-count term entirely: |cs| <= ~1e6 ~ 2^20, so
+    c2 <= 64*2^40 ~ 2^46, v2 <= 2^46, dot <= 2^46 — no BIGINT
+    product/sum here can overflow at ANY label size (the only
+    residual bound is the exact-double partial sum above, ~9e9
+    members/label, far past any real label). The norm PRODUCT still
+    casts to double before multiplying (c2 * v2 ~ 2^92 would
+    overflow first).
 
     Scale: one posexplode of the embedding column (64 rows/vector);
     centroid sums are a (label, dim) partial agg to a DOMAIN-bounded
@@ -656,7 +669,11 @@ def l_embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vq"),
     )
-    cent = m.groupBy("label", "i").agg(F.sum("vq").alias("cs"))
+    cent = m.groupBy("label", "i").agg(
+        F.floor(F.sum("vq").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("bigint")
+        .alias("cs")
+    )
     cn = cent.groupBy("label").agg(
         F.sum(F.col("cs") * F.col("cs")).alias("c2")
     )
@@ -892,10 +909,12 @@ def l_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l_heaps_law_fit",
     oracle="""
     WITH nn AS (
-        SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents
+        SELECT CAST(MAX(doc_id) AS BIGINT) AS mx,
+               CAST(MIN(doc_id) AS BIGINT) AS mn
+        FROM documents
     ), th AS (
         SELECT f.k,
-               CAST(CEIL(CAST((nn.mx + 1) AS DOUBLE)
+               CAST(nn.mn + CEIL(CAST((nn.mx - nn.mn + 1) AS DOUBLE)
                          / POWER(2.0, 4 - f.k)) - 1 AS BIGINT) AS t
         FROM nn, (SELECT unnest(generate_series(0, 4)) AS k) f
     ), tok AS (
@@ -969,18 +988,26 @@ def l_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order — the corpus's stable ingest order — so the whole fit
     is one pass over the token stream."""
     d = table(spark, sf_dir, "documents")
-    nn = d.agg(F.max("doc_id").alias("mx"))
+    nn = d.agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn"))
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
     first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
     doc_counts = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     ks = spark.range(5).select(F.col("id").cast("int").alias("k"))
+    # checkpoints anchor at MIN(doc_id), not 0 (r13 advice fix): on a
+    # 1-based or sparse-id corpus a 0-anchored k=0 threshold could
+    # precede every doc_id, and the filter+groupBy+inner-join here
+    # would DROP that empty checkpoint (m=4) while the oracle's
+    # correlated subqueries kept a NULL row (m=5) — engines diverge.
+    # Anchored at mn the k=0 prefix always holds >= 1 doc; identical
+    # to the old form on the 0-based contiguous fixtures.
     th = ks.crossJoin(F.broadcast(nn)).select(
         "k",
         (
-            F.ceil(
-                (F.col("mx") + 1).cast("double")
+            F.col("mn")
+            + F.ceil(
+                (F.col("mx") - F.col("mn") + 1).cast("double")
                 / F.pow(F.lit(2.0), 4 - F.col("k"))
             )
             - 1

@@ -318,7 +318,7 @@ def test_chrf_matches_python_counter_recompute(spark):
         assert r["tr"] == sum(f.values())
         assert r["ov"] == ov
         if ov:
-            expect = 5 * ov * ov / (4 * ov * r["tc"] + ov * r["tr"])
+            expect = 5 * ov * ov / (4 * ov * r["tr"] + ov * r["tc"])
             assert abs(r["chrf2"] - expect) < 2e-6
         else:
             assert r["chrf2"] == 0.0

@@ -100,7 +100,7 @@ def test_eval_report_matches_python_recompute(spark):
         gr = Counter(sr[i : i + 6] for i in range(len(sr) - 5))
         ov = sum(min(gc[g], gr[g]) for g in gc)
         tc, tr = sum(gc.values()), sum(gr.values())
-        chrf = 0.0 if ov == 0 else (5 * ov * ov) / (4 * ov * tc + ov * tr)
+        chrf = 0.0 if ov == 0 else (5 * ov * ov) / (4 * ov * tr + ov * tc)
         wc = Counter(c.split(" ")) if c else Counter()
         wr = Counter(ref.split(" ")) if ref else Counter()
         ov_t = sum(min(wc[w], wr[w]) for w in wc)
@@ -245,7 +245,11 @@ def test_centroid_outliers_matches_numpy_recompute(spark):
     expect = []
     for label in sorted(per_label):
         members = per_label[label]
-        cs = np.sum([v for _, v in members], axis=0)
+        # mean-quantized centroid on the 1e6 grid (r13 advice overflow
+        # fix): floor(sum/count + 0.5) — member-count-independent bounds
+        cs = np.floor(
+            np.sum([v for _, v in members], axis=0) / len(members) + 0.5
+        ).astype(np.int64)
         c2 = float(np.dot(cs, cs))
         scored = []
         for vid, vq in members:
@@ -335,7 +339,10 @@ def test_heaps_fit_matches_python_recompute(spark):
         .collect()
     )
     mx = max(r["doc_id"] for r in docs)
-    ths = [math.ceil((mx + 1) / 2 ** (4 - k)) - 1 for k in range(5)]
+    mn = min(r["doc_id"] for r in docs)
+    ths = [
+        mn + math.ceil((mx - mn + 1) / 2 ** (4 - k)) - 1 for k in range(5)
+    ]
     first_seen: dict = {}
     n_tok: dict = {}
     for r in sorted(docs, key=lambda r: r["doc_id"]):
