@@ -636,62 +636,77 @@ def l_embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts to double before multiplying (c2 * v2 ~ 2^92 would
     overflow first).
 
-    Scale: one posexplode of the embedding column (64 rows/vector);
-    centroid sums are a (label, dim) partial agg to a DOMAIN-bounded
-    table (|labels| x 64) — broadcast by construction (rule 14a
-    exception: label domain is bounded); the member re-join never
-    shuffles the exploded stream; per-member dots are one
-    (label, vec_id)-keyed agg; bottom-5 per label is a rank-filtered
-    window (InferWindowGroupLimit prunes per-partition).
+    Scale (r14 packed rewrite — the verdict-staged single-pass
+    attempt, adopted on paired numbers): the embedding column
+    quantizes ONCE into a packed 64-long array (localCheckpoint —
+    rule 11a single-scan staging for its two consumers: the size of
+    the materialized copy is ~the input column itself, the standard
+    trade vs a double scan). The ONLY generate is the centroid pass
+    (posexplode, 64 rows/vector) feeding a (label, dim) partial agg
+    to a DOMAIN-bounded table (|labels| x 64) that packs back into a
+    per-label 64-array — broadcast by construction (rule 14a
+    exception: label domain is bounded). Scoring then reads the N
+    PACKED rows — dot/v2 via zip_with/aggregate over the 64-wide
+    arrays, per-row-bounded interpreted lambdas (pin 16a's cold
+    class: 64 element-ops/row, no fan-out) — instead of re-generating
+    64N rows and probing a broadcast per element-row, which is the
+    part of the old plan that grew with the generate floor. Bottom-5
+    per label is a rank-filtered window (InferWindowGroupLimit prunes
+    per-partition).
 
-    x100 floor attribution (r13, paired fresh-plan reps): the full op
-    medians 1.35-1.83 s while a bare posexplode+count of the SAME
-    6.4M-row stream costs 1.59 s — the cost IS Spark's generate
-    machinery, not the plan; a vectorized mapInPandas/numpy rewrite
-    (partial centroid sums per Arrow batch + broadcast int64 GEMM
-    scoring, the l_sim_join_gemm pattern) measured 1.28 vs 1.35
-    median — within noise, because Arrow transfer of the embedding
-    arrays replaces the explode almost 1:1. Ratio vs the 0.26 s
-    single-process denominator stays >2; marginal cost per 9x more
-    data is +0.68 s vs +0.22 s. Kept declarative (JVM-only, simpler,
-    same scale shape)."""
-    # scatter: the 64-wide posexplode fan-out is map-heavy and the
-    # single-split fixture file serializes it (pin 15b; paired x100
-    # medians 1.35 scattered vs 1.89 not; no-op at corpus scale)
+    x100 record (r14, paired interleaved fresh-plan reps, probe
+    ~0.57/19.2): packed 1.46 s median vs the two-consumer explode
+    plan's 1.64 s — the packed side won every rep (1.90/2.14,
+    1.46/1.71, 1.57/1.62, 1.42/1.64, 1.34/1.47); a localCheckpoint of
+    the EXPLODED stream measured worse than both (1.6). Remaining
+    cost is the centroid generate + multi-stage job floor vs a 0.27 s
+    single-process denominator (r13 attribution: a bare
+    posexplode+count of the same stream costs ~1.6 s alone; a
+    mapInPandas/GEMM rewrite measured within noise of the old plan).
+    Ratio ~5x at x100, floor-dominated; marginal cost per 9x data
+    stays well under the denominator's slope."""
+    # scatter: the quantize+explode map work lands on a single-split
+    # fixture file otherwise (pin 15b; no-op at corpus scale)
     e = scatter(spark, table(spark, sf_dir, "embeddings"))
-    m = e.select(
-        "label", "vec_id", F.posexplode("embedding").alias("i0", "valf")
-    ).select(
+    vecs = e.select(
         "label",
         "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("valf").cast("double") * 1e6, 0)
-        .cast("bigint")
-        .alias("vq"),
-    )
-    cent = m.groupBy("label", "i").agg(
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"
+        ).alias("vqa"),
+    ).localCheckpoint()
+    m = vecs.select("label", F.posexplode("vqa").alias("i0", "vq"))
+    cent = m.groupBy("label", "i0").agg(
         F.floor(F.sum("vq").cast("double") / F.count(F.lit(1)) + 0.5)
         .cast("bigint")
         .alias("cs")
     )
-    cn = cent.groupBy("label").agg(
-        F.sum(F.col("cs") * F.col("cs")).alias("c2")
+    cent_arr = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i0, cs))), s -> s.cs)"
+        ).alias("csa"),
+        F.sum(F.col("cs") * F.col("cs")).alias("c2"),
     )
-    mem = (
-        m.join(F.broadcast(cent), ["label", "i"])
-        .groupBy("label", "vec_id")
-        .agg(
-            F.sum(F.col("vq") * F.col("cs")).alias("dot"),
-            F.sum(F.col("vq") * F.col("vq")).alias("v2"),
-        )
+    # ONE broadcast join carries both csa and c2 so cent_arr has a
+    # single consumer (a second join would re-run the centroid pass)
+    mem = vecs.join(F.broadcast(cent_arr), "label").select(
+        "label",
+        "vec_id",
+        "c2",
+        F.expr(
+            "aggregate(zip_with(vqa, csa, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(vqa, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("v2"),
     )
     denom = F.sqrt(F.col("v2").cast("double") * F.col("c2").cast("double"))
     cos = F.col("dot").cast("double") / F.when(
         denom == 0.0, F.lit(None)
     ).otherwise(denom)
-    scored = mem.join(F.broadcast(cn), "label").select(
-        "label", "vec_id", cos.alias("cos")
-    )
+    scored = mem.select("label", "vec_id", cos.alias("cos"))
     from pyspark.sql import Window as W
 
     ranked = scored.select(
