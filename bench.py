@@ -105,6 +105,16 @@ HEADLINE = [
                              # report class; x100 0.65x CROSSOVER
                              # after the scatter fix (BASELINE.md
                              # round-13 notes)
+    "l_langid_confusion",    # round 14 promotion (r13 verdict item 5):
+                             # the single most expensive x100 stress
+                             # row (33.9 s — trigram profile build +
+                             # per-doc argmax + P/R/F1 rollup); its
+                             # cost is now visible per-round instead
+                             # of only in BASELINE.md prose
+    "l_lm_kn_perplexity",    # round 14 promotion (r13 verdict item 5):
+                             # interpolated Kneser-Ney bigram LM,
+                             # train + held-out scoring in one plan —
+                             # tracks the LM-statistics family
     "l_graph_triangles",     # round 9: benched after the edge-iterator
                              # rewrite (adjacency-array intersects
                              # in-task instead of shuffling the 41M-row
