@@ -31,9 +31,10 @@ _REP_W_CASE_DUCK = _pois_case_sql(
 )
 
 
-@query(
-    "l_eval_report",
-    oracle=f"""
+#: Shared by l_eval_report and its streaming twin (tier_y_round14):
+#: both produce the same one-row report, so both hash-check against
+#: the same batch SQL ground truth.
+EVAL_REPORT_ORACLE = f"""
     WITH d AS (
         SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, doc_id % 2 AS side,
                text, replace(text, ' ', '') AS s
@@ -120,8 +121,10 @@ _REP_W_CASE_DUCK = _pois_case_sql(
            ROUND(CAST(pt.sl AS DOUBLE) / 1e6 / CAST(pt.n_pairs AS DOUBLE)
                  * 1e6) / 1e6 + 0 AS mean_len_ratio
     FROM pt
-    """,
-)
+    """
+
+
+@query("l_eval_report", oracle=EVAL_REPORT_ORACLE)
 def l_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END EVAL REPORT — the single artifact a generation-eval
     pipeline ships: per candidate/reference pair (the chrF/BLEU doc
@@ -161,6 +164,18 @@ def l_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.expr("replace(text, ' ', '')").alias("s"),
     )
+    pp = eval_report_pair_metrics(base).localCheckpoint()
+    # rule 11a: pp feeds the point means AND the B-fold bootstrap
+    # fan-out (two real consumers)
+    return eval_report_rollup(pp)
+
+
+def eval_report_pair_metrics(base: DataFrame) -> DataFrame:
+    """Per-pair metric table (pair_id, chrf_fp, f1_fp, lr_fp) from a
+    ``base`` projection of (pair_id, side, text, s=text-sans-spaces).
+    Shared by the batch report and its streaming twin — identical
+    metric lineage in both, so the stream's accumulated state rolls up
+    to the hash-identical report row."""
     g = base.select(
         "pair_id",
         "side",
@@ -216,17 +231,19 @@ def l_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tc_t") + F.col("tr_t")).cast("double")
     )
     lr_raw = F.col("tr_t").cast("double") / F.col("tc_t").cast("double")
-    pp = (
-        ta.join(a, "pair_id", "left")
-        .select(
-            "pair_id",
-            F.round(chrf_raw * 1e6, 0).cast("bigint").alias("chrf_fp"),
-            F.round(f1_raw * 1e6, 0).cast("bigint").alias("f1_fp"),
-            F.round(lr_raw * 1e6, 0).cast("bigint").alias("lr_fp"),
-        )
-        .localCheckpoint()  # rule 11a: feeds the point means AND the
-        # B-fold bootstrap fan-out (two real consumers)
+    return ta.join(a, "pair_id", "left").select(
+        "pair_id",
+        F.round(chrf_raw * 1e6, 0).cast("bigint").alias("chrf_fp"),
+        F.round(f1_raw * 1e6, 0).cast("bigint").alias("f1_fp"),
+        F.round(lr_raw * 1e6, 0).cast("bigint").alias("lr_fp"),
     )
+
+
+def eval_report_rollup(pp: DataFrame) -> DataFrame:
+    """Corpus rollup of a per-pair metric table: means + the
+    (pair_id, b)-keyed Poisson-bootstrap CI on chrF2. Deterministic
+    regardless of how pp was produced (one batch job or accumulated
+    micro-batches) — the weights key on (pair_id, replicate) only."""
     r = pp.select(
         "pair_id",
         "chrf_fp",

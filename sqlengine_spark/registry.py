@@ -109,6 +109,9 @@ PRIORITY_ORDER = (
     #    NEW r14 builds are inserted right here at the tail head to
     #    queue for r15 slots 5-N; the rest of each future window
     #    consumes the tail head. --
+    #    ROUND-15 QUEUE (operators built in round 14):
+    "l_eval_report_stream",
+    "l_mixture_build",
     #    r2 cohort (rows-only):
     "d_agg_approx_distinct",
     "d_agg_approx_quantile",

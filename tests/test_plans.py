@@ -243,6 +243,10 @@ CARTESIAN_WHITELIST = {
     "l_mix_temperature",        # two 1-row broadcasts (corpus total,
                                 # quantized normalizers) onto the
                                 # |langs|-row weight table
+    "l_mixture_build",          # same class (r14): two 1-row broadcasts
+                                # (survivor total, weight normalizer)
+                                # onto the |sources|-row stage tables;
+                                # every corpus-sized join is keyed
     "l_ngram_assoc_llr",        # 1-row total-bigram-count broadcast onto
                                 # the support-filtered pair table (the
                                 # l_topic_cooccur class)
@@ -330,6 +334,8 @@ LINT_SKIP = {
     # (r12 oversight, caught r13 — it executed inside the plan sweep)
     "j_stream_session_timeout",  # runs the wave-fed timer stream at build
     "n_delete_cascade",  # writes + reads back 3 snapshots at build
+    "l_eval_report_stream",  # runs the pair-wave foreachBatch stream
+                             # at build (r14)
 }
 
 
