@@ -67,7 +67,14 @@ def l_eval_report_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gram fan-outs, pair-keyed shuffles); cross-batch state is ONE
     32-byte row per pair ever seen — a lakehouse metric table in
     production. The final rollup reads only that table, never the
-    text. Partition pin per the rule-11b state-store lesson."""
+    text. Partition pin per the rule-11b state-store lesson.
+
+    sf0.1 record (r14, paired reps): 6.43 s vs the one-shot batch SQL
+    at 0.87 — the j_tumbling_1h streaming-engine fixed-cost class,
+    with the arithmetic visible: two waves x the 2.5 s batch report +
+    staging/checkpoint machinery. The honest comparison for the
+    incremental path is per-batch marginal cost, which IS the batch
+    op's cost on the batch's pairs."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # pair-aligned two-wave split (pairs never straddle a batch)
     pmid = (
@@ -268,7 +275,16 @@ def l_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_domain_mix note), and the budget window is rank-bounded the
     l_budget_select way should the per-source budget ever need the
     WindowGroupLimit prune. The funnel is one job, no re-scans: gate
-    feeds dedup feeds resample feeds budget as a single lineage."""
+    feeds dedup feeds resample feeds budget as a single lineage.
+
+    x100 record (r14, paired fresh-plan reps): 4.06 vs DuckDB 3.64 —
+    ratio 1.12, near-parity at first measurement. Scatter REJECTED
+    per the pin-16a per-class call (paired toggle: plain 4.05 /
+    scattered 4.63 median, scatter lost every rep): there is no
+    fan-out to amortize — the map pass emits ONE thin row per doc and
+    the first shuffle is already corpus-thin, so the round-robin
+    exchange costs more than the single-split map serialization
+    saves."""
     d = table(spark, sf_dir, "documents")
     sig = d.select(
         "doc_id",
