@@ -786,6 +786,17 @@ def l_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tri"),
     )
+    # r14 staging attempt, measured and REJECTED (pin 14d / rule 8c):
+    # the trigram stream has three consumers (doc_tf, lang_totals,
+    # profile), so single-scan staging looked right — but BOTH staged
+    # forms lose at sf0.1 under paired interleaved fresh-plan reps
+    # (medians over 5: 3-explode 4.83 s, checkpointed (doc,lang,tri)
+    # agg 5.61 s, 2-explode + tiny (lang,tri) checkpoint 6.22 s). The
+    # redundant explodes overlap on idle cores while localCheckpoint
+    # is an EAGER synchronous job — a barrier that serializes the
+    # model build before scoring can even plan. The scale argument is
+    # not airtight either: doc_tf is itself corpus-sized, so staging
+    # trades 2 extra text scans for a corpus-sized write + re-reads.
     doc_tf = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("tf"))
     lang_totals = tri.groupBy("lang").agg(F.count("*").alias("tot"))
     profile = (

@@ -854,19 +854,39 @@ def l_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("true_lang")
     )
-    joined = d.join(pred, "doc_id")
+    # r14 (guide §2.4 + §1.2): tc/pc/cc each consumed `joined` — every
+    # one re-executed the ENTIRE langid scoring pipeline (before-plan:
+    # 40 Exchanges, 26 parquet scans in one query). The confusion
+    # MATRIX groupBy(true, pred) is |langs|²-bounded; checkpoint that
+    # one tiny table and all three rollups re-derive from it for free.
+    # Counts are identical exact BIGINTs (each doc has exactly one
+    # prediction), so the oracle and output hash are unchanged.
+    cm = (
+        d.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     langs = d.select(F.col("true_lang").alias("lang")).distinct()
-    tc = joined.groupBy("true_lang").agg(F.count(F.lit(1)).alias("n_true"))
-    pc = joined.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_pred"))
+    # distinct key names per rollup: tc and cc share cm's lineage, so a
+    # bare true_lang reference in the 3-way class join is ambiguous
+    tc = (
+        cm.groupBy(F.col("true_lang").alias("t_lang"))
+        .agg(F.sum("n").alias("n_true"))
+    )
+    pc = (
+        cm.groupBy(F.col("pred_lang").alias("p_lang"))
+        .agg(F.sum("n").alias("n_pred"))
+    )
     cc = (
-        joined.filter(F.col("true_lang") == F.col("pred_lang"))
-        .groupBy("true_lang")
-        .agg(F.count(F.lit(1)).alias("n_correct"))
+        cm.filter(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("c_lang"))
+        .agg(F.sum("n").alias("n_correct"))
     )
     cls = (
-        langs.join(tc, langs.lang == tc.true_lang, "left")
-        .join(pc, langs.lang == pc.pred_lang, "left")
-        .join(cc, langs.lang == cc.true_lang, "left")
+        langs.join(tc, langs.lang == tc.t_lang, "left")
+        .join(pc, langs.lang == pc.p_lang, "left")
+        .join(cc, langs.lang == cc.c_lang, "left")
         .select(
             "lang",
             F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
