@@ -306,7 +306,28 @@ def l_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0)
     )
+    # r14 funnel restaging (guide §2.4; before-plan: 42 Exchanges, 17
+    # parquet scans — every funnel column re-executed the scan+gate+
+    # dedup chain). Three changes, output bit-identical (asserted
+    # against the old plan in the adoption A/B):
+    #   1. n_raw + n_gated come from ONE conditional agg over sig
+    #      (one scan instead of two);
+    #   2. surv is localCheckpointed — the md5/regexp gate map and the
+    #      dedup window run ONCE (paired at sf0.1, medians over 5:
+    #      old 2.494 s, ckpt-c-only 1.697, ckpt-surv 1.782 — the two
+    #      staged forms overlap; surv-staging is adopted because it
+    #      also halves the corpus-scale work: one gate map + one
+    #      dedup-window sort instead of two, for a corpus-THIN ~40 B/row
+    #      materialization, pin 13c);
+    #   3. n_resampled / n_selected / chars_used come from ONE
+    #      conditional agg over the budget ledger (two branches merged).
     gated = sig.filter(votes >= 2)
+    funnel0 = sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(votes >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gated"),
+    )
     surv = (
         gated.select(
             "doc_id",
@@ -320,6 +341,7 @@ def l_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dr") == 1)
         .drop("dr", "h")
+        .localCheckpoint()
     )
     c = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
     t = c.agg(F.sum("n_dedup").alias("total"))
@@ -370,7 +392,6 @@ def l_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rr") <= F.col("n_target"))
         .drop("rr", "n_target")
     )
-    rc = res.groupBy("source").agg(F.count(F.lit(1)).alias("n_resampled"))
     score = (
         F.col("n_chars").cast("double")
         * F.col("toks")
@@ -388,22 +409,22 @@ def l_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cum_chars"),
     )
-    sc = (
-        ledger.filter(F.col("cum_chars") <= 20000)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_selected"),
-            F.sum("n_chars").alias("chars_used"),
+    fin = ledger.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_resampled"),
+        F.sum(F.when(F.col("cum_chars") <= 20000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.coalesce(
+            F.sum(F.when(F.col("cum_chars") <= 20000, F.col("n_chars"))),
+            F.lit(0),
         )
+        .cast("bigint")
+        .alias("chars_used"),
     )
-    raw = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
-    gc = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_gated"))
     out = (
-        raw.join(gc, "source", "left")
-        .join(c, "source", "left")
+        funnel0.join(c, "source", "left")
         .join(tgt.select("source", "n_target"), "source", "left")
-        .join(rc, "source", "left")
-        .join(sc, "source", "left")
+        .join(fin, "source", "left")
     )
     zero = F.lit(0).cast("bigint")
     return out.select(
