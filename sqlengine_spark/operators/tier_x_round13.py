@@ -478,11 +478,11 @@ def l_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus fold is then an exact integer sum, immune to sum order);
     perplexity = pow(2, ce) on identical doubles.
 
-    Scale: TWO corpus-scale shuffles (train and valid (w1,w2) pair
-    counts — grams via the codegen Generate-over-index form); model
-    marginals derive from the vocab²-bounded pair table (the
-    entropy-rate lesson); bc is localCheckpointed (rule 11a: THREE
-    consumers — the bigram join and both marginal tables). All model
+    Scale: ONE corpus-scale shuffle (the (fold, w1, w2) pair counts —
+    grams via the codegen Generate-over-index form; r14 folded the
+    former separate train/valid passes into it); model marginals and
+    the valid side derive from the vocab²-bounded checkpointed pair
+    table (the entropy-rate lesson; rule 11a: four consumers). All model
     joins are vocab-keyed and PLAIN (rule 14a: vocab tables are
     Heaps-law unbounded; AQE broadcasts at runtime only when small);
     T is a 1-row broadcast. Valid-side scoring touches DISTINCT valid
@@ -505,21 +505,31 @@ def l_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("element_at(w, i)").alias("w1"),
         F.expr("element_at(w, i + 1)").alias("w2"),
     )
-    bc = (
-        g.filter(F.col("fold") == 0)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint()  # rule 11a: three consumers (join + 2 marginals)
+    # r14 single-pass fold counting (guide §2.4): train and valid pair
+    # counts used to be two separate consumers of g — TWO corpus
+    # explodes + two (w1,w2)-keyed shuffles per run. One
+    # (fold, w1, w2) hash agg counts both folds in one pass; the
+    # checkpoint stays vocab²-bounded (2x rows of the old bc) and both
+    # sides filter from it with no re-aggregation (fold is in the
+    # grouping key, so the filtered rows ARE the per-fold pair counts).
+    # Paired at sf0.1: 0.762 -> 0.741 s median (within noise at
+    # fixture; the saved explode+shuffle is corpus-sized at scale).
+    pc = (
+        g.groupBy("fold", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # rule 11a: four consumers (join, 2
+        # marginals, valid side)
+    )
+    bc = pc.filter(F.col("fold") == 0).select(
+        "w1", "w2", F.col("n").alias("c12")
     )
     lm1 = bc.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
     lm2 = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
     tt = bc.agg(F.count(F.lit(1)).alias("t"))
-    vb = (
-        g.filter(F.col("fold") == 1)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    vb = pc.filter(F.col("fold") == 1).select(
+        "w1", "w2", F.col("n").alias("cnt")
     )
     p = (
         F.greatest(
