@@ -945,13 +945,15 @@ def l_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the shingle stream is a narrow map (split + explode + slice +
     md5 — 16-byte keys, never raw text, exactly the width trick
-    l_decontaminate documents); the cross-doc flag is ONE groupBy(h)
-    with map-side partial count-distinct, and the flag join shuffles on
-    the same 16-byte key (skew = true content skew: a boilerplate
-    shingle's bucket is its real global frequency). Per-doc profile
-    re-aggregates map-side on doc_id. No stage is quadratic; the suffix
-    array the paper builds is a single-machine construction — this
-    formulation is the one that runs on 1000 executors.
+    l_decontaminate documents); the cross-doc flag is a min/max WINDOW
+    over the h partition, so the stream crosses ONE 16-byte-keyed
+    exchange (r14 — the earlier checkpoint + flag-agg + flag-join pair
+    shuffled it twice; skew = true content skew: a boilerplate
+    shingle's bucket is its real global frequency, and an oversized
+    group spills via the window sorter). Per-doc profile re-aggregates
+    map-side on doc_id. No stage is quadratic; the suffix array the
+    paper builds is a single-machine construction — this formulation
+    is the one that runs on 1000 executors.
     """
     docs = table(spark, sf_dir, "documents")
     # small-input scatter (the l_bpe_encode lesson): a one-row-group
@@ -965,10 +967,6 @@ def l_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = src.repartition(par)
     w = src.select("doc_id", F.split("text", " ").alias("ws"))
     n = SUBSTR_WINDOW_WORDS
-    # single-scan staging: the shingle stream feeds BOTH the cross-doc
-    # flag agg and the per-doc profile — localCheckpoint (never persist,
-    # CLAUDE.md rule 11a) materializes the split+md5 map once per
-    # invocation instead of twice
     # generator + codegen projection (pin 15a): the interpreted
     # transform-lambda form is neutral at fixture doc lengths but the
     # Generate form keeps the md5 map in whole-stage codegen
@@ -983,26 +981,29 @@ def l_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"md5(array_join(slice(ws, i, {n}), ' '))").alias("h"),
         )
-        .localCheckpoint()
     )
-    # "recurs in >1 distinct doc" == min(doc_id) != max(doc_id) per h:
-    # min/max partial-aggregate in one pass where count_distinct plans
-    # a two-phase expand (paired at sf0.1: 1.95 -> 1.6 s)
-    dup = (
-        s.groupBy("h")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
-        .select("h", F.lit(1).alias("is_dup"))
-    )
-    per = (
-        s.join(dup, "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(
-                F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)
-            ).alias("n_dup_windows"),
+    # "recurs in >1 distinct doc" == min(doc_id) != max(doc_id) per h,
+    # computed as a WINDOW over the h partition (r14, guide §2.4): the
+    # previous plan checkpointed the shingle stream and shuffled it by
+    # h TWICE (flag agg + flag join); the window flags every row in
+    # ONE h-keyed exchange, the checkpoint disappears (single
+    # consumer), and the per-doc rollup is unchanged. Paired
+    # interleaved at sf0.1: 2.858 -> 1.510 s median, won 5/5; output
+    # pandas-equal. Skew exposure is identical (both forms key the
+    # full shingle stream on h; a boilerplate shingle's group spills
+    # via the window sorter instead of flooding one SMJ reducer).
+    flagged = s.select(
+        "doc_id",
+        (
+            F.min("doc_id").over(Window.partitionBy("h"))
+            != F.max("doc_id").over(Window.partitionBy("h"))
         )
+        .cast("int")
+        .alias("is_dup"),
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("is_dup").alias("n_dup_windows"),
     )
     return (
         docs.select("doc_id")

@@ -993,20 +993,20 @@ def test_python_datasource_partitioned_scan(spark):
 
 
 def test_dedup_substring_hashed_keys_and_partial_agg(spark):
-    """l_dedup_substring (round 7): the shingle stream (split + md5) is
-    localCheckpoint-ed and feeds BOTH consumers from memory — the
-    result plan scans parquet exactly ONCE (the doc-universe side of
-    the final left join; the flag agg and profile read the checkpointed
-    RDD), the flag join is a hash join, and no stage is a cartesian."""
+    """l_dedup_substring (round 7, reshaped r14): the cross-doc flag is
+    a min/max WINDOW over the h partition — the shingle stream crosses
+    ONE h-keyed exchange (the old checkpoint + flag-agg + flag-join
+    pair shuffled it twice), then rolls up per doc. The plan holds
+    exactly TWO parquet scans (shingle side + doc-universe side of the
+    final left join), a Window keyed on h, and no cartesian."""
     plan = _plan(spark, "l_dedup_substring")
     # formatted explain prints each node twice (tree + details):
-    # 2 occurrences == ONE parquet scan node
-    assert plan.count("Scan parquet") == 2
-    assert "Scan ExistingRDD" in plan
+    # 4 occurrences == TWO parquet scan nodes
+    assert plan.count("Scan parquet") == 4
+    assert "Window" in plan
+    assert "hashpartitioning(h" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # count-distinct flag agg runs partial (map-side) before the h shuffle
-    assert "partial_count" in plan or "HashAggregate" in plan
 
 
 def test_chunk_cdc_boundary_is_codegen_map(spark):
