@@ -2955,7 +2955,10 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pressure is the per-edge array traffic, not the agg buffers)
     and is ~9% slower at sf0.1 (5.63 → 6.14 s median) — rejected. On a
     real cluster the same plan is fine: executors get GBs per task
-    slot, not 32 MB.
+    slot, not 32 MB. The r15 single-pipeline rewrite (below) was
+    re-tested at 1g: still OOMs — confirming the per-edge array
+    traffic attribution (the rewrite removed the redundant EXECUTIONS,
+    not the traffic), so the session-size dependency stands.
     """
     # INT-WIDTH REDUCTION (r9 verdict item 3): every part key in the
     # edge/adjacency pipeline is int32, halving the bytes in the
@@ -3017,21 +3020,42 @@ def l_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |edges| + |adjacency| rows (paired at x10: 54.3 -> 31.1 s,
     # parity with the single-process engine; identical top-20).
     adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-    eu = o.join(
-        adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu")),
-        F.col("src") == F.col("u2"),
-    ).drop("u2")
+    # R15 SINGLE-PIPELINE REWRITE (guide §2.4, pin 17c): the r14 plan
+    # dump showed the ENTIRE edge⋈adj⋈adj + intersect pipeline executed
+    # THREE TIMES — once per branch of the nodes union (src/dst/w) —
+    # and the boxed-adjacency ObjectHashAggregate built TWICE per
+    # branch (eu and ev joins): 6 adjacency builds + 6 SMJs per run,
+    # zero ReusedExchange. Two structural fixes, one plan:
+    #   1. eu is adj EXPLODED, not o re-joined to adj — the groupBy
+    #      that builds adj already holds every (src, dst, nbrs) triple,
+    #      so Generate re-derives the oriented edges with nu attached
+    #      for free (one adjacency build + one join instead of 2 + 2).
+    #      nbrs projected alongside its own explode is an attribute
+    #      copy, not a recomputation (pin 8a applies to EXPRESSIONS).
+    #   2. every triangle (u,v,w) contributes all three corners from
+    #      ONE generator — explode(concat(repeat(src,k), repeat(dst,k),
+    #      intersect)) — so the union (and its 3x re-execution of
+    #      everything upstream) is gone.
+    # Paired order-alternated at sf0.1: 5.545 -> 4.412 s median, new
+    # side won 6/7; plan: Union(3 subtrees) -> 1 linear pipeline,
+    # ObjectHashAggregate pairs 6 -> 2, SMJ 6 -> 1.
+    eu = adj.select(
+        "src", F.explode("nbrs").alias("dst"), F.col("nbrs").alias("nu")
+    )
     ev = eu.join(
         adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv")),
         F.col("dst") == F.col("v2"),
     ).drop("v2")
-    tri = ev.select(
-        "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
-    )
-    nodes = (
-        tri.select(F.col("src").alias("p"))
-        .unionByName(tri.select(F.col("dst").alias("p")))
-        .unionByName(tri.select(F.col("w").alias("p")))
+    ints = F.array_intersect("nu", "nv")
+    k = F.size(ints)
+    nodes = ev.select(
+        F.explode(
+            F.concat(
+                F.array_repeat(F.col("src"), k),
+                F.array_repeat(F.col("dst"), k),
+                ints,
+            )
+        ).alias("p")
     )
     return (
         nodes.groupBy("p")

@@ -1029,6 +1029,11 @@ def test_graph_triangles_all_joins_keyed(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+    # r15 single-pipeline rewrite: the nodes union (which re-executed
+    # the whole edge⋈adj⋈adj + intersect pipeline 3x, pin 17c) is gone
+    # — all three triangle corners come out of ONE generator. If a
+    # Union reappears here the 3x re-execution is back.
+    assert "Union" not in plan
 
 
 def test_graph_triangles_driver_sf_memory_bound(spark):
