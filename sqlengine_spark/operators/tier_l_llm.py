@@ -1886,26 +1886,57 @@ def l_topic_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines evaluate the identical double before the shared round.
 
     Scale: the pair space is VOCABULARY-bounded, not corpus-bounded —
-    the per-doc self-join emits C(|distinct tokens per doc|, 2) pairs
-    which partial-aggregate map-side into at most C(|V|, 2) groups; df
-    and N broadcast. At web scale the vocabulary is first capped to the
-    top-V tokens by df (one ranked filter before the join) — same
-    plan, bounded V; the join itself stays doc_id-keyed (inverted
-    index), never all-pairs across documents.
+    the per-doc positional fan-out emits C(|distinct tokens per doc|,
+    2) pairs which partial-aggregate map-side into at most C(|V|, 2)
+    groups; df and N broadcast. At web scale the vocabulary is first
+    capped to the top-V tokens by df (one ranked filter before the
+    fan-out) — same plan, bounded V; pairs never cross documents.
+
+    R15 rewrite (guide §2.3/§2.4; the r14 before-plan executed the
+    token explode FIVE times — pairs a/b self-join, da, db, n_total):
+    pairs now fan out MAP-SIDE from the per-doc sorted distinct token
+    array (posexplode + slice, the pin-15a codegen-Generate shape; the
+    sorted array makes i<j equal ta<tb under the same binary string
+    order both engines compare with), so the two doc_id-keyed postings
+    shuffles of the old self-join are GONE and the only exchanges left
+    are the vocab²-bounded (ta,tb) agg and the vocab-bounded df agg
+    (checkpointed, two consumers); n_total needs no explode at all
+    (tok's doc set = docs with non-null text). Both-scale numbers
+    (pin 14d): sf0.1 paired 0.751 -> 0.877 s (fixture pays +17% — the
+    5 redundant explodes overlapped on idle cores), x100 paired
+    3.323 -> 3.067 s, new side won 4/5 — adopted on the
+    l_filter_attrition precedent: the removed shuffle is the raw
+    postings stream, which is corpus-sized at 100 TB while the kept
+    exchanges are vocabulary-bounded.
     """
-    tok = _tokens(table(spark, sf_dir, "documents"))
-    df_tab = tok.groupBy("t").agg(F.count("*").alias("n_docs"))
-    n_total = tok.agg(
-        F.countDistinct("doc_id").alias("n_total")
+    d = table(spark, sf_dir, "documents")
+    arr_d = d.select(
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("arr")
     )
-    a = tok.select("doc_id", F.col("t").alias("ta"))
-    b = tok.select("doc_id", F.col("t").alias("tb"))
+    lhs = arr_d.select(
+        F.posexplode("arr").alias("i", "ta"), F.col("arr").alias("arr")
+    )
     pairs = (
-        a.join(b, ["doc_id"])
-        .filter(F.col("ta") < F.col("tb"))
+        lhs.select(
+            "ta",
+            F.explode(
+                F.slice(
+                    F.col("arr"), F.col("i") + 2, F.size("arr") - F.col("i") - 1
+                )
+            ).alias("tb"),
+        )
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 25)
+    )
+    tok = _tokens(d)
+    df_tab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint()  # vocab-bounded, two consumers (pin 17a)
+    )
+    n_total = d.filter(F.col("text").isNotNull()).agg(
+        F.countDistinct("doc_id").alias("n_total")
     )
     # plain joins: df_tab is vocab-sized (unbounded on real corpora) —
     # AQE broadcasts at runtime only when actually small (r11)
