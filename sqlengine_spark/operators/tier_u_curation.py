@@ -302,38 +302,55 @@ def l_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_text_repetition this is corpus-level, so it catches cross-document
     boilerplate a per-doc metric can't see.
 
-    Shape: the 8-gram list is built INSIDE the generator argument (one
-    transform over the split array — no expression projected alongside
-    the explode, rule 12a), then a single source-keyed aggregation
-    computes occurrence count, distinct count, and distinct docs in one
-    pass. ``size >= 8`` guards the descending-sequence trap (rule 11d).
+    Shape (r15 rewrite, guide §2.3 + pin 15a): the old single-agg form
+    hid two corpus-scale defects the r15 plan dump exposed — (a) the
+    8-gram list was built by an INTERPRETED transform() lambda (pin
+    15a: HOF bodies get no whole-stage codegen), and (b) the
+    count(*) + 2x COUNT(DISTINCT) aggregate Expand-tripled the gram
+    stream before its shuffle. Now the grams come from a codegen
+    Generate over a plain index sequence with concat_ws(slice(w,i,8))
+    as an ORDINARY projection (the chrf recipe), the (source, g)
+    partial agg shuffles each gram ONCE, per-source totals reduce the
+    bounded gram-count table, and n_docs comes from the base table
+    with no explode at all. Paired order-alternated: sf0.1
+    2.325 -> 0.833 s (0.36x, 5/5), x100 16.559 -> 2.716 s (0.16x,
+    4/4); scatter() measured on top and REJECTED (0.83 -> 1.38 s —
+    the codegen map stage is too cheap to amortize the round-robin).
+    ``size >= 8`` guards the descending-sequence trap (rule 11d).
 
-    Scale: one explode + one partial+final agg keyed on ~|sources|;
-    COUNT(DISTINCT g) expands per source but stays map-side-combinable
-    on (source, g). At 100 TB the distinct count would move to an HLL
-    sketch (d_agg_approx_distinct pattern); the exact form is the
-    calibration oracle.
+    Scale: one explode + one (source, g) partial+final agg + one
+    |sources|-keyed reduction. At 100 TB the distinct count would move
+    to an HLL sketch (d_agg_approx_distinct pattern); the exact form
+    is the calibration oracle.
     """
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    g = d.filter(F.size(toks) >= 8).select(
-        "doc_id",
+    base = d.filter(F.size(toks) >= 8)
+    idx = base.select("source", toks.alias("w")).select(
         "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 7),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
-            )
-        ).alias("g"),
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w") - 7)).alias("i"),
     )
-    total = F.count("*")
-    dist = F.countDistinct("g")
-    return g.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        total.alias("total_8grams"),
-        dist.alias("distinct_8grams"),
+    g = idx.select(
+        "source", F.concat_ws(" ", F.slice("w", F.col("i"), 8)).alias("g")
+    )
+    gc = g.groupBy("source", "g").agg(F.count("*").alias("occ"))
+    per_src = gc.groupBy("source").agg(
+        F.sum("occ").alias("total_8grams"),
+        F.count("*").alias("distinct_8grams"),
+    )
+    docs = base.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return docs.join(per_src, "source").select(
+        "source",
+        "n_docs",
+        "total_8grams",
+        "distinct_8grams",
         dround(
-            F.lit(1.0) - dist / total.cast("double"), 6
+            F.lit(1.0)
+            - F.col("distinct_8grams") / F.col("total_8grams").cast("double"),
+            6,
         ).alias("dup_rate"),
     )
 
