@@ -1559,8 +1559,18 @@ def l_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"), F.countDistinct("t").alias("v")
     ).collect()[0]
     n_all, v_n = totals["n"], totals["v"]
+    # r15 (rule 14a, r14 verdict item 4): broadcast the LANGS side —
+    # |slices| is domain-bounded; vocab is Heaps-law unbounded, so the
+    # old F.broadcast(vocab) was exactly the forced-unbounded-broadcast
+    # class rule 14a prohibits. The grid is identical; vocab streams.
+    # Paired at sf0.1: 0.686 -> 0.841 s median (the degenerate 31-token
+    # fixture vocab makes the old broadcast harmless AND slightly
+    # faster there; plans otherwise identical — AQE still broadcasts
+    # the tiny cl at runtime). Adopted on the l_simjoin_containment
+    # r11 precedent: fixture micro-cost vs executor OOM at any real
+    # vocabulary.
     grid = (
-        langs.crossJoin(F.broadcast(vocab))
+        vocab.crossJoin(F.broadcast(langs))
         .join(cl, ["lang", "t"], "left")
         .select(
             "lang",

@@ -211,9 +211,11 @@ CARTESIAN_WHITELIST = {
                                 # itself is per-block-pair applyInPandas
     "a_dq_audit",               # 1-row stats agg x 1-row orphan-count
                                 # agg assembling the FK rule row
-    "l_corpus_divergence",      # |slices|x|vocab| smoothing grid:
-                                # langs (5 rows) x broadcast vocab agg —
-                                # vocabulary-bounded like l_topic_cooccur
+    "l_corpus_divergence",      # |slices|x|vocab| smoothing grid: the
+                                # BROADCAST side is langs (domain-
+                                # bounded, 5 rows); vocab streams
+                                # (r15 fix — the old broadcast(vocab)
+                                # violated rule 14a)
     "m_retention_curve",        # 7-row day spine x 1-row cohort-size
                                 # scalar — both cross sides constant
     "l_subsample_ci",           # 16-row replica-mean frame x 1-row
