@@ -318,7 +318,13 @@ def l_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      staged forms overlap; surv-staging is adopted because it
     #      also halves the corpus-scale work: one gate map + one
     #      dedup-window sort instead of two, for a corpus-THIN ~40 B/row
-    #      materialization, pin 13c);
+    #      materialization, pin 13c). Fault-tolerance caveat (r14
+    #      advice): localCheckpoint blocks are NON-REPLICATED and the
+    #      lineage is cut, so an executor loss at scale fails the job
+    #      instead of recomputing — on a real cluster this staging
+    #      would be reliableCheckpoint/write-to-storage; the
+    #      local-mode harness has no executor-loss mode, so the cheap
+    #      form is correct here);
     #   3. n_resampled / n_selected / chars_used come from ONE
     #      conditional agg over the budget ledger (two branches merged).
     gated = sig.filter(votes >= 2)

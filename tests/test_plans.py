@@ -1002,9 +1002,14 @@ def test_dedup_substring_hashed_keys_and_partial_agg(spark):
     exactly TWO parquet scans (shingle side + doc-universe side of the
     final left join), a Window keyed on h, and no cartesian."""
     plan = _plan(spark, "l_dedup_substring")
-    # formatted explain prints each node twice (tree + details):
-    # 4 occurrences == TWO parquet scan nodes
-    assert plan.count("Scan parquet") == 4
+    # count distinct scan NODE ids, not raw substring occurrences —
+    # formatted explain prints each node in both the tree and the
+    # details section, and that multiplier is a rendering detail
+    # (r14 advice)
+    import re
+
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 2
     assert "Window" in plan
     assert "hashpartitioning(h" in plan
     assert "CartesianProduct" not in plan
