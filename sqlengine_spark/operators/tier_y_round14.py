@@ -93,7 +93,15 @@ def l_eval_report_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     PP_SCHEMA = "pair_id long, chrf_fp long, f1_fp long, lr_fp long"
 
     def metrics_batch(batch_df, batch_id: int) -> None:
-        base = batch_df.select(
+        # r15 (pin 16b, verdict item 5): each wave arrives as ONE
+        # staged file, so batch_df is a single-split scan and the gram
+        # fan-out — near-unique (pair, gram) keys, the scatter-NEEDS
+        # class — serialized on one core while the BATCH op scatters
+        # the same pipeline. Paired order-alternated across two
+        # windows: 6/7 wins (clean-window pairs 6.60->5.03,
+        # 10.30->4.31 s; later window medians 10.81->9.06). No-op at
+        # corpus scale (splits >= parallelism).
+        base = scatter(spark, batch_df).select(
             F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
             (F.col("doc_id") % 2).alias("side"),
             F.col("text"),
