@@ -115,6 +115,14 @@ HEADLINE = [
                              # interpolated Kneser-Ney bigram LM,
                              # train + held-out scoring in one plan —
                              # tracks the LM-statistics family
+    "l_dup_ngram_rate",      # round 15 promotion: corpus-level
+                             # duplicate-8-gram rate — the RefinedWeb/
+                             # Gopher repetition gate; tracked after
+                             # the r15 rewrite (codegen gram generator
+                             # + single-pass gram shuffle; paired
+                             # 2.33->0.83 s sf0.1, 16.6->2.7 x100) so
+                             # the curation dup-metrics family has a
+                             # per-round number
     "l_graph_triangles",     # round 9: benched after the edge-iterator
                              # rewrite (adjacency-array intersects
                              # in-task instead of shuffling the 41M-row
